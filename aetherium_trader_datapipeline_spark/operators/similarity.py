@@ -30,36 +30,107 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _block_pair_sims(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int | None = None,
+    block_size: int = 2048,
+    k_local: int | None = None,
+    threshold: float | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """All-pairs cosine via blocked matrix multiply (Arrow + numpy).
+
+    The scalable all-pairs scheme: hash ids into B blocks, collect each
+    block into one row (ids + matrix), join block pairs (blk_a <= blk_b)
+    → B(B+1)/2 independent tasks, each a dense matmul. Bounds per-task
+    memory at 2·block_size·dim doubles and turns the quadratic pair
+    explosion into O(B²) coarse tasks the scheduler can spread over a
+    cluster. Per block pair we emit only the local top-k (any global
+    top-k pair lives in exactly one block pair, so the union of local
+    top-k contains the global top-k) or threshold survivors.
+    """
+    if (k_local is None) == (threshold is None):
+        raise ValueError("exactly one of k_local / threshold required")
+
+    n = df.count()
+    if n_blocks is None:
+        n_blocks = max(1, -(-n // block_size))
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    ).withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
+    blocks = v.groupBy("blk").agg(F.collect_list(F.struct("id", "e")).alias("items"))
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    kl, thr, rd = k_local, threshold, round_digits
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                ia = np.array([it["id"] for it in row["items_a"]])
+                ib = np.array([it["id"] for it in row["items_b"]])
+                ma = np.array([it["e"] for it in row["items_a"]], dtype=np.float64)
+                mb = np.array([it["e"] for it in row["items_b"]], dtype=np.float64)
+                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+                sims = np.round(ma @ mb.T, rd)
+                if row["blk_a"] == row["blk_b"]:
+                    # unordered pair appears at (i,j) and (j,i): keep one
+                    mask = ia[:, None] < ib[None, :]
+                else:
+                    # disjoint blocks (id determines block): every cell is a
+                    # distinct pair; orient as (min,max) below
+                    mask = np.ones_like(sims, dtype=bool)
+                i_idx, j_idx = np.nonzero(mask)
+                pa = np.minimum(ia[i_idx], ib[j_idx])
+                pb = np.maximum(ia[i_idx], ib[j_idx])
+                svals = sims[i_idx, j_idx]
+                if thr is not None:
+                    keep = svals >= thr
+                elif len(svals) > kl:
+                    # keep everything >= the k-th value so boundary ties
+                    # survive to the exact global (sim, a, b) sort
+                    kth = np.partition(svals, len(svals) - kl)[len(svals) - kl]
+                    keep = svals >= kth
+                else:
+                    keep = slice(None)
+                out_a.append(pa[keep])
+                out_b.append(pb[keep])
+                out_s.append(svals[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    return pairs.mapInPandas(score, schema="a long, b long, sim double")
+
+
 def pairwise_cosine_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 20, round_digits: int = 4
 ) -> DataFrame:
     """Exact top-k most-similar pairs by cosine. Output (a, b, sim)."""
-    v = _with_norm(df, id_col, vec_col)
-    a = v.select(F.col(id_col).alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = v.select(F.col(id_col).alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
-    sim = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), round_digits)
-    return (
-        pairs.select("a", "b", sim.alias("sim"))
-        .orderBy(F.desc("sim"), "a", "b")
-        .limit(k)
-    )
+    sims = _block_pair_sims(df, id_col, vec_col, k_local=k, round_digits=round_digits)
+    return sims.orderBy(F.desc("sim"), "a", "b").limit(k)
 
 
 def cosine_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9, round_digits: int = 4
 ) -> DataFrame:
     """All pairs with cosine >= threshold (embedding near-dup detection)."""
-    v = _with_norm(df, id_col, vec_col)
-    a = v.select(F.col(id_col).alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    b = v.select(F.col(id_col).alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
-    sim = F.round(_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), round_digits)
-    return (
-        pairs.select("a", "b", sim.alias("sim"))
-        .where(F.col("sim") >= threshold)
-        .orderBy(F.desc("sim"), "a", "b")
-    )
+    sims = _block_pair_sims(df, id_col, vec_col, threshold=threshold, round_digits=round_digits)
+    return sims.orderBy(F.desc("sim"), "a", "b")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:

@@ -26,6 +26,13 @@ TABLE_NAMES = [
 ]
 
 
+# (session id, sf_dir) -> loaded DataFrames; plus the sf_dir whose views are
+# currently registered per session, so repeated query calls don't re-read
+# parquet footers (schema resolution is the fixed cost, not the lazy scan).
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_REGISTERED: dict[str, str] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every fixture table under ``sf_dir`` and register temp views.
 
@@ -36,16 +43,26 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     from aetherium_trader_datapipeline_spark.session import ensure_engine_conf
 
+    sess_key = spark.sparkContext.applicationId
+    cache_key = (sess_key, sf_dir)
+    if cache_key in _CACHE and _REGISTERED.get(sess_key) == sf_dir:
+        return _CACHE[cache_key]
+
     ensure_engine_conf(spark)
     # Spark 4 rejects parquet TIMESTAMP(NANOS); read nanos as BIGINT and
     # convert with integer division (ns epoch ≈ 1.7e18 overflows a double's
     # 53-bit mantissa, so never divide in float).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    dfs: dict[str, DataFrame] = {}
-    for name in TABLE_NAMES:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    dfs = _CACHE.get(cache_key)
+    if dfs is None:
+        dfs = {}
+        for name in TABLE_NAMES:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            dfs[name] = df
+        _CACHE[cache_key] = dfs
+    for name, df in dfs.items():
         df.createOrReplaceTempView(name)
-        dfs[name] = df
+    _REGISTERED[sess_key] = sf_dir
     return dfs

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Median of N_RUNS per query after one warm-up pass of the full suite (the
+warm-up also absorbs JVM/codegen startup so per-query numbers reflect
+steady-state plan execution, which is what scales to the cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, headline_keys
+    from aetherium_trader_datapipeline_spark.session import get_spark
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    spark = get_spark(master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    load_tables(spark, sf_dir)
+
+    keys = headline_keys()
+
+    # Warm-up: full pass (JIT, codegen, file-footer caches).
+    for k in keys:
+        REGISTRY[k].run(spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for k in keys:
+        samples = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            REGISTRY[k].run(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        per_query[k] = round(statistics.median(samples), 4)
+
+    total = round(sum(per_query.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
