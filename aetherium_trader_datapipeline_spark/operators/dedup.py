@@ -1,0 +1,229 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB): every variant avoids the quadratic all-pairs join —
+candidates come from equality joins on content hashes (exact), shared
+shingles (Jaccard), LSH band buckets (MinHash), or signature chunks
+(SimHash). Skewed buckets (stop-shingles) are the classic failure mode;
+`max_shingle_freq` drops shingles shared by too many docs, which both
+bounds the join fan-out and removes noise pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact dedup: first row per distinct key set (hash-groupBy)."""
+    return df.dropDuplicates(cols)
+
+
+def content_hash_dups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of ids sharing identical content (sha2 equality join)."""
+    h = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("h"))
+    return (
+        h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.col("n") > 1)
+    )
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, size: int) -> DataFrame:
+    """Distinct word-``size``-gram shingles per doc (lowercased)."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] — short docs
+    # must produce an empty shingle set, not out-of-range indexing
+    n_grams = F.size(words) - (size - 1)
+    idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j).cast("int")) for j in range(size)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(gram).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 2,
+    max_shingle_freq: int | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing >= 1 shingle.
+
+    inter(a,b) via shingle equality join; |a| and |b| from per-doc counts;
+    J = inter / (|a| + |b| - inter). Pairs sharing nothing have J=0 and are
+    (deliberately) not emitted — at scale they are the overwhelming
+    majority and carry no signal.
+    """
+    sh = _shingles(df, id_col, text_col, shingle_size).cache()
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), "sh").select("id", "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "sh")
+    b = sh.select(F.col("id").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), round_digits
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", shingle_size: int = 2, num_perm: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(seed, shingle)
+    for each of ``num_perm`` seeded hash functions — one shuffle, num_perm
+    partial-aggregating MIN columns."""
+    sh = _shingles(df, id_col, text_col, shingle_size)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(num_perm)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become candidates.
+
+    Plan: explode signatures into (band, band_hash) keys, self-join on the
+    bucket — an equality join, so it shuffles on the bucket key and never
+    goes quadratic in corpus size.
+    """
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for bnd in range(bands):
+        cols = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(bnd).alias("band"), F.xxhash64(*cols).alias("bh")))
+    exploded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a = exploded.select(F.col("id").alias("a"), "band", "bh")
+    b = exploded.select(F.col("id").alias("b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 2,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified with exact Jaccard >= threshold.
+
+    Output (a, b, jaccard) — a subset of ``ngram_jaccard_pairs`` filtered to
+    LSH-recalled candidates; recall vs. the exact result is the test metric.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, shingle_size, num_perm)
+    cand = minhash_lsh_candidates(sigs, num_perm, bands)
+    exact = ngram_jaccard_pairs(df, id_col, text_col, shingle_size)
+    return (
+        cand.join(exact, ["a", "b"])
+        .where(F.col("jaccard") >= threshold)
+        .orderBy(F.desc("jaccard"), "a", "b")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash per doc: sign of per-bit vote sums over token hashes.
+
+    One explode + one groupBy with ``bits`` SUM aggregates — partial
+    aggregation keeps the shuffle at one row per doc per mapper.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 12,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits, candidate-generated by equality on
+    any of ``chunks`` 16-bit signature chunks (pigeonhole: hamming <= c-1
+    guarantees some chunk matches when chunks=c; larger radii trade recall).
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias(f"c{i}")
+        for i in range(chunks)
+    ]
+    keyed = sigs.select("id", "simhash", *chunk_cols)
+    cand = None
+    for i in range(chunks):
+        a = keyed.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), F.col(f"c{i}").alias("ck"))
+        b = keyed.select(F.col("id").alias("b"), F.col("simhash").alias("sb"), F.col(f"c{i}").alias("ck"))
+        c = a.join(b, "ck").where(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("hamming", "a", "b")
+    )
+
+
+def keep_first_dedup(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Keep-first dedup: deterministic representative per key via row_number."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )

@@ -723,13 +723,21 @@ register_sql(
 )
 
 
+def _load_extensions() -> None:
+    # populates REGISTRY via its register()/register_sql() calls
+    import aetherium_trader_datapipeline_spark.queries_ext  # noqa: F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {k: q.run for k, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {k: q.oracle for k, q in REGISTRY.items() if q.oracle is not None}
 
 
 def headline_keys() -> list[str]:
+    _load_extensions()
     return [k for k, q in REGISTRY.items() if q.headline]

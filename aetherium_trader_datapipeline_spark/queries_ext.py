@@ -1,0 +1,377 @@
+"""Extension query inventory: training-data-pipeline operators (dedup,
+similarity, text analysis, UDF surface, rate-limit analytics, backfill
+planning) registered into the same REGISTRY as the core queries.
+
+Hash-verified against DuckDB where SQL-expressible; hash-function-dependent
+ops (MinHash LSH, SimHash, ANN) are rows-only here and recall-verified in
+tests/test_operators.py instead.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (op Q38): pandas_udf validation + applyInPandas normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x40_udf_validate",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND TRIM(l_returnflag) != ''
+                          AND l_discount - 0.01 IS NOT NULL AND l_discount - 0.01 > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def x40_udf_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas_udf running the reference's V1 tick-validation
+    contract (tick.rs:27-49) against lineitem columns."""
+    from aetherium_trader_datapipeline_spark.operators.validate import tick_valid_pandas
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].withColumn(
+        "valid", tick_valid_pandas(F.col("l_returnflag"), F.col("l_discount") - 0.01)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("valid").cast("int")).alias("n_valid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "x41_grouped_demean",
+    oracle="""
+    SELECT event_id,
+           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 4) AS dvalue
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+    tags=("udf",),
+)
+def x41_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.validate import demean_by_group
+
+    t = load_tables(spark, sf_dir)
+    out = demean_by_group(t["events"], ["user_id"], "value")
+    return out.select("event_id", "dvalue").orderBy("event_id").limit(500)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN = "'the','a','of','and','to','in','is','it'"
+_DE = "'der','die','das','und','ist','nicht','ein','zu'"
+_FR = "'le','la','les','et','est','un','une','dans'"
+_ES = "'el','los','las','es','un','una','en','que'"
+
+
+@register(
+    "x42_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), w -> list_contains([{_EN}], w))) AS s_en,
+             len(list_filter(string_split(lower(text), ' '), w -> list_contains([{_DE}], w))) AS s_de,
+             len(list_filter(string_split(lower(text), ' '), w -> list_contains([{_FR}], w))) AS s_fr,
+             len(list_filter(string_split(lower(text), ' '), w -> list_contains([{_ES}], w))) AS s_es,
+             regexp_matches(text, '[一-鿿]') AS zh
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN zh THEN 'zh'
+                WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+                WHEN s_es > greatest(s_en, s_fr) THEN 'es'
+                WHEN s_fr > s_en THEN 'fr'
+                ELSE 'en' END AS pred_lang
+    FROM scored ORDER BY doc_id LIMIT 200
+    """,
+    tags=("text",),
+)
+def x42_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.textops import language_id
+
+    t = load_tables(spark, sf_dir)
+    return (
+        language_id(t["documents"]).select("doc_id", "pred_lang").orderBy("doc_id").limit(200)
+    )
+
+
+@register(
+    "x43_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           ROUND(length(text) / len(string_split(lower(text), ' ')), 4) AS avg_token_len,
+           ROUND(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / length(text), 4) AS punct_ratio,
+           ROUND(len(list_filter(string_split(lower(text), ' '), w -> list_contains([{_EN}], w)))
+                 / len(string_split(lower(text), ' ')), 4) AS stop_ratio
+    FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    tags=("text",),
+)
+def x43_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.textops import quality_score
+
+    t = load_tables(spark, sf_dir)
+    return (
+        quality_score(t["documents"])
+        .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stop_ratio")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "x44_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents ORDER BY doc_id LIMIT 200
+    """,
+    tags=("text",),
+)
+def x44_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.textops import token_counts
+
+    t = load_tables(spark, sf_dir)
+    return (
+        token_counts(t["documents"])
+        .select("doc_id", "ws_tokens", "bpe_tokens")
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "x45_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(SUM(i * (131 * length(w) + ascii(w))) % 1000000007 AS BIGINT) AS fp
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS w,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS i
+      FROM documents
+    ) t
+    GROUP BY doc_id ORDER BY doc_id LIMIT 200
+    """,
+    tags=("text",),
+)
+def x45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.textops import fingerprint
+
+    t = load_tables(spark, sf_dir)
+    return fingerprint(t["documents"], "doc_id").orderBy("doc_id").limit(200)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x46_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, gram AS sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+                      i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS gram
+        FROM documents
+      ) g
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT a, b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+    ORDER BY jaccard DESC, a, b LIMIT 50
+    """,
+    tags=("dedup",),
+)
+def x46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    return (
+        ngram_jaccard_pairs(t["documents"], "doc_id", shingle_size=2)
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(50)
+    )
+
+
+@register("x47_minhash_lsh_dedup", oracle=None, tags=("dedup",))
+def x47_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (hash-dependent → rows-only check here;
+    recall vs exact Jaccard asserted in tests/test_operators.py)."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import minhash_lsh_dedup
+
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_dedup(t["documents"], "doc_id", threshold=0.2)
+
+
+@register("x48_simhash_neardup", oracle=None, tags=("dedup",))
+def x48_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.dedup import simhash_neardup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return simhash_neardup_pairs(t["documents"], "doc_id", max_hamming=16)
+
+
+@register(
+    "x49_embedding_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])), (x, y) -> x + y)
+                   / (a.nrm * b.nrm), 4) AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ) s WHERE sim >= 0.4
+    ORDER BY sim DESC, a, b
+    """,
+    tags=("dedup", "similarity"),
+)
+def x49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.similarity import cosine_neardup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return cosine_neardup_pairs(t["embeddings"], "vec_id", "embedding", threshold=0.4)
+
+
+@register("x50_ann_lsh_topk", oracle=None, tags=("similarity",))
+def x50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (recall-tested vs exact)."""
+    from aetherium_trader_datapipeline_spark.operators.similarity import ann_lsh_topk
+
+    t = load_tables(spark, sf_dir)
+    return ann_lsh_topk(t["embeddings"], "vec_id", "embedding", dim=64, k=20)
+
+
+@register(
+    "x55_content_hash_dups",
+    oracle="""
+    SELECT COUNT(*) AS n_dup_groups FROM (
+      SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1
+    ) t
+    """,
+    tags=("dedup",),
+)
+def x55_content_hash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.dedup import content_hash_dups
+
+    t = load_tables(spark, sf_dir)
+    return content_hash_dups(t["documents"], "doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_groups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rate-limit analytics + backfill planning + approx aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x51_ratelimit_flags",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3600s,
+           CAST(CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 3600 SECONDS PRECEDING AND CURRENT ROW) > 5
+                THEN 1 ELSE 0 END AS INT) AS over_3600s,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW) AS BIGINT) AS n_600s,
+           CAST(CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 600 SECONDS PRECEDING AND CURRENT ROW) > 2
+                THEN 1 ELSE 0 END AS INT) AS over_600s
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+    tags=("ratelimit", "window"),
+)
+def x51_ratelimit_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.ratelimit import (
+        RateWindow,
+        sliding_window_counts,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = sliding_window_counts(
+        t["events"], "ts", ["user_id"], windows=(RateWindow(5, 3600), RateWindow(2, 600))
+    )
+    return (
+        out.select("event_id", "n_3600s", "over_3600s", "n_600s", "over_600s")
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+_CURSOR_MS = int(dt.datetime(1995, 2, 10, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+@register(
+    "x52_backfill_plan",
+    oracle="""
+    SELECT DISTINCT d FROM (
+      SELECT DATE'1995-02-10' AS d
+      UNION ALL
+      SELECT CAST(g AS DATE) AS d
+      FROM generate_series(DATE'1995-02-10', DATE'1995-03-31', INTERVAL 1 DAY) t(g)
+      WHERE CAST(g AS DATE) NOT IN (SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)
+    ) u ORDER BY d
+    """,
+    tags=("backfill", "operator"),
+)
+def x52_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.backfill import plan_backfill_days
+
+    t = load_tables(spark, sf_dir)
+    present = t["orders"].selectExpr("CAST(o_orderdate AS DATE) AS d")
+    return plan_backfill_days(present, "1995-01-01", "1995-03-31", cursor_ms=_CURSOR_MS)
+
+
+@register("x53_approx_count_distinct", oracle=None, tags=("approx",))
+def x53_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct count — tolerance-tested vs exact in test_operators."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_custs"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register("x54_percentile_approx", oracle=None, tags=("approx",))
+def x54_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    )

@@ -1,0 +1,189 @@
+"""Operator-level tests: properties the oracle harness can't express —
+LSH recall vs exact baselines, approx-aggregate tolerances, two-table
+as-of semantics vs pandas merge_asof, validation routing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_asof_join_matches_merge_asof(spark):
+    from aetherium_trader_datapipeline_spark.operators.asof import asof_join
+
+    trades = pd.DataFrame(
+        {
+            "sym": ["A"] * 4 + ["B"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:05", "2024-01-01 10:00:10", "2024-01-01 10:00:10",
+                 "2024-01-01 10:00:30", "2024-01-01 09:59:59", "2024-01-01 10:00:20",
+                 "2024-01-01 10:01:00"]
+            ),
+            "qty": [1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": ["A", "A", "A", "B", "B"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:00:10", "2024-01-01 10:00:20",
+                 "2024-01-01 10:00:00", "2024-01-01 10:00:45"]
+            ),
+            "px": [100.0, 101.0, 102.0, 200.0, 201.0],
+        }
+    )
+    out = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        ts_col="ts",
+        key_cols=["sym"],
+        right_value_cols=["px"],
+    ).toPandas()
+    expected = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"), on="ts", by="sym"
+    )
+    got = out.sort_values(["sym", "ts", "qty"]).reset_index(drop=True)
+    exp = expected.sort_values(["sym", "ts", "qty"]).reset_index(drop=True)
+    assert list(got["qty"]) == list(exp["qty"])
+    assert [x if pd.notna(x) else None for x in got["px_r"]] == [
+        x if pd.notna(x) else None for x in exp["px"]
+    ]
+
+
+def test_validate_ticks_routing(spark):
+    from aetherium_trader_datapipeline_spark.operators.validate import validate_ticks
+
+    rows = [
+        ("2024-01-01T00:00:00", "NQ", 100.0, 1, 100.25, 1, 100.0, 1),   # valid
+        ("2024-01-01T00:00:01", "", 100.0, 1, 100.25, 1, 100.0, 1),      # empty symbol
+        ("2024-01-01T00:00:02", "NQ", -1.0, 1, 100.25, 1, 100.0, 1),     # negative bid
+        ("2024-01-01T00:00:03", "NQ", 100.0, 1, 0.0, 1, 100.0, 1),       # zero ask
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "timestamp STRING, symbol STRING, bid_price DOUBLE, bid_size INT, "
+        "ask_price DOUBLE, ask_size INT, last_price DOUBLE, last_size INT",
+    )
+    valid, quarantine = validate_ticks(df)
+    assert valid.count() == 1
+    assert quarantine.count() == 3
+
+
+def test_minhash_lsh_recall(spark, tables):
+    """LSH candidates must recall >= 80% of exact-Jaccard pairs >= 0.4."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = tables["documents"]
+    exact = (
+        ngram_jaccard_pairs(docs, "doc_id", shingle_size=2)
+        .where(F.col("jaccard") >= 0.4)
+        .select("a", "b")
+        .collect()
+    )
+    truth = {(r.a, r.b) for r in exact}
+    if not truth:
+        pytest.skip("fixture has no pairs above threshold at this SF")
+    sigs = minhash_signatures(docs, "doc_id", shingle_size=2, num_perm=32)
+    cand = {(r.a, r.b) for r in minhash_lsh_candidates(sigs, 32, bands=16).collect()}
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.8, f"recall {recall} over {len(truth)} true pairs"
+
+
+def test_ann_lsh_recall_on_planted_neardups(spark, tables):
+    """Plant near-duplicate vectors (tiny perturbation → cos ~0.999); the
+    LSH path must recover >= 80% of the planted pairs."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.similarity import ann_lsh_pairs
+
+    base = tables["embeddings"].limit(50).toPandas()
+    rng = np.random.RandomState(7)
+    planted = base.copy()
+    planted["vec_id"] = planted["vec_id"] + 1_000_000
+    planted["embedding"] = planted["embedding"].apply(
+        lambda v: (np.array(v) + rng.normal(0, 0.01, len(v))).astype("float32").tolist()
+    )
+    both = pd.concat([base, planted])
+    df = spark.createDataFrame(both[["vec_id", "embedding"]])
+    got = ann_lsh_pairs(df, "vec_id", "embedding", dim=64, n_planes=12, n_tables=6)
+    hits = {(r.a, r.b) for r in got.where(F.col("sim") >= 0.98).collect()}
+    truth = {(int(v), int(v) + 1_000_000) for v in base["vec_id"]}
+    recall = len(truth & hits) / len(truth)
+    assert recall >= 0.8, f"planted-pair recall {recall}"
+
+
+def test_simhash_close_texts_low_hamming(spark):
+    from aetherium_trader_datapipeline_spark.operators.dedup import simhash_neardup_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+        (3, "completely different content about spark shuffle partitions and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = {(r.a, r.b): r.hamming for r in simhash_neardup_pairs(df, "doc_id", max_hamming=20).collect()}
+    assert (1, 2) in pairs, f"near-identical docs not paired: {pairs}"
+
+
+def test_approx_count_distinct_tolerance(spark, tables):
+    exact = {
+        r.o_orderstatus: r.n
+        for r in tables["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.o_orderstatus: r.approx_custs
+        for r in tables["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_custs"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, n, approx[k])
+
+
+def test_percentile_approx_tolerance(spark, tables):
+    li = tables["lineitem"]
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("p")
+    ).collect()[0].p
+    exact = li.agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("p")).collect()[0].p
+    for a, e in zip(approx, exact):
+        assert abs(a - e) / e < 0.05
+
+
+def test_gap_detection_islands(spark):
+    from aetherium_trader_datapipeline_spark.operators.gaps import detect_gaps
+
+    # present: 1-3, 6, 10-12 of Jan → gaps: 4-5, 7-9, 13-15 (range to Jan 15)
+    present = spark.createDataFrame(
+        [("2024-01-0%d" % d,) for d in (1, 2, 3, 6)] + [("2024-01-1%d" % d,) for d in (0, 1, 2)],
+        "d STRING",
+    ).selectExpr("CAST(d AS DATE) AS d")
+    gaps = detect_gaps(present, "2024-01-01", "2024-01-15").collect()
+    got = [(str(g.gap_start), str(g.gap_end), g.days) for g in gaps]
+    assert got == [
+        ("2024-01-04", "2024-01-05", 2),
+        ("2024-01-07", "2024-01-09", 3),
+        ("2024-01-13", "2024-01-15", 3),
+    ]
+
+
+def test_backfill_plan_resume_and_gaps(spark):
+    from aetherium_trader_datapipeline_spark.operators.backfill import plan_backfill_days
+    import datetime as dt
+
+    present = spark.createDataFrame(
+        [(f"2024-01-{d:02d}",) for d in range(1, 21) if d not in (5, 6, 15)], "d STRING"
+    ).selectExpr("CAST(d AS DATE) AS d")
+    cursor_ms = int(dt.datetime(2024, 1, 4, 12, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    plan = [str(r.d) for r in plan_backfill_days(present, "2024-01-01", "2024-01-20", cursor_ms).collect()]
+    # resume day (partial) + missing days after the cursor
+    assert plan == ["2024-01-04", "2024-01-05", "2024-01-06", "2024-01-15"]

@@ -5,9 +5,10 @@ from __future__ import annotations
 
 import pytest
 
-from aetherium_trader_datapipeline_spark.queries import REGISTRY
+from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
 from tests.oracle import compare
 
+_load_extensions()
 KEYS = sorted(REGISTRY)
 
 
