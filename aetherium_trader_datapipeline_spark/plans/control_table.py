@@ -1,0 +1,185 @@
+"""Job-state control table (ops J1/J2/H1/Z1).
+
+Reference: Redis hash per job with every mutation guarded by a Lua
+compare-and-set on job_instance_id (state/redis.rs:25-42,184-236); fields
+job_state.rs:38-50; key `ingest:job:{symbol}:{date}`
+(backfill_service.rs:87); heartbeat staleness 300 s
+(backfill_service.rs:13); stale-instance writes rejected (Z1,
+redis.rs:198-200).
+
+Spark-native design: one JSON state file per job_key in a control
+directory, mutated via write-tmp → atomic rename — the same commit
+primitive the docs mandate for data files (IDD.md:26-28). Every mutation
+re-reads the state and rejects on instance-id mismatch, giving the CAS
+fencing semantics. On a production cluster this table is a Delta table
+and each mutation a conditional `MERGE ... ON job_key AND
+job_instance_id = expected` (0 rows matched == StaleInstance); the
+file-per-key layout keeps the same interface without requiring an ACID
+table format in this environment. ``as_dataframe`` exposes the table to
+Spark for supervisor queries (stalled scan, H1).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+HEARTBEAT_TIMEOUT_S = 300  # reference backfill_service.rs:13
+
+PENDING, RUNNING, COMPLETED, FAILED = "PENDING", "RUNNING", "COMPLETED", "FAILED"
+
+
+class JobAlreadyRunningError(Exception):
+    pass
+
+
+class StaleInstanceError(Exception):
+    pass
+
+
+@dataclass
+class JobState:
+    job_key: str
+    status: str
+    job_instance_id: str
+    cursor: int  # unix-ms high-water mark
+    end_time: int
+    heartbeat_at: float  # unix seconds
+    critical_ranges: list[dict] = field(default_factory=list)
+    last_error_type: str | None = None
+
+
+def job_key(symbol: str, date: str) -> str:
+    """`ingest:job:{symbol}:{date}` (backfill_service.rs:87)."""
+    return f"ingest:job:{symbol}:{date}"
+
+
+class ControlTable:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key.replace(":", "_") + ".json")
+
+    def get(self, key: str) -> JobState | None:
+        try:
+            with open(self._path(key)) as f:
+                return JobState(**json.load(f))
+        except FileNotFoundError:
+            return None
+
+    def _write(self, st: JobState) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(asdict(st), f)
+        os.replace(tmp, self._path(st.job_key))  # atomic commit (IDD.md:26-28)
+
+    # -- J1: init / stale takeover (backfill_service.rs:82-115) ------------
+
+    def initialize_job(
+        self,
+        key: str,
+        day_start_ms: int,
+        end_time_ms: int,
+        now: float | None = None,
+        heartbeat_timeout_s: int = HEARTBEAT_TIMEOUT_S,
+    ) -> JobState:
+        now = now if now is not None else dt.datetime.now(dt.timezone.utc).timestamp()
+        st = self.get(key)
+        if st is not None and st.status == RUNNING:
+            if now - st.heartbeat_at <= heartbeat_timeout_s:
+                raise JobAlreadyRunningError(key)
+            # stale takeover: new instance id, cursor preserved
+            st.job_instance_id = str(uuid.uuid4())
+            st.heartbeat_at = now
+            self._write(st)
+            return st
+        if st is not None and st.status in (COMPLETED, FAILED, PENDING):
+            st.status = RUNNING
+            st.job_instance_id = str(uuid.uuid4())
+            st.heartbeat_at = now
+            self._write(st)
+            return st
+        st = JobState(
+            job_key=key,
+            status=RUNNING,
+            job_instance_id=str(uuid.uuid4()),
+            cursor=day_start_ms - 1,  # backfill_service.rs:105
+            end_time=end_time_ms,
+            heartbeat_at=now,
+        )
+        self._write(st)
+        return st
+
+    # -- J2/Z1: fenced mutations ------------------------------------------
+
+    def _fenced(self, key: str, instance_id: str) -> JobState:
+        st = self.get(key)
+        if st is None or st.job_instance_id != instance_id:
+            raise StaleInstanceError(key)
+        return st
+
+    def update_cursor(self, key: str, instance_id: str, cursor_ms: int) -> None:
+        st = self._fenced(key, instance_id)
+        st.cursor = max(st.cursor, cursor_ms)  # HWM never regresses
+        self._write(st)
+
+    def update_status(
+        self, key: str, instance_id: str, status: str, error_type: str | None = None
+    ) -> None:
+        st = self._fenced(key, instance_id)
+        st.status = status
+        st.last_error_type = error_type
+        self._write(st)
+
+    def heartbeat(self, key: str, instance_id: str, now: float | None = None) -> None:
+        st = self._fenced(key, instance_id)
+        st.heartbeat_at = (
+            now if now is not None else dt.datetime.now(dt.timezone.utc).timestamp()
+        )
+        self._write(st)
+
+    # -- H1: supervisor view ----------------------------------------------
+
+    def as_dataframe(self, spark: SparkSession) -> DataFrame:
+        states = []
+        for fn in sorted(os.listdir(self.root)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.root, fn)) as f:
+                    states.append(json.load(f))
+        schema = (
+            "job_key STRING, status STRING, job_instance_id STRING, cursor BIGINT, "
+            "end_time BIGINT, heartbeat_at DOUBLE, "
+            "critical_ranges ARRAY<MAP<STRING,STRING>>, last_error_type STRING"
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    s["job_key"], s["status"], s["job_instance_id"], s["cursor"],
+                    s["end_time"], s["heartbeat_at"], s.get("critical_ranges", []),
+                    s.get("last_error_type"),
+                )
+                for s in states
+            ],
+            schema,
+        )
+
+    def stalled_jobs(
+        self, spark: SparkSession, now: float | None = None,
+        heartbeat_timeout_s: int = HEARTBEAT_TIMEOUT_S,
+    ) -> DataFrame:
+        """`status='RUNNING' AND heartbeat_at < now - threshold` (H1)."""
+        from pyspark.sql import functions as F
+
+        now = now if now is not None else dt.datetime.now(dt.timezone.utc).timestamp()
+        return self.as_dataframe(spark).where(
+            (F.col("status") == RUNNING)
+            & (F.col("heartbeat_at") < F.lit(now - heartbeat_timeout_s))
+        )

@@ -1,0 +1,197 @@
+"""t1-style streaming tests: bounded runs through real streaming queries,
+sink layout checks, and batch-equivalence of windowed aggregates."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tick_day(spark):
+    from aetherium_trader_datapipeline_spark.sources.ticks import historical_ticks
+
+    return historical_ticks(spark, "NQ", "2024-01-02", today=__import__("datetime").date(2024, 6, 1))
+
+
+def test_historical_source_shape(tick_day):
+    assert tick_day.count() == 1440
+    row = tick_day.orderBy("timestamp").first()
+    assert row.symbol == "NQ"
+    assert float(row.ask_price) - float(row.bid_price) == pytest.approx(0.25)
+
+
+def test_ingest_stream_hourly_layout(spark, tick_day, tmp_path):
+    """Bounded streaming run (availableNow) through a file source →
+    partitioned sink; verifies the K1 symbol/date/hour layout."""
+    from aetherium_trader_datapipeline_spark.streaming.ingest import ingest_stream
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tick_day.write.parquet(src_dir)
+    stream = spark.readStream.schema(tick_day.schema).parquet(src_dir)
+    q = ingest_stream(stream, out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 1440
+    hours = back.select("symbol", "date", "hour").distinct().count()
+    assert hours == 24  # one partition per hour (reference hourly rotation)
+    # physical layout: hive-style partition dirs
+    assert any(p.startswith("symbol=NQ") for p in os.listdir(out_dir))
+
+
+def test_ingest_quarantine_routing(spark, tmp_path):
+    from aetherium_trader_datapipeline_spark.streaming.ingest import ingest_stream
+
+    rows = [
+        ("2024-01-02 10:00:00", "NQ", 100.0, 1, 100.25, 1, 100.0, 1),
+        ("2024-01-02 10:00:01", "", 100.0, 1, 100.25, 1, 100.0, 1),
+        ("2024-01-02 10:00:02", "NQ", -5.0, 1, 100.25, 1, 100.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "timestamp STRING, symbol STRING, bid_price DOUBLE, bid_size INT, "
+        "ask_price DOUBLE, ask_size INT, last_price DOUBLE, last_size INT",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = ingest_stream(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        quarantine_dir=str(tmp_path / "quarantine"),
+    )
+    q.awaitTermination(120)
+    for s in spark.streams.active:
+        s.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+    assert spark.read.parquet(str(tmp_path / "quarantine")).count() == 2
+
+
+def test_streaming_ohlcv_equals_batch(spark, tick_day, tmp_path):
+    """Streaming windowed OHLCV over a bounded file stream == the same
+    expression evaluated in batch (micro-batching must not change results)."""
+    from aetherium_trader_datapipeline_spark.streaming.windows import streaming_ohlcv
+
+    src = str(tmp_path / "src")
+    tick_day.write.parquet(src)
+    stream = spark.readStream.schema(tick_day.schema).parquet(src)
+    out = str(tmp_path / "agg")
+    q = (
+        streaming_ohlcv(stream, duration="1 hour", watermark="2 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.w), r.symbol): (float(r.open), float(r.high), float(r.low), float(r.close), r.vol)
+        for r in spark.read.parquet(out).collect()
+    }
+    exp_df = streaming_ohlcv(tick_day, duration="1 hour", watermark=None)
+    exp = {
+        (str(r.w), r.symbol): (float(r.open), float(r.high), float(r.low), float(r.close), r.vol)
+        for r in exp_df.collect()
+    }
+    # append-mode emits only windows closed by the watermark; every emitted
+    # window must match batch exactly, and most of the day must be emitted
+    assert len(got) >= 20
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_session_window_stream_matches_sessionize(spark, tables, tmp_path):
+    """Streaming session_window == batch gaps-and-islands sessionize on
+    closed sessions."""
+    from aetherium_trader_datapipeline_spark.operators.sessionize import sessionize
+    from aetherium_trader_datapipeline_spark.streaming.windows import session_counts
+
+    events = tables["events"]
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    # events was written post-conversion, so ts is already TIMESTAMP (µs)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out = str(tmp_path / "sess")
+    q = (
+        session_counts(stream, gap="30 minutes", watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, str(r.t0)): r.n for r in spark.read.parquet(out).collect()
+    }
+    exp = {
+        (r.user_id, str(r.t0)): r.n
+        for r in sessionize(events, "ts", ["user_id"], gap="30 minutes").collect()
+    }
+    assert len(got) >= 0.8 * len(exp)  # open/late sessions may be unemitted
+    mismatches = {k: (v, exp.get(k)) for k, v in got.items() if exp.get(k) != v}
+    assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    from aetherium_trader_datapipeline_spark.streaming.windows import dedup_within_watermark
+
+    rows = [
+        ("2024-01-01 00:00:00", "a", 1),
+        ("2024-01-01 00:00:05", "a", 2),   # dup key within window → dropped
+        ("2024-01-01 00:10:00", "b", 3),
+    ]
+    df = spark.createDataFrame(rows, "ts STRING, k STRING, v INT").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        dedup_within_watermark(stream, ["k"], ts_col="ts", watermark="15 seconds")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert sorted(r.k for r in back.collect()) == ["a", "b"]
+
+
+def test_streaming_ticks_rate_source(spark):
+    """S1: the rate-backed tick stream starts, produces valid rows, stops."""
+    from aetherium_trader_datapipeline_spark.sources.ticks import streaming_ticks
+
+    ticks = streaming_ticks(spark, "NQ", rows_per_second=100)
+    assert ticks.isStreaming
+    q = ticks.writeStream.format("memory").queryName("t1_smoke").start()
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) n FROM t1_smoke").collect()[0].n
+            if n >= 50:
+                break
+            time.sleep(1)
+        assert n >= 50, f"only {n} ticks after 30s"
+        bad = spark.sql(
+            "SELECT COUNT(*) n FROM t1_smoke WHERE symbol != 'NQ' OR bid_price <= 0"
+        ).collect()[0].n
+        assert bad == 0
+    finally:
+        q.stop()
