@@ -1,0 +1,130 @@
+"""Physical-plan audits: the properties that decide whether a query
+survives a 100× scale-up — predicate pushdown into the parquet scan,
+column pruning, broadcast joins for dimension tables, whole-stage codegen,
+partition pruning on the tick layout. These lock in the *plan*, not just
+the answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_pushdown_reaches_scan(spark, tables):
+    df = tables["lineitem"].where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_column_pruning_reads_two_columns(spark, tables):
+    df = tables["lineitem"].select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # untouched columns pruned
+
+
+def test_dimension_join_broadcasts(spark, tables):
+    df = tables["orders"].join(
+        tables["customer"], tables["orders"].o_custkey == tables["customer"].c_custkey
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_ohlcv_is_partial_agg_no_sort(spark, tables):
+    """The OHLCV plan must be hash-aggregate (partial+final), not a window
+    sort — the property that keeps the shuffle small at 100 TB."""
+    from aetherium_trader_datapipeline_spark.operators.ohlcv import ohlcv
+
+    df = ohlcv(tables["events"], "ts", ["user_id"], "value")
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Window" not in plan
+
+
+def test_whole_stage_codegen_on_agg_path(spark, tables):
+    df = tables["lineitem"].groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    df.collect()  # AQE shows codegen spans only in the final executed plan
+    plan = plan_of(df)
+    # whole-stage codegen spans are tagged "[codegen id : N]" in formatted mode
+    assert "[codegen id :" in plan
+
+
+def test_partition_pruning_on_tick_layout(spark, tmp_path):
+    """symbol=/date=/hour= layout: a symbol+date predicate must prune to
+    that partition's files only (PartitionFilters in the scan)."""
+    import datetime as dt
+
+    from aetherium_trader_datapipeline_spark.sources.ticks import historical_range
+    from aetherium_trader_datapipeline_spark.streaming.ingest import ingest_batch
+
+    ticks = historical_range(spark, "NQ", "2024-01-01", "2024-01-03", today=dt.date(2024, 6, 1))
+    ingest_batch(ticks, str(tmp_path / "store"))
+    store = spark.read.parquet(str(tmp_path / "store"))
+    q = store.where((F.col("symbol") == "NQ") & (F.col("date") == "2024-01-02"))
+    plan = plan_of(q)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "symbol" in pf and "date" in pf
+    # and the pruned count job touches only 1 day
+    assert q.count() == 1440
+
+
+def test_asof_single_shuffle(spark, tables):
+    """The as-of window formulation must shuffle once (one Exchange on
+    user_id), never a nested-loop pair join."""
+    from aetherium_trader_datapipeline_spark.operators.asof import asof_latest_prior
+
+    df = asof_latest_prior(
+        tables["events"], "ts", ["user_id"],
+        of_interest="event_type = 'click'", prior_filter="event_type = 'view'",
+    )
+    plan = plan_of(df, "simple")  # tree once (formatted repeats nodes in details)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_ordered_export_no_global_sort(spark, tables):
+    from aetherium_trader_datapipeline_spark.operators.replay import ordered_export
+
+    df = ordered_export(tables["events"], key_col="user_id", ts_col="ts")
+    plan = plan_of(df)
+    # per-key ordering: local sort after hash repartition, no range exchange
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_inspect_parquet(spark, tmp_path):
+    from aetherium_trader_datapipeline_spark.operators.inspect import inspect_parquet
+
+    spark.range(100).write.parquet(str(tmp_path / "p"))
+    info = inspect_parquet(spark, str(tmp_path / "p"))
+    assert info["num_rows"] == 100
+    assert info["num_files"] >= 1
+    assert "id" in info["schema"]
+
+
+def test_paced_replay_delivers_in_order(spark, tables, tmp_path):
+    import time
+
+    from aetherium_trader_datapipeline_spark.operators.replay import paced_replay
+
+    src = tables["events"].limit(200).select("user_id", F.col("ts").alias("timestamp"), "event_id")
+    got: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        got.extend((r.user_id, r.timestamp) for r in batch_df.collect())
+
+    q = paced_replay(src, sink, rows_per_second=100, key_col="user_id", ts_col="timestamp")
+    deadline = time.time() + 60
+    while time.time() < deadline and len(got) < 200:
+        time.sleep(1)
+    q.stop()
+    assert len(got) >= 100, f"only {len(got)} rows replayed"
