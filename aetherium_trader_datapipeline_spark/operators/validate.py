@@ -51,6 +51,12 @@ def tick_valid_pandas(symbol: pd.Series, price: pd.Series) -> pd.Series:
     return symbol.notna() & (symbol.str.strip() != "") & price.notna() & (price > 0)
 
 
+@pandas_udf("double")
+def sum_of_squares(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDAF (Q38 UDAF surface): Σ v² per group."""
+    return float((v * v).sum())
+
+
 def demean_by_group(
     df: DataFrame, key_cols: list[str], value_col: str, out_col: str = "dvalue"
 ) -> DataFrame:

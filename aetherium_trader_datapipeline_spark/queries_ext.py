@@ -357,6 +357,27 @@ def x52_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_backfill_days(present, "1995-01-01", "1995-03-31", cursor_ms=_CURSOR_MS)
 
 
+@register(
+    "x56_udaf_sumsq",
+    oracle="""
+    SELECT user_id, ROUND(SUM(value * value), 4) AS sumsq
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("udf",),
+)
+def x56_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF vs plain-SQL oracle."""
+    from aetherium_trader_datapipeline_spark.operators.validate import sum_of_squares
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.round(sum_of_squares(F.col("value")), 4).alias("sumsq"))
+        .orderBy("user_id")
+    )
+
+
 @register("x53_approx_count_distinct", oracle=None, tags=("approx",))
 def x53_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct count — tolerance-tested vs exact in test_operators."""
