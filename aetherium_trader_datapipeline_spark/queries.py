@@ -266,6 +266,17 @@ register_sql(
 )
 
 register_sql(
+    "q13c_grouping_sets",
+    spark_sql="""
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+    ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    tags=("agg", "rollup"),
+)
+
+register_sql(
     "q14_having",
     spark_sql="""
     SELECT o_custkey, COUNT(*) AS n
@@ -474,6 +485,23 @@ register_sql(
 )
 
 register_sql(
+    "q26b_array_explode",
+    spark_sql="""
+    SELECT vec_id, pos, ROUND(CAST(x AS DOUBLE), 4) AS x
+    FROM (
+      SELECT vec_id, posexplode(embedding) AS (pos, x) FROM embeddings
+    ) WHERE vec_id < 5 ORDER BY vec_id, pos
+    """,
+    duckdb_sql="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 4) AS x
+    FROM embeddings WHERE vec_id < 5 ORDER BY vec_id, pos
+    """,
+    tags=("functions", "array"),
+)
+
+register_sql(
     "q27_map_fns",
     spark_sql="""
     SELECT event_id, m['t'] AS t FROM (
@@ -482,6 +510,20 @@ register_sql(
     """,
     duckdb_sql="""
     SELECT event_id, event_type AS t FROM events ORDER BY event_id LIMIT 100
+    """,
+    tags=("functions", "map"),
+)
+
+register_sql(
+    "q27b_map_keys",
+    spark_sql="""
+    SELECT event_id, sort_array(map_keys(m)) AS ks, m['u'] AS u FROM (
+      SELECT event_id, MAP('t', event_type, 'u', CAST(user_id AS STRING)) AS m FROM events
+    ) ORDER BY event_id LIMIT 100
+    """,
+    duckdb_sql="""
+    SELECT event_id, ['t', 'u'] AS ks, CAST(user_id AS VARCHAR) AS u
+    FROM events ORDER BY event_id LIMIT 100
     """,
     tags=("functions", "map"),
 )
