@@ -5,22 +5,22 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Median of N_RUNS per query after one warm-up pass of the full suite (the
-warm-up also absorbs JVM/codegen startup so per-query numbers reflect
-steady-state plan execution, which is what scales to the cluster).
+Best (min) of N_RUNS per query after one warm-up pass of the full suite:
+the warm-up absorbs JVM/codegen startup, and min-of-N discards transient
+system noise (GC pauses, co-tenant load) so per-query numbers reflect
+steady-state plan execution, which is what scales to the cluster.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
 def main() -> None:
@@ -48,7 +48,7 @@ def main() -> None:
             t0 = time.perf_counter()
             REGISTRY[k].run(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
-        per_query[k] = round(statistics.median(samples), 4)
+        per_query[k] = round(min(samples), 4)
 
     total = round(sum(per_query.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
