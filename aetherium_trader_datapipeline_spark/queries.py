@@ -517,12 +517,12 @@ register_sql(
 register_sql(
     "q27b_map_keys",
     spark_sql="""
-    SELECT event_id, sort_array(map_keys(m)) AS ks, m['u'] AS u FROM (
+    SELECT event_id, array_join(sort_array(map_keys(m)), ',') AS ks, m['u'] AS u FROM (
       SELECT event_id, MAP('t', event_type, 'u', CAST(user_id AS STRING)) AS m FROM events
     ) ORDER BY event_id LIMIT 100
     """,
     duckdb_sql="""
-    SELECT event_id, ['t', 'u'] AS ks, CAST(user_id AS VARCHAR) AS u
+    SELECT event_id, 't,u' AS ks, CAST(user_id AS VARCHAR) AS u
     FROM events ORDER BY event_id LIMIT 100
     """,
     tags=("functions", "map"),

@@ -5,22 +5,23 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Best (min) of N_RUNS per query after one warm-up pass of the full suite:
-the warm-up absorbs JVM/codegen startup, and min-of-N discards transient
-system noise (GC pauses, co-tenant load) so per-query numbers reflect
-steady-state plan execution, which is what scales to the cluster.
+Median of N_RUNS (default 3) per query after one warm-up pass of the full
+suite — the protocol recorded in BASELINE.md ("per-query wall-clock
+(median of 3)", "sum of medians"); keep statistic and run count in sync
+with BASELINE.md if either ever changes.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
@@ -48,7 +49,7 @@ def main() -> None:
             t0 = time.perf_counter()
             REGISTRY[k].run(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
-        per_query[k] = round(min(samples), 4)
+        per_query[k] = round(statistics.median(samples), 4)
 
     total = round(sum(per_query.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
