@@ -253,25 +253,20 @@ register_sql(
 )
 
 register_sql(
-    "q13b_cube",
+    "q13b_cube_gsets",
     spark_sql="""
-    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+    SELECT 'cube' AS variant, c_mktsegment, o_orderstatus, COUNT(*) AS n,
            CAST(GROUPING(c_mktsegment) AS INT) AS g1,
            CAST(GROUPING(o_orderstatus) AS INT) AS g2
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY CUBE(c_mktsegment, o_orderstatus)
-    ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
-    """,
-    tags=("agg", "rollup"),
-)
-
-register_sql(
-    "q13c_grouping_sets",
-    spark_sql="""
-    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+    UNION ALL
+    SELECT 'gsets' AS variant, c_mktsegment, o_orderstatus, COUNT(*) AS n,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g1,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g2
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
-    ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
+    ORDER BY variant, c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST
     """,
     tags=("agg", "rollup"),
 )
@@ -371,38 +366,29 @@ register_sql(
 register_sql(
     "q21_union",
     spark_sql="""
-    SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k
-    """,
-    tags=("setop",),
-)
-
-register_sql(
-    "q21b_union_all",
-    spark_sql="""
-    SELECT COUNT(*) AS n FROM (
+    SELECT 'distinct' AS variant, CAST(k AS BIGINT) AS k, CAST(NULL AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier
+    ) u
+    UNION ALL
+    SELECT 'all_count' AS variant, CAST(NULL AS BIGINT) AS k, COUNT(*) AS n FROM (
       SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier
-    )
-    """,
-    duckdb_sql="""
-    SELECT COUNT(*) AS n FROM (
-      SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier
-    ) t
+    ) a
+    ORDER BY variant, k
     """,
     tags=("setop",),
 )
 
 register_sql(
-    "q22_intersect",
+    "q22_intersect_except",
     spark_sql="""
-    SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k
-    """,
-    tags=("setop",),
-)
-
-register_sql(
-    "q22b_except",
-    spark_sql="""
-    SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier ORDER BY k
+    SELECT 'i' AS op, k FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier
+    ) i
+    UNION ALL
+    SELECT 'e' AS op, k FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier
+    ) e
+    ORDER BY op, k
     """,
     tags=("setop",),
 )
@@ -768,6 +754,7 @@ register_sql(
 def _load_extensions() -> None:
     # populates REGISTRY via its register()/register_sql() calls
     import aetherium_trader_datapipeline_spark.queries_ext  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext2  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

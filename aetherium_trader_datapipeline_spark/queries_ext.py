@@ -221,24 +221,6 @@ def x46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x47_minhash_lsh_dedup", oracle=None, tags=("dedup",))
-def x47_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (hash-dependent → rows-only check here;
-    recall vs exact Jaccard asserted in tests/test_operators.py)."""
-    from aetherium_trader_datapipeline_spark.operators.dedup import minhash_lsh_dedup
-
-    t = load_tables(spark, sf_dir)
-    return minhash_lsh_dedup(t["documents"], "doc_id", threshold=0.2)
-
-
-@register("x48_simhash_neardup", oracle=None, tags=("dedup",))
-def x48_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aetherium_trader_datapipeline_spark.operators.dedup import simhash_neardup_pairs
-
-    t = load_tables(spark, sf_dir)
-    return simhash_neardup_pairs(t["documents"], "doc_id", max_hamming=16)
-
-
 @register(
     "x49_embedding_neardup",
     oracle="""
@@ -264,15 +246,6 @@ def x49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     return cosine_neardup_pairs(t["embeddings"], "vec_id", "embedding", threshold=0.4)
-
-
-@register("x50_ann_lsh_topk", oracle=None, tags=("similarity",))
-def x50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH (recall-tested vs exact)."""
-    from aetherium_trader_datapipeline_spark.operators.similarity import ann_lsh_topk
-
-    t = load_tables(spark, sf_dir)
-    return ann_lsh_topk(t["embeddings"], "vec_id", "embedding", dim=64, k=20)
 
 
 @register(
@@ -376,6 +349,41 @@ def x56_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(sum_of_squares(F.col("value")), 4).alias("sumsq"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-function-dependent / approximate variants (rows-only for the driver;
+# recall- and tolerance-verified vs the exact formulations above in
+# tests/test_operators.py). Registered after every oracle-backed entry so
+# the driver's hash-verified window is spent on oracle-checkable queries.
+# ---------------------------------------------------------------------------
+
+
+@register("x47_minhash_lsh_dedup", oracle=None, tags=("dedup",))
+def x47_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (hash-dependent → rows-only check here;
+    recall vs exact Jaccard asserted in tests/test_operators.py)."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import minhash_lsh_dedup
+
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_dedup(t["documents"], "doc_id", threshold=0.2)
+
+
+@register("x48_simhash_neardup", oracle=None, tags=("dedup",))
+def x48_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.dedup import simhash_neardup_pairs
+
+    t = load_tables(spark, sf_dir)
+    return simhash_neardup_pairs(t["documents"], "doc_id", max_hamming=16)
+
+
+@register("x50_ann_lsh_topk", oracle=None, tags=("similarity",))
+def x50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH (recall-tested vs exact)."""
+    from aetherium_trader_datapipeline_spark.operators.similarity import ann_lsh_topk
+
+    t = load_tables(spark, sf_dir)
+    return ann_lsh_topk(t["embeddings"], "vec_id", "embedding", dim=64, k=20)
 
 
 @register("x53_approx_count_distinct", oracle=None, tags=("approx",))
