@@ -42,14 +42,20 @@ def _block_pair_sims(
 ) -> DataFrame:
     """All-pairs cosine via blocked matrix multiply (Arrow + numpy).
 
-    The scalable all-pairs scheme: hash ids into B blocks, collect each
-    block into one row (ids + matrix), join block pairs (blk_a <= blk_b)
-    → B(B+1)/2 independent tasks, each a dense matmul. Bounds per-task
-    memory at 2·block_size·dim doubles and turns the quadratic pair
-    explosion into O(B²) coarse tasks the scheduler can spread over a
-    cluster. Per block pair we emit only the local top-k (any global
-    top-k pair lives in exactly one block pair, so the union of local
-    top-k contains the global top-k) or threshold survivors.
+    The scalable all-pairs scheme: hash ids into B blocks; each row is
+    replicated to every block-pair group (ga <= gb) its block belongs to
+    (the classic triangle-replication all-pairs layout), and
+    ``applyInPandas`` runs one dense matmul per group → B(B+1)/2
+    independent tasks the scheduler spreads over a cluster. Per-task
+    memory is bounded at 2·block_size·dim doubles. Per block pair we emit
+    only the local top-k (any global top-k pair lives in exactly one
+    block pair, so the union of local top-k contains the global top-k)
+    or threshold survivors.
+
+    Data stays in flat Arrow columns (id:int64, e:list<double>) end to
+    end — packing whole blocks into one ``collect_list(struct(...))``
+    cell serializes 10-100× slower through Arrow→pandas than the same
+    bytes as ordinary rows.
     """
     if (k_local is None) == (threshold is None):
         raise ValueError("exactly one of k_local / threshold required")
@@ -61,60 +67,68 @@ def _block_pair_sims(
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
     ).withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
-    blocks = v.groupBy("blk").agg(F.collect_list(F.struct("id", "e")).alias("items"))
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
-    pairs = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+
+    # Row with block b participates in groups {(i,b): i<=b} ∪ {(b,j): j>=b}.
+    ga = F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ga")
+    rep_a = v.select("id", "e", "blk", ga).withColumn("gb", F.col("blk"))
+    gb = F.explode(F.sequence(F.col("blk") + 1, F.lit(n_blocks - 1))).alias("gb")
+    rep_b = (
+        v.where(F.col("blk") < n_blocks - 1)
+        .select("id", "e", "blk", gb)
+        .withColumn("ga", F.col("blk"))
+    )
+    rep = rep_a.unionByName(rep_b)
 
     kl, thr, rd = k_local, threshold, round_digits
 
-    def score(batches):
+    def score(key, pdf):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            out_a, out_b, out_s = [], [], []
-            for _, row in pdf.iterrows():
-                ia = np.array([it["id"] for it in row["items_a"]])
-                ib = np.array([it["id"] for it in row["items_b"]])
-                ma = np.array([it["e"] for it in row["items_a"]], dtype=np.float64)
-                mb = np.array([it["e"] for it in row["items_b"]], dtype=np.float64)
-                ma /= np.linalg.norm(ma, axis=1, keepdims=True)
-                mb /= np.linalg.norm(mb, axis=1, keepdims=True)
-                sims = np.round(ma @ mb.T, rd)
-                if row["blk_a"] == row["blk_b"]:
-                    # unordered pair appears at (i,j) and (j,i): keep one
-                    mask = ia[:, None] < ib[None, :]
-                else:
-                    # disjoint blocks (id determines block): every cell is a
-                    # distinct pair; orient as (min,max) below
-                    mask = np.ones_like(sims, dtype=bool)
-                i_idx, j_idx = np.nonzero(mask)
-                pa = np.minimum(ia[i_idx], ib[j_idx])
-                pb = np.maximum(ia[i_idx], ib[j_idx])
-                svals = sims[i_idx, j_idx]
-                if thr is not None:
-                    keep = svals >= thr
-                elif len(svals) > kl:
-                    # keep everything >= the k-th value so boundary ties
-                    # survive to the exact global (sim, a, b) sort
-                    kth = np.partition(svals, len(svals) - kl)[len(svals) - kl]
-                    keep = svals >= kth
-                else:
-                    keep = slice(None)
-                out_a.append(pa[keep])
-                out_b.append(pb[keep])
-                out_s.append(svals[keep])
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "a": np.concatenate(out_a),
-                        "b": np.concatenate(out_b),
-                        "sim": np.concatenate(out_s),
-                    }
-                )
+        ga_k, gb_k = key
+        ids = pdf["id"].to_numpy()
+        m = np.stack(pdf["e"].to_numpy())
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        blk = pdf["blk"].to_numpy()
+        if ga_k == gb_k:
+            sims = np.round(m @ m.T, rd)
+            # unordered pair appears at (i,j) and (j,i): keep one
+            mask = ids[:, None] < ids[None, :]
+        else:
+            sel_a, sel_b = blk == ga_k, blk == gb_k
+            ia, ib = ids[sel_a], ids[sel_b]
+            sims = np.round(m[sel_a] @ m[sel_b].T, rd)
+            # disjoint blocks (id determines block): every cell is a
+            # distinct pair; orient as (min,max) below
+            ids, mask = None, None
+            i_idx, j_idx = np.nonzero(np.ones_like(sims, dtype=bool))
+            pa = np.minimum(ia[i_idx], ib[j_idx])
+            pb = np.maximum(ia[i_idx], ib[j_idx])
+            svals = sims[i_idx, j_idx]
+            return _topk_frame(pa, pb, svals, kl, thr)
+        i_idx, j_idx = np.nonzero(mask)
+        pa = ids[i_idx]
+        pb = ids[j_idx]
+        svals = sims[i_idx, j_idx]
+        return _topk_frame(pa, pb, svals, kl, thr)
 
-    return pairs.mapInPandas(score, schema="a long, b long, sim double")
+    return rep.groupBy("ga", "gb").applyInPandas(score, schema="a long, b long, sim double")
+
+
+def _topk_frame(pa, pb, svals, kl, thr):
+    import numpy as np
+    import pandas as pd
+
+    if thr is not None:
+        keep = svals >= thr
+    elif kl is not None and len(svals) > kl:
+        # keep everything >= the k-th value so boundary ties survive to
+        # the exact global (sim, a, b) sort
+        kth = np.partition(svals, len(svals) - kl)[len(svals) - kl]
+        keep = svals >= kth
+    else:
+        keep = slice(None)
+    return pd.DataFrame({"a": pa[keep], "b": pb[keep], "sim": svals[keep]})
 
 
 def pairwise_cosine_topk(
