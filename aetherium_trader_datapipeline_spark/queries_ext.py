@@ -386,6 +386,23 @@ def x50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(t["embeddings"], "vec_id", "embedding", dim=64, k=20)
 
 
+@register("x63_stateful_ratelimit", oracle=None, tags=("ratelimit", "stateful"))
+def x63_stateful_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the applyInPandasWithState R1 admission kernel
+    (sequential — denied requests leave no window trace, so it is not
+    SQL-expressible; streaming==batch equivalence in test_streaming.py)."""
+    from aetherium_trader_datapipeline_spark.streaming.stateful import (
+        RateWindow,
+        rate_limit_batch,
+    )
+
+    t = load_tables(spark, sf_dir)
+    out = rate_limit_batch(
+        t["events"], "ts", ["user_id"], windows=(RateWindow(3, 3600), RateWindow(1, 600))
+    )
+    return out.orderBy("user_id", "ts").limit(500)
+
+
 @register("x53_approx_count_distinct", oracle=None, tags=("approx",))
 def x53_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct count — tolerance-tested vs exact in test_operators."""
