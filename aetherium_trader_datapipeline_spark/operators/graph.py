@@ -1,0 +1,81 @@
+"""Connected components over a pair/edge DataFrame — the clustering step of
+near-duplicate document removal (candidate pairs from MinHash LSH / n-gram
+Jaccard / SimHash → duplicate *clusters* → one canonical survivor each).
+
+The reference has no graph operator; this is part of the training-data
+extension surface (same family as operators/dedup.py).
+
+Algorithm: min-label propagation with pointer jumping (path halving).
+Each iteration does (1) a neighbor-min round — every node adopts the
+smallest label among itself and its neighbors — and (2) a pointer-jump
+round — every node re-reads the label *of its label*. Jumping makes label
+chains collapse geometrically, so convergence is O(log diameter)
+iterations instead of O(diameter); each iteration is two equality-join
+shuffles on node id, both AQE-coalesced. This is the standard
+Hash-Min/pointer-jumping CC formulation for bulk-synchronous engines.
+
+Scale notes (100 TB): state is one (node, label) row per vertex —
+never adjacency materialized per node; iterations are checkpointed
+(``localCheckpoint``) to truncate lineage so plan size stays constant; the
+convergence probe is ``limit(1).count()`` (stops at the first changed
+row). Edges are deduplicated and symmetrized once up front.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    Isolated endpoints (nodes appearing in edges only) are included;
+    nodes not present in ``edges`` at all are absent — union them in with
+    component = own id if the full vertex set is needed.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("lbl")
+    )
+    for _ in range(max_iter):
+        nbr_min = sym.join(labels, sym["v"] == labels["node"]).select(
+            sym["u"].alias("node"), F.col("lbl")
+        )
+        stepped = (
+            nbr_min.union(labels).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: lbl <- lbl(lbl). Labels only decrease, so the jump
+        # target's label is always <= our own — min() keeps it monotone.
+        jump_src = stepped.select(F.col("node").alias("jn"), F.col("lbl").alias("jl"))
+        jumped = (
+            stepped.join(jump_src, stepped["lbl"] == jump_src["jn"], "left")
+            .select("node", F.least(F.col("lbl"), F.coalesce("jl", "lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.select("node", F.col("lbl").alias("old")).alias("o"), "node")
+            .where(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))
+
+
+def dedup_clusters(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """(id, canonical_id) for every doc appearing in a near-dup pair; the
+    canonical survivor is the minimum id of the doc's duplicate cluster.
+    Downstream dedup = anti-join docs against rows where id != canonical_id."""
+    cc = connected_components(pairs, src=a, dst=b)
+    return cc.select(F.col("node").alias("id"), F.col("component").alias("canonical_id"))

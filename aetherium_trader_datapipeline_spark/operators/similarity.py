@@ -14,6 +14,7 @@ DuckDB oracle folds in the same order).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -218,3 +219,121 @@ def ann_lsh_topk(
     return ann_lsh_pairs(df, id_col, vec_col, dim, **kw).orderBy(
         F.desc("sim"), "a", "b"
     ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+):
+    """k-means coarse quantizer, deterministically seeded.
+
+    Seeds = the ``n_centroids`` vectors with the smallest ids (stable across
+    runs/partitionings). Each Lloyd step is distributed: assignment is an
+    Arrow-batched pandas_udf argmax over a broadcast centroid matrix;
+    the per-cluster means come back via posexplode + groupBy(cid, pos) —
+    only the k×dim centroid matrix ever reaches the driver (model state,
+    same footprint class as a broadcast dimension table).
+    """
+    import numpy as np
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e"))
+    seed_rows = v.orderBy("id").limit(n_centroids).collect()
+    cents = np.stack([np.asarray(r["e"]) for r in seed_rows])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(n_iter):
+        assigned = _ivf_assign(v, cents, n_probe=1).select(
+            F.col("cid"), F.posexplode("e").alias("pos", "x")
+        )
+        mean_rows = (
+            assigned.groupBy("cid", "pos").agg(F.avg("x").alias("m")).collect()
+        )
+        new = cents.copy()
+        for r in mean_rows:
+            new[r["cid"], r["pos"]] = r["m"]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return cents
+
+
+def _ivf_assign(v: DataFrame, cents, n_probe: int):
+    """Add ``cid`` (n_probe=1) or exploded probe ``cid``s to (id, e) rows.
+    Centroid matrix rides the closure → Spark broadcasts it to executors."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = cents  # numpy (k, dim), unit rows
+    if n_probe == 1:
+
+        @pandas_udf("int")
+        def best(e: pd.Series) -> pd.Series:
+            import numpy as np
+
+            m = np.stack(e.to_numpy())
+            return pd.Series(np.argmax(m @ cmat.T, axis=1))
+
+        return v.withColumn("cid", best("e"))
+
+    @pandas_udf("array<int>")
+    def probes(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = np.stack(e.to_numpy())
+        sims = m @ cmat.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series(list(top))
+
+    return v.withColumn("cid", F.explode(probes("e")))
+
+
+def ann_ivf_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF candidate pairs scored exactly. One side of each pair probes its
+    ``n_probe`` nearest cells; the other side lives in its single home cell
+    — so a pair is found iff b's home cell is among a's probes (the
+    standard IVF query pattern, self-join form). The join key is the cell
+    id: shuffle is on cid, never all-pairs. Bucket skew → AQE split."""
+    cents = ivf_train_centroids(df, id_col, vec_col, n_centroids, n_iter)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e"))
+    home = _ivf_assign(v, cents, n_probe=1).select(
+        F.col("id").alias("b"), F.col("e").alias("eb"), "cid"
+    )
+    probe = _ivf_assign(v, cents, n_probe=n_probe).select(
+        F.col("id").alias("a"), F.col("e").alias("ea"), "cid"
+    )
+    cand = (
+        probe.join(home, "cid")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ea", "eb")
+        .dropDuplicates(["a", "b"])
+    )
+    na = F.sqrt(_dot(F.col("ea"), F.col("ea")))
+    nb = F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    sim = F.round(_dot(F.col("ea"), F.col("eb")) / (na * nb), round_digits)
+    return cand.select("a", "b", sim.alias("sim"))
+
+
+def ann_ivf_topk(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 20, **kw
+) -> DataFrame:
+    return (
+        ann_ivf_pairs(df, id_col, vec_col, **kw)
+        .orderBy(F.desc("sim"), "a", "b")
+        .limit(k)
+    )

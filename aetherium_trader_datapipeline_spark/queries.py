@@ -755,6 +755,7 @@ def _load_extensions() -> None:
     # populates REGISTRY via its register()/register_sql() calls
     import aetherium_trader_datapipeline_spark.queries_ext  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext2  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext3  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -187,3 +187,57 @@ def test_backfill_plan_resume_and_gaps(spark):
     plan = [str(r.d) for r in plan_backfill_days(present, "2024-01-01", "2024-01-20", cursor_ms).collect()]
     # resume day (partial) + missing days after the cursor
     assert plan == ["2024-01-04", "2024-01-05", "2024-01-06", "2024-01-15"]
+
+
+def test_connected_components_hand_graph(spark):
+    """Path 1-2-3-4, isolated pair 10-11, self-contained triangle 20-21-22:
+    components must be min-id per reachable set."""
+    from aetherium_trader_datapipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src LONG, dst LONG",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """50-node path: pointer jumping must converge well inside max_iter
+    (log2(50) ≈ 6 rounds, not 50)."""
+    from aetherium_trader_datapipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(50)], "src LONG, dst LONG")
+    got = {r.node: r.component for r in connected_components(edges, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 51
+
+
+def test_dedup_clusters_canonical_min(spark):
+    from aetherium_trader_datapipeline_spark.operators.graph import dedup_clusters
+
+    pairs = spark.createDataFrame([(5, 9), (9, 7), (100, 101)], "a LONG, b LONG")
+    got = {r.id: r.canonical_id for r in dedup_clusters(pairs).collect()}
+    assert got == {5: 5, 9: 5, 7: 5, 100: 100, 101: 100}
+
+
+def test_ann_ivf_recall_on_planted_neardups(spark, tables):
+    """Same planted-pair protocol as the LSH test: IVF with 8 cells and
+    4 probes must recover >= 80% of near-identical planted pairs."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.similarity import ann_ivf_pairs
+
+    base = tables["embeddings"].limit(50).toPandas()
+    rng = np.random.RandomState(7)
+    planted = base.copy()
+    planted["vec_id"] = planted["vec_id"] + 1_000_000
+    planted["embedding"] = planted["embedding"].apply(
+        lambda v: (np.array(v) + rng.normal(0, 0.01, len(v))).astype("float32").tolist()
+    )
+    both = pd.concat([base, planted])
+    df = spark.createDataFrame(both[["vec_id", "embedding"]])
+    got = ann_ivf_pairs(df, "vec_id", "embedding", n_centroids=8, n_probe=4)
+    hits = {(r.a, r.b) for r in got.where(F.col("sim") >= 0.98).collect()}
+    truth = {(int(v), int(v) + 1_000_000) for v in base["vec_id"]}
+    recall = len(truth & hits) / len(truth)
+    assert recall >= 0.8, f"planted-pair recall {recall}"
