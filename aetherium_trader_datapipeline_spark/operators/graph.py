@@ -42,9 +42,17 @@ def connected_components(
         .distinct()
     )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
-    labels = sym.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("lbl")
-    )
+    # seed with min(self, neighbors) — one propagation round for free
+    labels = sym.groupBy(F.col("u").alias("node")).agg(
+        F.least(F.min("v"), F.min("u")).alias("lbl")
+    ).localCheckpoint()
+
+    def _lbl_sum(lb: DataFrame) -> int:
+        # labels only decrease, so the exact sum strictly decreases until
+        # the fixpoint — a narrow one-job convergence probe (no join).
+        return int(lb.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).collect()[0][0])
+
+    prev_sum = _lbl_sum(labels)
     for _ in range(max_iter):
         nbr_min = sym.join(labels, sym["v"] == labels["node"]).select(
             sym["u"].alias("node"), F.col("lbl")
@@ -55,21 +63,15 @@ def connected_components(
         # pointer jump: lbl <- lbl(lbl). Labels only decrease, so the jump
         # target's label is always <= our own — min() keeps it monotone.
         jump_src = stepped.select(F.col("node").alias("jn"), F.col("lbl").alias("jl"))
-        jumped = (
+        labels = (
             stepped.join(jump_src, stepped["lbl"] == jump_src["jn"], "left")
             .select("node", F.least(F.col("lbl"), F.coalesce("jl", "lbl")).alias("lbl"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.select("node", F.col("lbl").alias("old")).alias("o"), "node")
-            .where(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        cur_sum = _lbl_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("lbl").alias("component"))
 
 

@@ -262,6 +262,7 @@ FROM orders WHERE o_orderkey % 101 = 0
 
 @register(
     "x72_connected_components",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE edges AS ({_CC_EDGES_SQL}),
     sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),

@@ -24,6 +24,7 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 
 register_sql(
     "x77_ema",
+    headline=True,
     spark_sql="""
     WITH w AS (
       SELECT event_id,
@@ -112,6 +113,7 @@ register_sql(
 
 register_sql(
     "x80_tpch_q5",
+    headline=True,
     spark_sql="""
     SELECT n_name,
            ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
