@@ -128,3 +128,15 @@ def test_paced_replay_delivers_in_order(spark, tables, tmp_path):
         time.sleep(1)
     q.stop()
     assert len(got) >= 100, f"only {len(got)} rows replayed"
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """The 6-way Q5 join must broadcast the small dims and never fall back
+    to a cartesian/BNLJ — the property that makes it survive 100 TB facts."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    df = REGISTRY["x80_tpch_q5"].run(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]

@@ -278,3 +278,51 @@ def test_stateful_rate_limit_stream_equals_batch(spark, tmp_path):
     assert got == expected
     # sanity: the 30s window must actually deny something
     assert any(not a for (_, _, a) in expected)
+
+
+def test_interval_enrich_stream_equals_batch(spark, tables, tmp_path):
+    """Watermarked stream-stream interval join (clicks enriched with views
+    from the prior 10 minutes) must equal the identical batch join."""
+    import time as _time
+
+    from aetherium_trader_datapipeline_spark.streaming.joins import interval_enrich
+
+    ev = tables["events"].select("event_id", "user_id", "ts", "event_type")
+    clicks_b = ev.where("event_type = 'click'")
+    views_b = ev.where("event_type = 'view'")
+    expected = {
+        (r.event_id, r.event_id_r)
+        for r in interval_enrich(
+            clicks_b, views_b, ["user_id"], "ts", lookback="10 minutes"
+        ).collect()
+    }
+    assert expected, "fixture yields no click-view matches; widen lookback"
+
+    src = str(tmp_path / "src")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    for i, part in enumerate(
+        [ev.where(F.col("event_id") <= mid), ev.where(F.col("event_id") > mid)]
+    ):
+        part.coalesce(1).write.parquet(f"{src}/c{i}")
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(f"{src}/c*")
+    )
+    clicks_s = stream.where("event_type = 'click'")
+    views_s = stream.where("event_type = 'view'")
+    out = interval_enrich(
+        clicks_s, views_s, ["user_id"], "ts", lookback="10 minutes", watermark="10 days"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_id, r.event_id_r)
+        for r in spark.sql("SELECT event_id, event_id_r FROM enrich").collect()
+    }
+    assert got == expected
