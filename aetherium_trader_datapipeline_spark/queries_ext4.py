@@ -124,7 +124,7 @@ register_sql(
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND o_orderdate >= DATE'1994-01-01' AND o_orderdate < DATE'1995-01-01'
+      AND o_orderdate >= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'
     GROUP BY n_name ORDER BY revenue DESC, n_name
     """,
     duckdb_sql="""
@@ -137,7 +137,7 @@ register_sql(
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
-      AND o_orderdate >= DATE'1994-01-01' AND o_orderdate < DATE'1995-01-01'
+      AND o_orderdate >= DATE'1996-01-01' AND o_orderdate < DATE'1997-01-01'
     GROUP BY n_name ORDER BY revenue DESC, n_name
     """,
     tags=("join", "tpch"),
