@@ -42,6 +42,30 @@ def write_table(
     w.save(path)
 
 
+def read_binary_blobs(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest opaque media files (image/audio/video) as BINARY rows via the
+    built-in ``binaryFile`` source: (path, modificationTime, length, content).
+
+    The scale story: listing + reads distribute across executors, and the
+    `length` column is populated from file metadata, so a `max_bytes`
+    filter prunes oversized blobs BEFORE content is read (pushed filter on
+    length). Downstream decode goes through operators/multimodal.py
+    (Arrow-batched mapInPandas), never a driver-side loop.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.filter(df["length"] <= max_bytes)
+    return df
+
+
 def read_table(
     spark: SparkSession, path: str, fmt: str = "parquet", schema: StructType | None = None
 ) -> DataFrame:

@@ -44,3 +44,27 @@ def test_partitioned_write_layout(spark, tick_df, tmp_path):
     write_table(df, path, "parquet", partition_by=["symbol", "hour"])
     files = [str(p) for p in (tmp_path / "p").rglob("*.parquet")]
     assert files and all("symbol=NQ" in f and "hour=" in f for f in files)
+
+
+def test_binary_blob_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile ingest → metadata-extract → embed: the multimodal path
+    end-to-end, with the size filter pruning on file metadata."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        embed_blobs,
+        extract_image_meta,
+    )
+    from aetherium_trader_datapipeline_spark.sources.io import read_binary_blobs
+
+    (tmp_path / "a.png").write_bytes(bytes([10, 20, 30, 40]))
+    (tmp_path / "b.png").write_bytes(bytes(range(200)))
+    (tmp_path / "skip.txt").write_bytes(b"not media")
+
+    df = read_binary_blobs(spark, str(tmp_path), glob="*.png", max_bytes=100)
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 1 and rows[0].path.endswith("a.png")
+
+    meta = extract_image_meta(df.select("path", df.content.alias("blob"))).collect()
+    assert meta[0].n_bytes == 4 and meta[0].width == 11
+
+    emb = embed_blobs(df.select("path", df.content.alias("blob"))).collect()
+    assert len(emb[0].embedding) == 8
