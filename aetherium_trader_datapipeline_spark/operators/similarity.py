@@ -337,3 +337,30 @@ def ann_ivf_topk(
         .orderBy(F.desc("sim"), "a", "b")
         .limit(k)
     )
+
+
+def knn_search(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k cosine search for ONE query vector.
+
+    The query is a literal array baked into the plan (no join, no shuffle):
+    one scan + TakeOrderedAndProject, which is the optimal distributed plan
+    — each partition computes its local top-k, the driver merges. For
+    batched query sets use ann_lsh_topk/ann_ivf_topk instead.
+    """
+    from aetherium_trader_datapipeline_spark.functions.vectors import cosine_similarity
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), q), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )
