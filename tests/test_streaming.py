@@ -326,3 +326,35 @@ def test_interval_enrich_stream_equals_batch(spark, tables, tmp_path):
         for r in spark.sql("SELECT event_id, event_id_r FROM enrich").collect()
     }
     assert got == expected
+
+
+def test_stream_static_dim_enrich(spark, tables, tmp_path):
+    """Stream-static broadcast join per micro-batch equals the batch join."""
+    from aetherium_trader_datapipeline_spark.streaming.joins import enrich_with_dim
+
+    ev = tables["events"].select("event_id", "user_id", "event_type")
+    dim = ev.select("user_id").distinct().withColumn(
+        "user_bucket", (F.col("user_id") % 7).cast("int")
+    )
+    expected = {
+        (r.event_id, r.user_bucket)
+        for r in enrich_with_dim(ev, dim, ["user_id"]).collect()
+    }
+
+    src = str(tmp_path / "src")
+    ev.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    out = enrich_with_dim(stream, dim, ["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dim_enrich")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.user_bucket)
+        for r in spark.sql("SELECT event_id, user_bucket FROM dim_enrich").collect()
+    }
+    assert got == expected
