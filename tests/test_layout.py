@@ -1,0 +1,52 @@
+"""Z-order layout: files become tight hyper-rectangles in every clustered
+dimension, so footer-stat pruning works for predicates on any of them."""
+
+from __future__ import annotations
+
+
+def _coverage(stats, lo, hi):
+    """Fraction of files whose [mn, mx] interval contains the mid-range
+    point — the files a point predicate must read after footer pruning."""
+    rows = [(r.mn, r.mx) for r in stats]
+    pt = lo + (hi - lo) * 0.5
+    hit = sum(1 for mn, mx in rows if mn <= pt <= mx)
+    return hit / len(rows)
+
+
+def test_zorder_prunes_on_both_dims(spark, tables, tmp_path):
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        file_skipping_stats,
+        write_zordered,
+    )
+
+    ev = tables["events"].select("event_id", "user_id", "ts", "value")
+    n_files = 16
+
+    # baseline: random layout — every file spans ~the full range of both dims
+    base = str(tmp_path / "base")
+    ev.repartition(n_files).write.parquet(base)
+    zord = str(tmp_path / "zord")
+    write_zordered(ev, zord, ["user_id", "event_id"], n_files=n_files)
+
+    assert spark.read.parquet(zord).count() == ev.count()
+
+    for col in ["user_id", "event_id"]:
+        glob = ev.selectExpr(f"min({col}) mn", f"max({col}) mx").head()
+        cov_base = _coverage(file_skipping_stats(spark, base, col).collect(), glob.mn, glob.mx)
+        cov_z = _coverage(file_skipping_stats(spark, zord, col).collect(), glob.mn, glob.mx)
+        # random layout reads ~all files; z-order must skip a majority
+        assert cov_base > 0.9, f"{col}: baseline unexpectedly clustered ({cov_base})"
+        # at least 2x fewer files read on EVERY clustered dim (at sf0.001 the
+        # low user_id cardinality keeps boxes coarse; larger SFs reach <0.2)
+        assert cov_z <= cov_base / 2, f"{col}: z-order coverage {cov_z} vs base {cov_base}"
+
+
+def test_zorder_key_is_jvm_side(spark, tables):
+    """The z-key must be a pure expression (codegen), not a Python UDF."""
+    from aetherium_trader_datapipeline_spark.operators.layout import zorder_key
+
+    ev = tables["events"].select("event_id", "user_id")
+    zdf, key = zorder_key(ev, ["user_id", "event_id"], bits=8)
+    plan = zdf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert zdf.where(f"{key} IS NULL").count() == 0
