@@ -99,3 +99,71 @@ def asof_join(
         ],
     )
     return filled.where(F.col("__side") == 1).drop("__side")
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    right_value_cols: list[str],
+    suffix: str = "_r",
+) -> DataFrame:
+    """Two-table backward as-of via cogrouped ``applyInPandas`` +
+    ``pandas.merge_asof`` — the alternative physical strategy to
+    ``asof_join``'s tagged-union window pass.
+
+    Same semantics (backward, inclusive). Trade-off: the union+window form
+    keeps everything JVM-side but sorts left+right TOGETHER per key; this
+    form pays Arrow transfer but runs a two-pointer merge per key group,
+    which wins when the right side is much larger than the left or when a
+    per-group vectorized kernel is already paying the Python toll anyway.
+    Both are one shuffle on ``key_cols``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    out_fields = list(left.schema.fields) + [
+        StructField(c + suffix, right.schema[c].dataType) for c in right_value_cols
+    ]
+    out_schema = StructType(out_fields)
+
+    # Suffix-rename the right side's non-key columns BEFORE the cogroup.
+    # When both sides derive from the same source (self-as-of), they share
+    # attribute ids; a projection above the cogroup then makes the
+    # optimizer's self-reference dedup misprune the right side's inputs.
+    # Fresh aliases give the right side its own attributes.
+    rts = ts_col + suffix
+    right_sel = right.select(
+        *key_cols,
+        F.col(ts_col).alias(rts),
+        *[F.col(c).alias(c + suffix) for c in right_value_cols],
+    )
+    suffixed_vals = [c + suffix for c in right_value_cols]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        lpdf = lpdf.sort_values(ts_col, kind="mergesort")
+        r = rpdf[[rts] + suffixed_vals].sort_values(rts, kind="mergesort")
+        if r.empty:
+            out = lpdf.copy()
+            for c in suffixed_vals:
+                out[c] = None
+            return out[[f.name for f in out_fields]]
+        m = pd.merge_asof(
+            lpdf,
+            r,
+            left_on=ts_col,
+            right_on=rts,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return m[[f.name for f in out_fields]]
+
+    return (
+        left.groupBy(*key_cols)
+        .cogroup(right_sel.groupBy(*key_cols))
+        .applyInPandas(merge, schema=out_schema)
+    )

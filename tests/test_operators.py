@@ -241,3 +241,18 @@ def test_ann_ivf_recall_on_planted_neardups(spark, tables):
     truth = {(int(v), int(v) + 1_000_000) for v in base["vec_id"]}
     recall = len(truth & hits) / len(truth)
     assert recall >= 0.8, f"planted-pair recall {recall}"
+
+
+def test_asof_join_pandas_equals_window_form(spark, tables):
+    """merge_asof cogroup strategy == tagged-union window strategy."""
+    from aetherium_trader_datapipeline_spark.operators.asof import asof_join, asof_join_pandas
+
+    ev = tables["events"]
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts", "event_id")
+    views = ev.where("event_type = 'view'").select("user_id", "ts", "event_id", "value")
+
+    a = asof_join(clicks, views, "ts", ["user_id"], ["event_id", "value"])
+    b = asof_join_pandas(clicks, views, "ts", ["user_id"], ["event_id", "value"])
+    ka = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+    kb = sorted(map(tuple, b.select(*sorted(b.columns)).collect()))
+    assert ka == kb and len(ka) > 0
