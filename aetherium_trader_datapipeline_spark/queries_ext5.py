@@ -58,7 +58,7 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) DESC,
          c_custkey LIMIT 20
 """
-register_sql("x83_tpch_q10", spark_sql=_Q10, duckdb_sql=_Q10, tags=("join", "tpch"))
+register_sql("x83_tpch_q10", spark_sql=_Q10, duckdb_sql=_Q10, headline=True, tags=("join", "tpch"))
 
 # -- Q14: promotion effect (conditional agg ratio) --------------------------
 

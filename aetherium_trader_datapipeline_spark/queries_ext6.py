@@ -15,6 +15,7 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 
 register_sql(
     "x93_higher_order_arrays",
+    headline=True,
     spark_sql="""
     SELECT vec_id,
            array_join(transform(slice(CAST(embedding AS ARRAY<DOUBLE>), 2, 3),

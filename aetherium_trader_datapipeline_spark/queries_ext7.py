@@ -20,6 +20,7 @@ from aetherium_trader_datapipeline_spark.tables import load_tables
 
 @register(
     "x98_knn_query",
+    headline=True,
     oracle="""
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,

@@ -28,7 +28,7 @@ SELECT l_returnflag, n,
               / CAST((n * sxx - sx * sx) AS DOUBLE) * CAST(sx AS DOUBLE)) / n, 4) AS intercept
 FROM m ORDER BY l_returnflag
 """
-register_sql("x101_linreg", spark_sql=_LINREG, duckdb_sql=_LINREG, tags=("stats", "agg"))
+register_sql("x101_linreg", spark_sql=_LINREG, duckdb_sql=_LINREG, headline=True, tags=("stats", "agg"))
 
 # -- numeric RANGE frame (value-based, not row- or interval-based) ----------
 

@@ -163,4 +163,4 @@ WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
       AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
 GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
 """
-register_sql("x110_tpch_q21", spark_sql=_Q21, duckdb_sql=_Q21, tags=("tpch", "subquery", "exists"))
+register_sql("x110_tpch_q21", spark_sql=_Q21, duckdb_sql=_Q21, headline=True, tags=("tpch", "subquery", "exists"))
