@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis): operator semantics vs brute-force
+Python references on randomized small inputs — the upgrade over the
+reference's example-only unit tests (SURVEY.md §5).
+
+Spark jobs per example are expensive, so examples are few but adversarial
+(ties, empty groups, singletons, full coverage); deadlines disabled.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+START = dt.date(2024, 1, 1)
+
+
+@given(
+    present=st.sets(st.integers(min_value=0, max_value=30), max_size=31),
+    span=st.integers(min_value=0, max_value=30),
+)
+@settings(**SETTINGS)
+def test_detect_gaps_matches_bruteforce(spark, present, span):
+    from aetherium_trader_datapipeline_spark.operators.gaps import detect_gaps
+
+    end = START + dt.timedelta(days=span)
+    days = [START + dt.timedelta(days=i) for i in sorted(present) if i <= span]
+    pdf = spark.createDataFrame([(d,) for d in days] or [(None,)], "d DATE").where(
+        "d IS NOT NULL"
+    )
+    got = [
+        (r.gap_start, r.gap_end, r.days)
+        for r in detect_gaps(pdf, str(START), str(end)).collect()
+    ]
+
+    # brute force: walk the calendar, emit maximal missing runs
+    expected, run = [], []
+    have = set(days)
+    for i in range(span + 1):
+        d = START + dt.timedelta(days=i)
+        if d not in have:
+            run.append(d)
+        elif run:
+            expected.append((run[0], run[-1], len(run)))
+            run = []
+    if run:
+        expected.append((run[0], run[-1], len(run)))
+    assert got == expected
+
+
+@given(
+    gaps_min=st.integers(min_value=1, max_value=120),
+    tss=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.integers(min_value=0, max_value=10_000)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_bruteforce(spark, gaps_min, tss):
+    from aetherium_trader_datapipeline_spark.operators.sessionize import sessionize
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [(k, base + dt.timedelta(seconds=s)) for k, s in tss]
+    df = spark.createDataFrame(rows, "k INT, ts TIMESTAMP")
+    got = [
+        (r.k, r.session_id, r.n)
+        for r in sessionize(df, "ts", ["k"], gap=f"{gaps_min} minutes").collect()
+    ]
+
+    expected = []
+    bykey: dict[int, list[dt.datetime]] = {}
+    for k, t in sorted(rows, key=lambda r: (r[0], r[1])):
+        bykey.setdefault(k, []).append(t)
+    for k in sorted(bykey):
+        sid, n, prev = 0, 0, None
+        for t in bykey[k]:
+            if prev is None or (t - prev) > dt.timedelta(minutes=gaps_min):
+                if n:
+                    expected.append((k, sid, n))
+                sid, n = sid + 1, 0
+            n += 1
+            prev = t
+        expected.append((k, sid, n))
+    assert sorted(got) == sorted(expected)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 9)),
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """Backward inclusive as-of, incl. timestamp ties on both sides."""
+    from aetherium_trader_datapipeline_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    lrows = [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)]
+    rrows = [(k, base + dt.timedelta(seconds=s), v) for k, s, v in right]
+    ldf = spark.createDataFrame(lrows, "k INT, ts TIMESTAMP, lid INT")
+    rdf = spark.createDataFrame(rrows or [(None, None, None)], "k INT, ts TIMESTAMP, v INT").where(
+        "k IS NOT NULL"
+    )
+    got = {(r.lid, r.v_r) for r in asof_join(ldf, rdf, "ts", ["k"], ["v"]).collect()}
+
+    expected = set()
+    for k, lts, lid in lrows:
+        cands = [(rts, v) for rk, rts, v in rrows if rk == k and rts <= lts]
+        if not cands:
+            expected.add((lid, None))
+        else:
+            # max ts; among ties the union-form takes the LAST right row in
+            # (ts, input-order) — mirror by taking the max (ts, index)
+            mts = max(rts for rts, _ in cands)
+            last_v = [v for rts, v in cands if rts == mts][-1]
+            expected.add((lid, last_v))
+    assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=30
+    )
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from aetherium_trader_datapipeline_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {(r.node, r.component) for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(n, find(n)) for n in parent}
+    assert got == expected
