@@ -358,3 +358,39 @@ def test_stream_static_dim_enrich(spark, tables, tmp_path):
         for r in spark.sql("SELECT event_id, user_bucket FROM dim_enrich").collect()
     }
     assert got == expected
+
+
+def test_transform_with_state_cursor_monotone(spark, tables, tmp_path):
+    """transformWithState cursor tracker: final per-key cursor == batch max
+    event time; emitted updates are strictly increasing per key."""
+    from aetherium_trader_datapipeline_spark.streaming.cursor import cursor_updates
+
+    ev = tables["events"].select("user_id", "ts")
+    expected = {
+        r.user_id: r.mx
+        for r in ev.groupBy("user_id").agg(F.expr("unix_micros(max(ts))").alias("mx")).collect()
+    }
+
+    src = str(tmp_path / "src")
+    mid = ev.approxQuantile("user_id", [0.5], 0.0)[0]
+    ev.where(F.col("user_id") <= mid).coalesce(1).write.parquet(f"{src}/c0")
+    ev.where(F.col("user_id") > mid).coalesce(1).write.parquet(f"{src}/c1")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(f"{src}/c*")
+    )
+    out = cursor_updates(stream, "user_id", "ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cursors")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT key, cursor_us FROM cursors").collect()
+    assert rows, "no cursor updates emitted"
+    # last (= max) update per key equals the batch HWM
+    final = {}
+    for r in rows:
+        final[r.key] = max(final.get(r.key, 0), r.cursor_us)
+    assert final == expected
