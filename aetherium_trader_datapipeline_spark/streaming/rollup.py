@@ -1,0 +1,102 @@
+"""Continuous OHLCV rollup table — a streaming-maintained "hypertable
+continuous aggregate" (the docs' on-the-fly K-bar workload,
+docs/…系統設計文件.md:69-72, persisted incrementally instead of recomputed).
+
+Design: the rollup table stores MERGEABLE partials per (key, window):
+(open_ts, open, high, low, close_ts, close, vol, n). Each micro-batch
+computes its own partials, reads back ONLY the affected date partitions,
+merges, and rewrites exactly those partitions (dynamic partition
+overwrite). Cost per batch scales with the batch's date spread — at
+100 TB a late-running backfill touches its own days, never the table.
+
+min_by/max_by carry open/close through the merge: partials combine by
+taking the value at the smaller open_ts / larger close_ts, which is
+associative, so batch boundaries cannot change the result (asserted
+stream == batch in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTIAL_COLS = ("open_ts", "open", "high", "low", "close_ts", "close", "vol", "n")
+
+
+def ohlcv_partials(
+    df: DataFrame, ts_col: str, key_col: str, value_col: str, bucket: str = "1 hour"
+) -> DataFrame:
+    w = F.window(F.col(ts_col), bucket)
+    return (
+        df.groupBy(w.alias("win"), F.col(key_col))
+        .agg(
+            F.min(ts_col).alias("open_ts"),
+            F.expr(f"min_by({value_col}, {ts_col})").alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max(ts_col).alias("close_ts"),
+            F.expr(f"max_by({value_col}, {ts_col})").alias("close"),
+            F.sum(value_col).alias("vol"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("w_start"),
+            F.to_date("win.start").alias("d"),
+            key_col,
+            *PARTIAL_COLS,
+        )
+    )
+
+
+def merge_partials(df: DataFrame, key_col: str) -> DataFrame:
+    """Combine partials of the same (window, key) — associative merge."""
+    return df.groupBy("w_start", "d", key_col).agg(
+        F.min("open_ts").alias("open_ts"),
+        F.expr("min_by(open, open_ts)").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max("close_ts").alias("close_ts"),
+        F.expr("max_by(close, close_ts)").alias("close"),
+        F.sum("vol").alias("vol"),
+        F.sum("n").alias("n"),
+    )
+
+
+def ohlcv_rollup_sink(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+):
+    """Start a foreachBatch query maintaining the rollup table at
+    ``target_dir`` (parquet, partitioned by date)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        part = ohlcv_partials(batch_df, ts_col, key_col, value_col, bucket)
+        if not part.head(1):
+            return
+        dates = [r.d for r in part.select("d").distinct().collect()]
+        try:
+            existing = spark.read.parquet(target_dir).where(F.col("d").isin(dates))
+            merged = merge_partials(part.unionByName(existing), key_col)
+        except Exception:  # first batch: table does not exist yet
+            merged = merge_partials(part, key_col)
+        (
+            merged.withColumn("d", F.col("d"))  # keep partition column last-stable
+            .repartition("d")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(target_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

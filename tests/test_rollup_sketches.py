@@ -1,0 +1,79 @@
+"""Continuous OHLCV rollup (stream == batch) and mergeable HLL sketches."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_hll_rollup_merge_equals_direct(spark, tables):
+    """Merged daily sketches == one direct sketch (same algorithm, same
+    registers) and within 5% of exact distinct."""
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_rollup,
+    )
+
+    ev = tables["events"].withColumn("d", F.to_date("ts"))
+    daily = hll_rollup(ev, ["d"], "user_id")
+    merged = hll_merge_estimate(daily).head()
+    direct = hll_rollup(ev.withColumn("g", F.lit(1)), ["g"], "user_id")
+    direct_est = hll_merge_estimate(direct).head()
+    exact = ev.select("user_id").distinct().count()
+
+    assert merged.approx_distinct == direct_est.approx_distinct
+    assert abs(merged.approx_distinct - exact) / exact <= 0.05
+    assert merged.n_rows == ev.count()
+
+
+def test_hll_rollup_regroup_coarser(spark, tables):
+    """Weekly estimates from daily sketches — merge, never rescan."""
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        hll_merge_estimate,
+        hll_rollup,
+    )
+
+    ev = tables["events"].withColumn("d", F.to_date("ts"))
+    daily = hll_rollup(ev, ["d"], "user_id")
+    weekly = hll_merge_estimate(
+        daily.withColumn("wk", F.date_trunc("week", "d")), ["wk"]
+    )
+    rows = weekly.collect()
+    assert rows and all(r.approx_distinct > 0 for r in rows)
+
+
+def test_ohlcv_rollup_sink_stream_equals_batch(spark, tables, tmp_path):
+    """Two-chunk stream through the rollup sink == one-shot batch rollup,
+    including open/close correctness across the chunk boundary."""
+    from aetherium_trader_datapipeline_spark.streaming.rollup import (
+        merge_partials,
+        ohlcv_partials,
+        ohlcv_rollup_sink,
+    )
+
+    ev = tables["events"].select("event_id", "user_id", "ts", "value")
+    expected = {
+        (r.w_start, r.user_id): (r.open, r.high, r.low, r.close, round(r.vol, 6), r.n)
+        for r in merge_partials(
+            ohlcv_partials(ev, "ts", "user_id", "value"), "user_id"
+        ).collect()
+    }
+
+    src = str(tmp_path / "src")
+    # split by event time so many windows straddle the boundary
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.where(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{src}/c0")
+    ev.where(F.col("event_id") > mid).coalesce(1).write.parquet(f"{src}/c1")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1").parquet(f"{src}/c*")
+    )
+    target = str(tmp_path / "rollup")
+    q = ohlcv_rollup_sink(stream, target, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {
+        (r.w_start, r.user_id): (r.open, r.high, r.low, r.close, round(r.vol, 6), r.n)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == expected
+    # layout: partitioned by date for partition-pruned reads
+    assert any(p.name.startswith("d=") for p in (tmp_path / "rollup").iterdir())
