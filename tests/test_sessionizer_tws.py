@@ -1,0 +1,92 @@
+"""transformWithStateInPandas sessionization: bounded streaming run must
+reproduce the batch gaps-and-islands sessions (SURVEY §2.2 Q31) exactly for
+every session the watermark has closed."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+ROCKSDB = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def _mk_events(spark):
+    """5 users × 3 sessions × 3 events (1 min apart, sessions 2 h apart),
+    plus a far-future sentinel event that drags the watermark past every
+    real session's close timer."""
+    base = dt.datetime(2024, 1, 2, 9, 0, 0)
+    rows = []
+    eid = 0
+    for uid in range(1, 6):
+        for s in range(3):
+            start = base + dt.timedelta(hours=2 * s, minutes=uid)
+            for k in range(3):
+                eid += 1
+                rows.append((eid, uid, start + dt.timedelta(minutes=k), float(uid * 100 + s)))
+    sentinel = [(9999, 999, base + dt.timedelta(days=2), 0.0)]
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    return (
+        spark.createDataFrame(rows, schema),
+        spark.createDataFrame(sentinel, schema),
+    )
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.parametrize("api", ["gs", "tws"])
+def test_sessionizer_matches_batch(spark, tmp_path, api):
+    from aetherium_trader_datapipeline_spark.streaming.sessionizer import (
+        sessionize_batch_oracle,
+        sessionize_stream,
+        sessionize_stream_gs,
+    )
+
+    if api == "tws" and not _has_protobuf():
+        pytest.skip("transformWithStateInPandas needs google.protobuf (state server protocol)")
+    sessionize = sessionize_stream if api == "tws" else sessionize_stream_gs
+
+    events, sentinel = _mk_events(spark)
+    src = str(tmp_path / "src")
+    # several files → several micro-batches; sentinel lands last so the
+    # watermark only jumps after all real sessions are in state
+    events.where("user_id <= 2").coalesce(1).write.mode("append").parquet(src)
+    events.where("user_id > 2").coalesce(1).write.mode("append").parquet(src)
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        out = sessionize(stream, gap="30 minutes", watermark_delay="5 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"sessions_{api}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.table(f"sessions_{api}").where("user_id != 999")
+        expected = (
+            sessionize_batch_oracle(events, gap="30 minutes")
+            .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        )
+        g = sorted(map(tuple, got.collect()))
+        e = sorted(map(tuple, expected.collect()))
+        assert len(e) == 15  # 5 users × 3 sessions
+        assert g == e
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
