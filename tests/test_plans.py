@@ -140,3 +140,48 @@ def test_tpch_q5_broadcasts_dims_no_cartesian(spark, sf_dir):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+
+
+def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
+    """x117: the bitmap distinct-count must be partial+final hash
+    aggregation — the shuffle carries fixed-size bitmaps, not raw keys."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    df = REGISTRY["x117_bitmap_distinct"].run(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "bitmap_construct_agg" in plan
+    assert "Window" not in plan
+
+
+def test_tfidf_stays_jvm_side(spark, sf_dir):
+    """x120: tokenize+score must be pure built-in expressions — no Python
+    eval node anywhere in the plan (UDFs are the slow path)."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    df = REGISTRY["x120_tfidf"].run(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    """x122: the per-stratum quota filter must run as WindowGroupLimit
+    (partial top-k before the shuffle), not a full window sort of every
+    stratum — the property that bounds the shuffle at 100 TB."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    df = REGISTRY["x122_stratified_sample"].run(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_recursive_cte_executes_bounded(spark, sf_dir):
+    """x114: the recursion must terminate via its WHERE guard (no
+    max-iteration error) and produce exactly the 12-month spine."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    assert REGISTRY["x114_recursive_cte"].run(spark, sf_dir).count() == 12
