@@ -19,6 +19,7 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 
 register_sql(
     "x114_recursive_cte",
+    headline=True,
     spark_sql="""
 WITH RECURSIVE months(m) AS (
   SELECT DATE '1995-01-01' AS m
@@ -94,6 +95,7 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200
 
 register_sql(
     "x117_bitmap_distinct",
+    headline=True,
     spark_sql="""
 SELECT o_orderstatus, SUM(cnt) AS nd FROM (
   SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS bkt,

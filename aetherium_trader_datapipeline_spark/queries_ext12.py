@@ -17,6 +17,7 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 
 register_sql(
     "x120_tfidf",
+    headline=True,
     spark_sql="""
 WITH tok AS (
   SELECT doc_id, w AS term
@@ -91,6 +92,7 @@ GROUP BY split, lang ORDER BY split, lang
 
 register_sql(
     "x122_stratified_sample",
+    headline=True,
     spark_sql="""
 SELECT lang, source, doc_id FROM (
   SELECT lang, source, doc_id,
