@@ -1,0 +1,123 @@
+"""Statistical SQL surface (x125–x127): built-in linear-regression
+aggregates, ordered-set percentiles (WITHIN GROUP), and bucketed/bitwise
+aggregation.
+
+Complements x101_linreg (hand-rolled decimal-exact moments): x125 exercises
+the regr_* aggregate family Catalyst evaluates JVM-side in one hash-agg
+pass — the form a 100 TB fit actually uses (partial moments per partition,
+merged at the exchange; no second scan, no driver math).
+
+Determinism note: regr_* over doubles is order-dependent in general; these
+queries aim the aggregates at small-magnitude, few-rows-per-group data
+(part.p_size × p_retailprice grouped by brand) where every partial sum is
+exactly representable in double, so any accumulation order hashes equal.
+"""
+
+from __future__ import annotations
+
+from aetherium_trader_datapipeline_spark.queries import register_sql
+
+# -- x125: regr_* aggregate family -----------------------------------------
+# Same fn names/semantics in Spark 4 and DuckDB; NULL-pair rows are skipped
+# by definition (regr_count counts only pairs with both sides non-null).
+
+register_sql(
+    "x125_regr_aggs",
+    spark_sql="""
+    SELECT p_brand,
+           regr_count(p_retailprice, p_size)                 AS n_pairs,
+           ROUND(regr_avgx(p_retailprice, p_size), 4)        AS avg_size,
+           ROUND(regr_avgy(p_retailprice, p_size), 4)        AS avg_price,
+           ROUND(regr_slope(p_retailprice, p_size), 4)       AS slope,
+           ROUND(regr_intercept(p_retailprice, p_size), 4)   AS icept,
+           ROUND(regr_r2(p_retailprice, p_size), 6)          AS r2
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    duckdb_sql="""
+    SELECT p_brand,
+           CAST(regr_count(p_retailprice, p_size) AS BIGINT)  AS n_pairs,
+           ROUND(regr_avgx(p_retailprice, p_size), 4)         AS avg_size,
+           ROUND(regr_avgy(p_retailprice, p_size), 4)         AS avg_price,
+           ROUND(regr_slope(p_retailprice, p_size), 4)        AS slope,
+           ROUND(regr_intercept(p_retailprice, p_size), 4)    AS icept,
+           ROUND(regr_r2(p_retailprice, p_size), 6)           AS r2
+    FROM part
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    tags=("stats", "agg"),
+)
+
+# -- x126: ordered-set aggregates (WITHIN GROUP) ----------------------------
+# percentile_disc returns an actual data value (here: integer-valued
+# l_quantity → exact); percentile_cont interpolates (midpoint of two
+# integers → exactly representable). Both deterministic under parallelism.
+
+register_sql(
+    "x126_percentile_within_group",
+    spark_sql="""
+    SELECT l_returnflag,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)
+             AS med_disc,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)
+             AS med_cont,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)
+             AS p90_disc,
+           ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4)
+             AS p25_cont
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    duckdb_sql="""
+    SELECT l_returnflag,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)
+             AS med_disc,
+           ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                 AS DOUBLE), 4) AS med_cont,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS DOUBLE)
+             AS p90_disc,
+           ROUND(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)
+                 AS DOUBLE), 4) AS p25_cont
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("stats", "agg"),
+)
+
+# -- x127: histogram bucketing + bitwise aggregates -------------------------
+# width_bucket has identical edge semantics in both engines (below-range →
+# 0, above-range → n+1). Bitwise aggs over integers are order-independent.
+
+register_sql(
+    "x127_width_bucket_bitaggs",
+    spark_sql="""
+    SELECT width_bucket(c_acctbal, -1000.0, 10000.0, 11) AS bucket,
+           COUNT(*)                                      AS n,
+           bit_and(c_nationkey)                          AS nk_and,
+           bit_or(c_nationkey)                           AS nk_or,
+           bit_xor(c_custkey)                            AS ck_xor
+    FROM customer
+    GROUP BY width_bucket(c_acctbal, -1000.0, 10000.0, 11)
+    ORDER BY bucket
+    """,
+    duckdb_sql="""
+    -- DuckDB has no width_bucket; equivalent arithmetic. Bucket width is
+    -- (10000 - -1000)/11 = 1000 exactly, so boundary math is float-exact.
+    SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+                     WHEN c_acctbal >= 10000.0 THEN 12
+                     ELSE 1 + FLOOR((c_acctbal + 1000.0) / 1000.0)
+                END AS INTEGER) AS bucket,
+           COUNT(*)                                     AS n,
+           CAST(bit_and(c_nationkey) AS INTEGER)        AS nk_and,
+           CAST(bit_or(c_nationkey) AS INTEGER)         AS nk_or,
+           CAST(bit_xor(c_custkey) AS INTEGER)          AS ck_xor
+    FROM customer
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("stats", "agg", "bitwise"),
+)
