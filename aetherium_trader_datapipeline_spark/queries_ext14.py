@@ -1,6 +1,6 @@
-"""Statistical SQL surface (x125–x127): built-in linear-regression
-aggregates, ordered-set percentiles (WITHIN GROUP), and bucketed/bitwise
-aggregation.
+"""Statistical + calendar SQL surface (x125–x128): built-in
+linear-regression aggregates, ordered-set percentiles (WITHIN GROUP),
+bucketed/bitwise aggregation, and timezone-aware trading-hours filtering.
 
 Complements x101_linreg (hand-rolled decimal-exact moments): x125 exercises
 the regr_* aggregate family Catalyst evaluates JVM-side in one hash-agg
@@ -120,4 +120,47 @@ register_sql(
     ORDER BY bucket
     """,
     tags=("stats", "agg", "bitwise"),
+)
+
+# -- x128: timezone conversion + regular-trading-hours window ---------------
+# The reference stores ticks in UTC (`tick.rs:7`, Arrow Timestamp(µs,"UTC"))
+# but its critical_ranges are exchange-local RTH windows
+# (`job_state.rs:72-76`; IDD RTH discussion). This is the canonical
+# UTC → exchange-wall-clock filter: convert, keep 09:30–15:59 NY weekdays,
+# aggregate per local day. Both engines consult the IANA tzdb.
+# DuckDB's timezone() is direction-typed: (tz, TIMESTAMP) localizes naive →
+# TIMESTAMPTZ, (tz, TIMESTAMPTZ) renders wall clock; composing both gives
+# Spark's from_utc_timestamp.
+
+register_sql(
+    "x128_rth_local_window",
+    spark_sql="""
+    WITH localized AS (
+      SELECT from_utc_timestamp(ts, 'America/New_York') AS lts, value
+      FROM events
+    )
+    SELECT CAST(DATE_TRUNC('day', lts) AS DATE) AS ny_day,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_val
+    FROM localized
+    WHERE dayofweek(lts) BETWEEN 2 AND 6
+      AND (hour(lts) * 60 + minute(lts)) BETWEEN 570 AND 959
+    GROUP BY CAST(DATE_TRUNC('day', lts) AS DATE)
+    ORDER BY ny_day
+    """,
+    duckdb_sql="""
+    WITH localized AS (
+      SELECT timezone('America/New_York', timezone('UTC', ts)) AS lts, value
+      FROM events
+    )
+    SELECT CAST(DATE_TRUNC('day', lts) AS DATE) AS ny_day,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_val
+    FROM localized
+    WHERE dayofweek(lts) + 1 BETWEEN 2 AND 6
+      AND (hour(lts) * 60 + minute(lts)) BETWEEN 570 AND 959
+    GROUP BY CAST(DATE_TRUNC('day', lts) AS DATE)
+    ORDER BY ny_day
+    """,
+    tags=("calendar", "timezone"),
 )
