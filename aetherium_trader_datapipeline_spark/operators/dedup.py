@@ -227,3 +227,78 @@ def keep_first_dedup(
     return (
         df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
     )
+
+
+# -- Portable (engine-reproducible) MinHash ---------------------------------
+# Base hash: first 8 hex chars of md5(shingle) parsed as a 32-bit integer —
+# a primitive every SQL engine evaluates identically (Spark: conv(...,16,10);
+# DuckDB: '0x'||hex :: BIGINT). Permutations h_i = (a_i*h + b_i) mod p with
+# p = 2^61-1; magnitudes bounded (a_i,b_i < 2^30, h < 2^32) so every
+# intermediate stays below 2^63 — no overflow, no engine-specific wraparound.
+# Slower than the xxhash64 variant (md5 is cryptographic) but the whole
+# pipeline becomes oracle-verifiable SQL; use the xxhash64 path in
+# production and this one to cross-check its clustering behavior.
+
+PORTABLE_MINHASH_P = (1 << 61) - 1
+
+
+def portable_perm_consts(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic multiplier/offset pairs, odd multipliers < 2^30."""
+    mask = (1 << 30) - 1
+    a = [(((2 * i + 1) * 0x9E3779B1) & mask) | 1 for i in range(num_perm)]
+    b = [((i + 1) * 0x85EBCA77) & mask for i in range(num_perm)]
+    return a, b
+
+
+def minhash_portable_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 2,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (a, b, n_bands) under the portable hash family.
+
+    Same plan shape as the xxhash64 path: one shuffle to aggregate
+    ``num_perm`` MIN columns, explode to (band, key), equality self-join on
+    the bucket. Band keys are decimal-string concatenations, identical in
+    any engine.
+    """
+    a_c, b_c = portable_perm_consts(num_perm)
+    sh = _shingles(df, id_col, text_col, shingle_size)
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
+    sig = (
+        sh.select("id", h.alias("h"))
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a_c[i]) * F.col("h") + F.lit(b_c[i]))
+                    % F.lit(PORTABLE_MINHASH_P)
+                ).alias(f"mh{i}")
+                for i in range(num_perm)
+            ]
+        )
+    )
+    rpb = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "-", *[F.col(f"mh{j * rpb + r}").cast("string") for r in range(rpb)]
+            ).alias("bk"),
+        )
+        for j in range(bands)
+    ]
+    exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bk").alias("bk")
+    )
+    lhs = exploded.select(F.col("id").alias("a"), "band", "bk")
+    rhs = exploded.select(F.col("id").alias("b"), "band", "bk")
+    return (
+        lhs.join(rhs, ["band", "bk"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

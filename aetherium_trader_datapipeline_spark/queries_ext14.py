@@ -164,3 +164,77 @@ register_sql(
     """,
     tags=("calendar", "timezone"),
 )
+
+# -- x129: portable MinHash LSH — the oracle-verifiable dedup scale path ----
+# x47's production MinHash keys on xxhash64, which no other engine
+# reproduces, so the driver can only rows-check it. This variant swaps in
+# an md5-based hash family both engines evaluate bit-identically, making
+# the ENTIRE shingle → signature → band → candidate-pair pipeline
+# hash-verified. Same plan shape (one agg shuffle + bucket equality join).
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from aetherium_trader_datapipeline_spark.operators.dedup import (  # noqa: E402
+    PORTABLE_MINHASH_P,
+    portable_perm_consts,
+)
+from aetherium_trader_datapipeline_spark.queries import register  # noqa: E402
+from aetherium_trader_datapipeline_spark.tables import load_tables  # noqa: E402
+
+_NP, _NB = 16, 4
+_A, _B = portable_perm_consts(_NP)
+_RPB = _NP // _NB
+
+_SIG_COLS = ",\n           ".join(
+    f"MIN(({_A[i]} * h + {_B[i]}) % {PORTABLE_MINHASH_P}) AS mh{i}"
+    for i in range(_NP)
+)
+_BAND_SELECTS = "\n      UNION ALL ".join(
+    "SELECT id, {j} AS band, concat_ws('-', {cols}) AS bk FROM sig".format(
+        j=j, cols=", ".join(f"mh{j * _RPB + r}" for r in range(_RPB))
+    )
+    for j in range(_NB)
+)
+
+_X129_ORACLE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, gram AS sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+                      i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS gram
+        FROM documents
+      ) g WHERE gram IS NOT NULL
+    ),
+    hashed AS (
+      SELECT id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h FROM sh
+    ),
+    sig AS (
+      SELECT id,
+           {_SIG_COLS}
+      FROM hashed GROUP BY id
+    ),
+    bands AS (
+      {_BAND_SELECTS}
+    )
+    SELECT a.id AS a, b.id AS b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    GROUP BY a.id, b.id
+    ORDER BY n_bands DESC, a, b LIMIT 100
+"""
+
+
+@register("x129_minhash_portable", oracle=_X129_ORACLE, tags=("dedup", "lsh"))
+def x129_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_portable_candidates,
+    )
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    return (
+        minhash_portable_candidates(
+            t["documents"], "doc_id", num_perm=_NP, bands=_NB
+        )
+        .orderBy(F.desc("n_bands"), "a", "b")
+        .limit(100)
+    )
