@@ -185,3 +185,60 @@ def test_recursive_cte_executes_bounded(spark, sf_dir):
 
     _load_extensions()
     assert REGISTRY["x114_recursive_cte"].run(spark, sf_dir).count() == 12
+
+
+def test_regr_aggs_single_agg_pass(spark, sf_dir):
+    """x125: the regr_* family must compile to ONE partial+final hash-agg
+    pair (moments merged at the exchange), never a second scan or a sort."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    df = REGISTRY["x125_regr_aggs"].run(spark, sf_dir)
+    plan = plan_of(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_portable_minhash_is_bucket_join(spark, sf_dir):
+    """x129: candidate generation must be an equality join on (band, key)
+    buckets — SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin — never a
+    NestedLoop (which would be the quadratic all-pairs shape)."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    df = REGISTRY["x129_minhash_portable"].run(spark, sf_dir)
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, tables):
+    """100 TB posture: a selective filter on one fact side should inject a
+    runtime bloom filter into the other side's scan (row-level runtime
+    filtering), cutting shuffle input before the join. Thresholds are
+    tuned down because the local fixtures are tiny."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join: with a broadcastable build side Spark skips
+        # the bloom filter (the broadcast itself already limits the probe)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = tables["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+        joined = tables["lineitem"].join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("q"))
+        plan = plan_of(joined, "simple")
+        assert "bloom_filter_agg" in plan, plan[:3000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
