@@ -302,3 +302,63 @@ def minhash_portable_candidates(
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs under the portable md5-prefix hash (see
+    minhash_portable_candidates): every step — token hash, per-bit vote
+    sums, signature assembly, chunk-equality candidates, bit_count hamming
+    — evaluates identically in any SQL engine, so the whole pipeline is
+    oracle-verifiable. Same scale shape as the xxhash64 path: one explode +
+    one groupBy with ``bits`` partial-aggregating SUMs, then a bucket join.
+    """
+    width = bits // chunks
+    mask = (1 << width) - 1
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    sigs = agg.select("id", sig.alias("simhash"))
+    chunk_cols = [
+        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias(f"c{i}")
+        for i in range(chunks)
+    ]
+    keyed = sigs.select("id", "simhash", *chunk_cols)
+    cand = None
+    for i in range(chunks):
+        a = keyed.select(
+            F.col("id").alias("a"), F.col("simhash").alias("sa"), F.col(f"c{i}").alias("ck")
+        )
+        b = keyed.select(
+            F.col("id").alias("b"), F.col("simhash").alias("sb"), F.col(f"c{i}").alias("ck")
+        )
+        c = a.join(b, "ck").where(F.col("a") < F.col("b")).select("a", "b", "sa", "sb")
+        cand = c if cand is None else cand.unionByName(c)
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.distinct()
+        .select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -238,3 +238,73 @@ def x129_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_bands"), "a", "b")
         .limit(100)
     )
+
+# -- x130: portable SimHash — oracle-verified near-dup detection ------------
+# Closes x48's oracle gap the same way x129 closes x47's: md5-prefix token
+# hash, 32-bit signature from per-bit vote signs, 4x8-bit pigeonhole chunk
+# candidates, bit_count hamming. Both engines compute the identical
+# candidate set AND the identical distances, so the driver hash-verifies
+# the full pipeline.
+
+_SH_BITS, _SH_CHUNKS, _SH_MAXH = 32, 4, 8
+_SH_W = _SH_BITS // _SH_CHUNKS
+_SH_MASK = (1 << _SH_W) - 1
+
+_VOTE_COLS = ",\n           ".join(
+    f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+    for i in range(_SH_BITS)
+)
+_SIG_EXPR = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(_SH_BITS)
+)
+_CHUNK_SELECTS = "\n      UNION ALL ".join(
+    f"SELECT id, simhash, {i} AS cix, (simhash >> {i * _SH_W}) & {_SH_MASK} AS ck FROM sig"
+    for i in range(_SH_CHUNKS)
+)
+
+_X130_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             ('0x' || substring(md5(unnest(string_split(lower(text), ' '))), 1, 8))::BIGINT AS h
+      FROM documents
+    ),
+    votes AS (
+      SELECT id,
+           {_VOTE_COLS}
+      FROM toks GROUP BY id
+    ),
+    sig AS (
+      SELECT id, {_SIG_EXPR} AS simhash FROM votes
+    ),
+    chunks AS (
+      {_CHUNK_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS a, b.id AS b, a.simhash AS sa, b.simhash AS sb
+      FROM chunks a JOIN chunks b ON a.cix = b.cix AND a.ck = b.ck AND a.id < b.id
+    )
+    SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SH_MAXH}
+    ORDER BY hamming, a, b LIMIT 200
+"""
+
+
+@register("x130_simhash_portable", oracle=_X130_ORACLE, tags=("dedup", "simhash"))
+def x130_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        simhash_portable_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        simhash_portable_pairs(
+            t["documents"], "doc_id",
+            bits=_SH_BITS, chunks=_SH_CHUNKS, max_hamming=_SH_MAXH,
+        )
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("hamming", "a", "b")
+        .limit(200)
+    )
