@@ -242,3 +242,46 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, tables):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_stats_flip_join_build_side(spark, tmp_path):
+    """Cost-based optimization: ANALYZE TABLE statistics let Catalyst pick
+    a broadcast join it would not risk without size estimates. At 100 TB,
+    table/column stats are what keep multi-join orderings sane — this
+    locks in that the engine's tables actually feed the CBO."""
+    src = spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("g")
+    )
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("name")
+    )
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    spark.sql("DROP TABLE IF EXISTS cbo_dim")
+    src.write.saveAsTable("cbo_fact")
+    dim.write.saveAsTable("cbo_dim")
+    prev = {
+        "spark.sql.cbo.enabled": spark.conf.get("spark.sql.cbo.enabled"),
+        "spark.sql.cbo.joinReorder.enabled": spark.conf.get(
+            "spark.sql.cbo.joinReorder.enabled"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS FOR ALL COLUMNS")
+        # stats recorded and visible to the planner
+        desc = spark.sql("DESC EXTENDED cbo_fact").collect()
+        stats_row = [r for r in desc if r.col_name == "Statistics"]
+        assert stats_row and "rows" in stats_row[0].data_type
+        joined = spark.sql(
+            "SELECT g, COUNT(*) AS n FROM cbo_fact f JOIN cbo_dim d ON f.k = d.k "
+            "GROUP BY g"
+        )
+        plan = plan_of(joined, "simple")
+        assert "BroadcastHashJoin" in plan  # dim stats → broadcast chosen
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_fact")
+        spark.sql("DROP TABLE IF EXISTS cbo_dim")
