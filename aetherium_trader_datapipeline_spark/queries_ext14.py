@@ -308,3 +308,68 @@ def x130_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "a", "b")
         .limit(200)
     )
+
+# -- x131/x132: session variables, EXECUTE IMMEDIATE, parameterized SQL -----
+# The modern-SQL control surface an analytics service builds templated
+# queries on. The variables/parameters only shape the final SELECT, so the
+# oracle is the same query with the values inlined as literals.
+
+
+@register(
+    "x131_sql_variables",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderdate >= DATE '1996-01-01'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("sql", "variables"),
+)
+def x131_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECLARE VARIABLE + SET VAR + EXECUTE IMMEDIATE: the query text is
+    assembled and executed server-side; variables bind as constants, so
+    Catalyst constant-folds them into pushed-down scan filters."""
+    load_tables(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE min_price DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff DATE")
+    spark.sql("SET VAR min_price = 150000.0")
+    spark.sql("SET VAR cutoff = DATE '1996-01-01'")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE qry STRING DEFAULT "
+        '"SELECT o_orderpriority, COUNT(*) AS n, '
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev "
+        "FROM orders WHERE o_totalprice > min_price AND o_orderdate >= cutoff "
+        'GROUP BY o_orderpriority ORDER BY o_orderpriority"'
+    )
+    return spark.sql("EXECUTE IMMEDIATE qry")
+
+
+@register(
+    "x132_parameterized_sql",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE c_acctbal BETWEEN 1000.0 AND 5000.0
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("sql", "parameters"),
+)
+def x132_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-marker parameterized spark.sql — injection-safe templating;
+    parameters arrive as literals, so pushdown/folding work as usual."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM customer
+        WHERE c_acctbal BETWEEN :lo AND :hi
+          AND c_mktsegment IN (:seg1, :seg2)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+        args={"lo": 1000.0, "hi": 5000.0, "seg1": "BUILDING", "seg2": "MACHINERY"},
+    )
