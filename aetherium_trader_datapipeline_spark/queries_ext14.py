@@ -373,3 +373,33 @@ def x132_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 1000.0, "hi": 5000.0, "seg1": "BUILDING", "seg2": "MACHINERY"},
     )
+
+# -- x133: IDENTIFIER clause — safe dynamic table/column references ---------
+# Completes the templating trio (x131 variables, x132 value parameters):
+# IDENTIFIER() lets table/column names arrive as parameters without SQL
+# injection; the resolved query is ordinary Catalyst input (pushdown etc.).
+
+
+@register(
+    "x133_identifier_clause",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("sql", "identifier"),
+)
+def x133_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:group_col) AS o_orderstatus, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(IDENTIFIER(:val_col) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:group_col)
+        ORDER BY IDENTIFIER(:group_col)
+        """,
+        args={"tbl": "orders", "group_col": "o_orderstatus", "val_col": "o_totalprice"},
+    )

@@ -42,7 +42,17 @@ def ingest_stream(
     ingestion_test binary: bounded 15 s run, ingestion_test.rs:15-42).
     Invalid rows are dropped unless ``quarantine_dir`` is given, in which
     case a second query routes them there (separate checkpoint).
+
+    Every micro-batch reports observed metrics ``ingest.rows`` /
+    ``ingest.invalid_rows`` (StreamingQueryProgress.observedMetrics) — the
+    reference's per-flush count logging (services.rs:79-94) computed
+    inline by the running query, no second pass, no extra action.
     """
+    ticks = ticks.observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(tick_valid_expr(), 0).otherwise(1)).alias("invalid_rows"),
+    )
     valid = ticks.where(tick_valid_expr())
     out = with_partition_cols(valid)
     writer = (

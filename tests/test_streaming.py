@@ -394,3 +394,34 @@ def test_transform_with_state_cursor_monotone(spark, tables, tmp_path):
     for r in rows:
         final[r.key] = max(final.get(r.key, 0), r.cursor_us)
     assert final == expected
+
+
+def test_ingest_observed_metrics(spark, tmp_path):
+    """Each micro-batch carries observed row/invalid counts — the
+    reference's flush logging computed inline by the query itself."""
+    import pyspark.sql.functions as F
+
+    from aetherium_trader_datapipeline_spark.sources.ticks import historical_ticks
+    from aetherium_trader_datapipeline_spark.streaming.ingest import ingest_stream
+
+    good = historical_ticks(spark, "NQ", "2025-12-01").limit(100)
+    bad = good.withColumn("bid_price", F.lit(-1).cast("decimal(10,4)")).limit(7)
+    src_dir = str(tmp_path / "src")
+    good.unionByName(bad).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(good.schema).parquet(src_dir)
+    q = ingest_stream(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p.get("observedMetrics", {}).get("ingest")]
+    assert progresses, "no observed metrics reported"
+    total = sum(p["observedMetrics"]["ingest"]["rows"] for p in progresses)
+    invalid = sum(p["observedMetrics"]["ingest"]["invalid_rows"] for p in progresses)
+    assert total == 107
+    assert invalid == 7
+    # and the sink holds exactly the valid rows
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 100
