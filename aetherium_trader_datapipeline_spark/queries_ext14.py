@@ -403,3 +403,36 @@ def x133_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "group_col": "o_orderstatus", "val_col": "o_totalprice"},
     )
+
+# -- x134: VWAP — volume-weighted average price -----------------------------
+# Completes the market-rollup family next to OHLCV (q32) and TWAP (x79).
+# Weighted mean as two decimal-exact partial sums (sum(p*q), sum(q)) —
+# one hash-agg pass, order-independent, so the double division at the end
+# is engine-reproducible.
+
+register_sql(
+    "x134_vwap",
+    spark_sql="""
+    SELECT l_suppkey AS grp,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS vwap,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vol
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY grp LIMIT 300
+    """,
+    duckdb_sql="""
+    SELECT l_suppkey AS grp,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+             AS vwap,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS vol
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY grp LIMIT 300
+    """,
+    tags=("timeseries", "agg"),
+)
