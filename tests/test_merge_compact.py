@@ -102,3 +102,28 @@ def test_compact_partitions_reduces_file_count(spark):
     assert stats["files_before"] == len(files_before)
     after = {(r.k, r.v, r.d) for r in spark.read.parquet(base).collect()}
     assert before == after
+
+
+def test_merge_upsert_idempotent_reapply(spark):
+    """Re-applying the same CDC batch is a no-op — the engine-side
+    equivalent of the reference's idempotent re-run guarantee
+    (instance-stamped files + atomic rename, IDD:181,227)."""
+    base = os.path.join(tempfile.mkdtemp(prefix="merge-idem-"), "t")
+    seed = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")], "k int, v string, d string"
+    )
+    merge_upsert(spark, base, seed, key_cols=["k"], partition_col="d")
+    changes = spark.createDataFrame(
+        [(2, "B", "p2", False), (3, None, "p2", True), (4, "d", "p3", False)],
+        "k int, v string, d string, is_delete boolean",
+    )
+    for _ in range(3):  # first apply + two replays
+        merge_upsert(
+            spark, base, changes,
+            key_cols=["k"], partition_col="d", delete_col="is_delete",
+        )
+        assert _rows(spark, base) == {
+            (1, "a", "p1"),
+            (2, "B", "p2"),
+            (4, "d", "p3"),
+        }
