@@ -308,7 +308,7 @@ def simhash_portable_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 60,
     chunks: int = 4,
     max_hamming: int = 8,
 ) -> DataFrame:
@@ -318,14 +318,21 @@ def simhash_portable_pairs(
     — evaluates identically in any SQL engine, so the whole pipeline is
     oracle-verifiable. Same scale shape as the xxhash64 path: one explode +
     one groupBy with ``bits`` partial-aggregating SUMs, then a bucket join.
+
+    Chunk width is the quadratic-blowup guard: candidates per bucket grow
+    as n/2^width, so width must grow with corpus size. 60 bits / 4 chunks
+    gives 15-bit buckets (32 k keys) — measured to hold at 50 k docs where
+    the earlier 32-bit/8-bit-chunk form went quadratic.
     """
     width = bits // chunks
     mask = (1 << width) - 1
+    # 15 hex chars = 60 bits: the widest md5 prefix that stays below 2^63
+    # for both engines' signed-int parse
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
     ).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint")
+        "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
     )
     votes = [
         F.sum(

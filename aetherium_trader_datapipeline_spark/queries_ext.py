@@ -189,7 +189,7 @@ def x45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x46_ngram_jaccard",
     oracle="""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT DISTINCT doc_id AS id, gram AS sh FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
@@ -197,6 +197,8 @@ def x45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       ) g
     ),
+    freq AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh),
+    sh AS (SELECT id, sh0.sh FROM sh0 JOIN freq USING (sh) WHERE freq.df <= 100),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
@@ -211,11 +213,17 @@ def x45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def x46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_shingle_freq=100 is the quadratic-blowup guard: a shingle shared
+    by f docs contributes C(f,2) candidate pairs, so stop-shingles must be
+    dropped for the join to stay near-linear (measured: the uncapped form
+    dies at 50 k docs with replicated texts; the capped form holds)."""
     from aetherium_trader_datapipeline_spark.operators.dedup import ngram_jaccard_pairs
 
     t = load_tables(spark, sf_dir)
     return (
-        ngram_jaccard_pairs(t["documents"], "doc_id", shingle_size=2)
+        ngram_jaccard_pairs(
+            t["documents"], "doc_id", shingle_size=2, max_shingle_freq=100
+        )
         .orderBy(F.desc("jaccard"), "a", "b")
         .limit(50)
     )

@@ -246,7 +246,7 @@ def x129_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate set AND the identical distances, so the driver hash-verifies
 # the full pipeline.
 
-_SH_BITS, _SH_CHUNKS, _SH_MAXH = 32, 4, 8
+_SH_BITS, _SH_CHUNKS, _SH_MAXH = 60, 4, 8  # 15-bit chunks: 32 k buckets
 _SH_W = _SH_BITS // _SH_CHUNKS
 _SH_MASK = (1 << _SH_W) - 1
 
@@ -265,7 +265,7 @@ _CHUNK_SELECTS = "\n      UNION ALL ".join(
 _X130_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id AS id,
-             ('0x' || substring(md5(unnest(string_split(lower(text), ' '))), 1, 8))::BIGINT AS h
+             ('0x' || substring(md5(unnest(string_split(lower(text), ' '))), 1, 15))::BIGINT AS h
       FROM documents
     ),
     votes AS (

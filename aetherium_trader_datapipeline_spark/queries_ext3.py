@@ -290,7 +290,7 @@ def x72_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x73_dup_clusters",
     oracle="""
-    WITH RECURSIVE sh AS (
+    WITH RECURSIVE sh0 AS (
       SELECT DISTINCT doc_id AS id, gram AS sh FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
@@ -298,6 +298,8 @@ def x72_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
       ) g
     ),
+    freq AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh),
+    sh AS (SELECT id, sh0.sh FROM sh0 JOIN freq USING (sh) WHERE freq.df <= 100),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     pairs AS (
       SELECT a, b FROM (
@@ -326,9 +328,9 @@ def x73_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aetherium_trader_datapipeline_spark.operators.graph import dedup_clusters
 
     t = load_tables(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(t["documents"], "doc_id", shingle_size=2).where(
-        F.col("jaccard") >= 0.6
-    )
+    pairs = ngram_jaccard_pairs(
+        t["documents"], "doc_id", shingle_size=2, max_shingle_freq=100
+    ).where(F.col("jaccard") >= 0.6)
     return (
         dedup_clusters(pairs)
         .select(F.col("id").alias("doc_id"), "canonical_id")
