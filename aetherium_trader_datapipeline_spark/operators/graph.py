@@ -16,9 +16,18 @@ Hash-Min/pointer-jumping CC formulation for bulk-synchronous engines.
 
 Scale notes (100 TB): state is one (node, label) row per vertex —
 never adjacency materialized per node; iterations are checkpointed
-(``localCheckpoint``) to truncate lineage so plan size stays constant; the
-convergence probe is ``limit(1).count()`` (stops at the first changed
-row). Edges are deduplicated and symmetrized once up front.
+(``localCheckpoint``) to truncate lineage so plan size stays constant;
+the convergence probe is a single label-sum aggregate (labels only
+decrease, so the sum strictly decreases until fixpoint). Edges are
+deduplicated and symmetrized once up front.
+
+Join strategy is size-adaptive: checkpointed DataFrames lose Catalyst
+stats, so without help every per-iteration join falls back to a shuffle
+join even when the label table is tiny. Near-dup candidate graphs are
+usually small relative to the corpus (pairs only exist where LSH/shingle
+buckets collide), so we count nodes once at setup and broadcast the
+label side when it is under ``broadcast_threshold_rows``; above it the
+shuffle join is the correct plan and is kept.
 """
 
 from __future__ import annotations
@@ -28,7 +37,11 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    broadcast_threshold_rows: int = 500_000,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
@@ -46,6 +59,11 @@ def connected_components(
     labels = sym.groupBy(F.col("u").alias("node")).agg(
         F.least(F.min("v"), F.min("u")).alias("lbl")
     ).localCheckpoint()
+    # node count is invariant across iterations — decide the per-iteration
+    # join strategy once (checkpointed frames have no stats, so AQE alone
+    # would never pick broadcast here)
+    n_nodes = labels.count()
+    bc = F.broadcast if n_nodes <= broadcast_threshold_rows else (lambda d: d)
 
     def _lbl_sum(lb: DataFrame) -> int:
         # labels only decrease, so the exact sum strictly decreases until
@@ -54,7 +72,7 @@ def connected_components(
 
     prev_sum = _lbl_sum(labels)
     for _ in range(max_iter):
-        nbr_min = sym.join(labels, sym["v"] == labels["node"]).select(
+        nbr_min = sym.join(bc(labels), sym["v"] == labels["node"]).select(
             sym["u"].alias("node"), F.col("lbl")
         )
         stepped = (
@@ -64,7 +82,7 @@ def connected_components(
         # target's label is always <= our own — min() keeps it monotone.
         jump_src = stepped.select(F.col("node").alias("jn"), F.col("lbl").alias("jl"))
         labels = (
-            stepped.join(jump_src, stepped["lbl"] == jump_src["jn"], "left")
+            stepped.join(bc(jump_src), stepped["lbl"] == jump_src["jn"], "left")
             .select("node", F.least(F.col("lbl"), F.coalesce("jl", "lbl")).alias("lbl"))
             .localCheckpoint()
         )
