@@ -61,25 +61,30 @@ def repetition_stats(
 ) -> DataFrame:
     """Gopher-style degenerate-repetition signals per document:
     duplicate-word fraction and most-frequent-bigram fraction."""
-    words = F.split(F.lower(F.col(text_col)), " ")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(words).alias("n_words"),
-        F.size(F.array_distinct(words)).alias("n_distinct"),
+    # materialize the split once (see dedup._shingles: inlining it into
+    # the lambda re-tokenizes the doc per gram term)
+    wsdf = df.select(
+        F.col(id_col).alias("id"), F.split(F.lower(F.col(text_col)), " ").alias("ws")
+    )
+    ws = F.col("ws")
+    base = wsdf.select(
+        "id",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
     )
     # non-distinct bigrams (repetition is the signal — do NOT dedup)
-    n_grams = F.size(words) - 1
+    n_grams = F.size(ws) - 1
     idx = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
         F.expr("array()").cast("array<int>")
     )
     gram = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", F.element_at(words, i.cast("int")), F.element_at(words, (i + 1).cast("int"))
+            " ", F.element_at(ws, i.cast("int")), F.element_at(ws, (i + 1).cast("int"))
         ),
     )
     top = (
-        df.select(F.col(id_col).alias("id"), F.explode(gram).alias("g"))
+        wsdf.select("id", F.explode(gram).alias("g"))
         .groupBy("id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("id")

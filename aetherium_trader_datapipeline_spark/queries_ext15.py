@@ -26,6 +26,7 @@ _GRAM5 = (
 
 @register(
     "x135_decontaminate",
+    headline=True,
     oracle=f"""
     WITH g AS (
       SELECT DISTINCT doc_id, gram FROM (
@@ -147,6 +148,7 @@ def x137_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x138_sequence_packing",
+    headline=True,
     oracle=f"""
     WITH RECURSIVE docs AS (
       SELECT doc_id % 8 AS shard, doc_id, len({_WS}) AS tokens,
@@ -229,6 +231,7 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
 
 @register(
     "x139_kmeans_embeddings",
+    headline=True,
     oracle=_kmeans_oracle(_KM_K, _KM_ITERS, _KM_DIM),
     tags=("curation", "similarity"),
 )
