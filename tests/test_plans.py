@@ -285,3 +285,52 @@ def test_cbo_stats_flip_join_build_side(spark, tmp_path):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS cbo_fact")
         spark.sql("DROP TABLE IF EXISTS cbo_dim")
+
+
+def test_domain_mix_broadcasts_weights_jvm_side(spark, sf_dir):
+    from aetherium_trader_datapipeline_spark.operators.curation import domain_mix_sample
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    weights = spark.createDataFrame([("src0", 1.0)], "source string, w double")
+    plan = plan_of(domain_mix_sample(docs, weights), "simple")
+    assert "BroadcastHashJoin" in plan  # weight dim never shuffles the corpus
+    assert "Python" not in plan and "BatchEval" not in plan  # md5 filter is JVM
+
+
+def test_repetition_stats_stays_jvm_side(spark, sf_dir):
+    from aetherium_trader_datapipeline_spark.operators.curation import repetition_stats
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    plan = plan_of(repetition_stats(docs, "doc_id"), "simple")
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_sequence_packing_single_arrow_exchange(spark, sf_dir):
+    from aetherium_trader_datapipeline_spark.operators.curation import pack_sequences
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    plan = plan_of(pack_sequences(docs), "simple")
+    # one Arrow-batched grouped-map stage over one shard exchange — the
+    # sequential greedy never funnels through the driver
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    from aetherium_trader_datapipeline_spark.operators.curation import kmeans_assign
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    cents = [(i, [float(i)] * 64) for i in range(4)]
+    plan = plan_of(kmeans_assign(e, cents), "simple")
+    # centroids live in the plan as literals: no join, no shuffle, no Python
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
