@@ -156,3 +156,65 @@ def test_connected_components_matches_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {(n, find(n)) for n in parent}
     assert got == expected
+
+
+@given(
+    tokens=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=60),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_bruteforce_next_fit(spark, tokens):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.curation import pack_sequences
+
+    budget = 200
+    rows = [(i, "w " * (t - 1) + "w") for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = pack_sequences(df, budget=budget, n_shards=1).orderBy("doc_id").collect()
+
+    # brute-force next-fit over doc_id order
+    pack, fill, expect = 0, 0, []
+    for t in tokens:
+        if fill > 0 and fill + t > budget:
+            pack, fill = pack + 1, 0
+        fill += t
+        expect.append(pack)
+    assert [r["pack_id"] for r in out] == expect
+    assert [r["tokens"] for r in out] == tokens
+    # next-fit guarantee: at most 2*ceil(total/budget) packs (items <= budget)
+    n_packs = max(r["pack_id"] for r in out) + 1
+    assert n_packs <= max(1, 2 * math.ceil(sum(tokens) / budget))
+    # sharded run partitions the same docs, same per-shard greedy
+    sharded = pack_sequences(df, budget=budget, n_shards=3)
+    assert sharded.count() == len(tokens)
+    over = (
+        sharded.groupBy("shard", "pack_id")
+        .agg(F.sum("tokens").alias("s"), F.count(F.lit(1)).alias("n"))
+        .where((F.col("s") > budget) & (F.col("n") > 1))
+    )
+    assert over.count() == 0
+
+
+@given(
+    w_lo=st.floats(min_value=0.05, max_value=0.45),
+    w_hi=st.floats(min_value=0.5, max_value=0.95),
+)
+@settings(**SETTINGS)
+def test_domain_mix_monotone_in_weight(spark, w_lo, w_hi):
+    from aetherium_trader_datapipeline_spark.operators.curation import domain_mix_sample
+
+    rows = [(i, "srcA") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    def kept(w):
+        weights = spark.createDataFrame([("srcA", float(w))], "source string, w double")
+        return {
+            r["doc_id"]
+            for r in domain_mix_sample(df, weights, default_weight=0.0).collect()
+        }
+
+    lo, hi = kept(w_lo), kept(w_hi)
+    # hash-threshold sampling is nested: raising the weight only adds rows
+    assert lo <= hi
