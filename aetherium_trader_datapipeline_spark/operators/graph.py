@@ -21,19 +21,64 @@ the convergence probe is a single label-sum aggregate (labels only
 decrease, so the sum strictly decreases until fixpoint). Edges are
 deduplicated and symmetrized once up front.
 
-Join strategy is size-adaptive: checkpointed DataFrames lose Catalyst
-stats, so without help every per-iteration join falls back to a shuffle
-join even when the label table is tiny. Near-dup candidate graphs are
-usually small relative to the corpus (pairs only exist where LSH/shingle
-buckets collide), so we count nodes once at setup and broadcast the
-label side when it is under ``broadcast_threshold_rows``; above it the
-shuffle join is the correct plan and is kept.
+Size-adaptive execution, two levels (algorithms switching on measured
+size is the same posture as AQE):
+
+1. **Small-graph fast path** (≤ ``local_threshold_edges`` distinct
+   edges): one union-find pass in a single ``applyInPandas`` task.
+   Candidate graphs from LSH/shingle blocking are near-dup-sparse —
+   typically millions of edges even for petabyte corpora — and a single
+   O(E α(E)) task beats any bulk-synchronous loop by an order of
+   magnitude. This is a *task*, not a driver collect: the edge list
+   flows executor→executor as one Arrow batch.
+2. **Distributed loop** (above the threshold): the pointer-jumping
+   iteration, with per-iteration join strategy chosen by node count —
+   checkpointed DataFrames lose Catalyst stats, so without help every
+   join falls back to a shuffle join even when the label table is tiny;
+   under ``broadcast_threshold_rows`` the label side is broadcast.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _union_find_local(e: DataFrame) -> DataFrame:
+    """Whole-graph union-find in one Arrow task (small-graph fast path)."""
+    typ = e.schema["u"].dataType.simpleString()
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["u"], pdf["v"]):
+            parent[find(a)] = find(b)
+        members: dict = {}
+        for n in list(parent):
+            members.setdefault(find(n), []).append(n)
+        rows = [
+            (n, m)
+            for ns in members.values()
+            for m in [min(ns)]
+            for n in ns
+        ]
+        return pd.DataFrame(rows, columns=["node", "component"])
+
+    return (
+        e.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(
+            lambda _, pdf: uf(pdf), f"node {typ}, component {typ}"
+        )
+    )
 
 
 def connected_components(
@@ -42,6 +87,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     broadcast_threshold_rows: int = 500_000,
+    local_threshold_edges: int = 5_000_000,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
@@ -54,6 +100,8 @@ def connected_components(
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
     )
+    if e.count() <= local_threshold_edges:
+        return _union_find_local(e)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
     # seed with min(self, neighbors) — one propagation round for free
     labels = sym.groupBy(F.col("u").alias("node")).agg(

@@ -198,8 +198,15 @@ def test_connected_components_hand_graph(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "src LONG, dst LONG",
     )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # both execution paths: single-task union-find and the distributed loop
     got = {r.node: r.component for r in connected_components(edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got == expect
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, local_threshold_edges=0).collect()
+    }
+    assert dist == expect
 
 
 def test_connected_components_long_chain(spark):
@@ -208,7 +215,12 @@ def test_connected_components_long_chain(spark):
     from aetherium_trader_datapipeline_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(50)], "src LONG, dst LONG")
-    got = {r.node: r.component for r in connected_components(edges, max_iter=10).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components(
+            edges, max_iter=10, local_threshold_edges=0
+        ).collect()
+    }
     assert set(got.values()) == {0} and len(got) == 51
 
 

@@ -140,6 +140,12 @@ def test_connected_components_matches_union_find(spark, edges):
 
     df = spark.createDataFrame(edges, "src INT, dst INT")
     got = {(r.node, r.component) for r in connected_components(df).collect()}
+    # distributed loop must agree with the single-task fast path
+    dist = {
+        (r.node, r.component)
+        for r in connected_components(df, local_threshold_edges=0).collect()
+    }
+    assert dist == got
 
     parent = {}
 
