@@ -102,6 +102,43 @@ def cmd_gaps(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registry query (SURVEY.md §2.2/§2.3 key) against an SF
+    directory; rows print as JSON lines. --limit caps driver output."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    if args.key not in REGISTRY:
+        print(f"unknown key {args.key!r}; {len(REGISTRY)} available", file=sys.stderr)
+        for k in sorted(REGISTRY):
+            print(" ", k, file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    df = REGISTRY[args.key].run(spark, args.sf_dir)
+    for r in df.limit(args.limit).collect():
+        print(json.dumps(r.asDict(recursive=True), default=str))
+    return 0
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the physical plan for a registry query (the artifact the
+    plan audits in tests/test_plans.py assert against)."""
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    if args.key not in REGISTRY:
+        print(f"unknown key {args.key!r}", file=sys.stderr)
+        return 2
+    spark = _spark(args.cpus)
+    df = REGISTRY[args.key].run(spark, args.sf_dir)
+    print(
+        df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), args.mode
+        )
+    )
+    return 0
+
+
 def cmd_verify_parquet(args: argparse.Namespace) -> int:
     """Footer verification (F1): rows, files, schema."""
     from aetherium_trader_datapipeline_spark.operators.inspect import inspect_parquet
@@ -145,6 +182,18 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("verify-parquet", help="print footer metadata")
     v.add_argument("path")
     v.set_defaults(fn=cmd_verify_parquet)
+
+    q = sub.add_parser("query", help="run a registry query key")
+    q.add_argument("key")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=100)
+    q.set_defaults(fn=cmd_query)
+
+    e = sub.add_parser("explain", help="print a registry query's plan")
+    e.add_argument("key")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument("--mode", default="formatted", choices=["simple", "extended", "formatted", "cost", "codegen"])
+    e.set_defaults(fn=cmd_explain)
     return p
 
 

@@ -68,3 +68,20 @@ def test_cli_bounded_ingest(spark, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
     assert out["ingested_rows"] > 0
+
+
+def test_cli_query_and_explain(spark, capsys):
+    rc = main(["query", "q01_scan_agg", "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    row = json.loads(out[-1])
+    assert "n" in row and row["n"] > 0
+
+    rc = main(["explain", "q04_join_agg", "--sf-dir", "/root/testdata/sf0.001", "--mode", "simple"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out and "HashAggregate" in out
+
+    rc = main(["query", "no_such_key"])
+    err = capsys.readouterr().err
+    assert rc == 2 and "unknown key" in err
