@@ -28,6 +28,8 @@ def test_pack_sequences_invariants(spark, tables):
     docs = tables["documents"]
     budget = 200
     packed = pack_sequences(docs, budget=budget, n_shards=8).cache()
+    request_unpersist = packed  # unpersisted at the end: a lingering cache
+    # entry would substitute InMemoryTableScan into later plan audits
     # every doc appears exactly once
     assert packed.count() == docs.count()
     # no pack exceeds the budget unless it is a single oversized doc
@@ -55,6 +57,7 @@ def test_pack_sequences_invariants(spark, tables):
         ),
     )
     assert w.where(F.col("prev") > F.col("pack_id")).count() == 0
+    request_unpersist.unpersist()
 
 
 def test_domain_mix_deterministic_and_bounded(spark, tables):
