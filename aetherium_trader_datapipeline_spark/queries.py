@@ -768,6 +768,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext13  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext14  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext15  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext16  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
