@@ -223,7 +223,9 @@ _X129_ORACLE = f"""
 """
 
 
-@register("x129_minhash_portable", oracle=_X129_ORACLE, tags=("dedup", "lsh"))
+@register(
+    "x129_minhash_portable", headline=True, oracle=_X129_ORACLE, tags=("dedup", "lsh")
+)
 def x129_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aetherium_trader_datapipeline_spark.operators.dedup import (
         minhash_portable_candidates,
