@@ -2,10 +2,10 @@
 events stream — the query side of the reference's tick domain (K-bar docs,
 docs/…系統設計文件.md:69-72, generalized beyond OHLCV):
 
-- EMA: a linear recurrence (not a plain window aggregate) expressed as a
-  deterministic left fold over an ordered window frame — Spark
-  ``aggregate(slice(xs,2,n-1), xs[1], …)`` == DuckDB ``list_reduce`` (both
-  seed with the first element and fold left, so IEEE order is identical).
+- EMA: a linear recurrence (not a plain window aggregate) — exact per-key
+  left fold over the FULL history via ``applyInPandas``
+  (operators/timeseries.py), hash-matched against a DuckDB recursive-CTE
+  oracle computing the same IEEE-double fold.
 - Resample + forward fill: hourly spine per key (sequence/explode) LEFT
   JOIN hourly aggregates, gap-fill with LAST_VALUE IGNORE NULLS — the
   batch form of gap repair on a downsampled tick store.
@@ -20,34 +20,52 @@ docs/…系統設計文件.md:69-72, generalized beyond OHLCV):
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-register_sql(
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
+
+
+@register(
     "x77_ema",
     headline=True,
-    spark_sql="""
-    WITH w AS (
-      SELECT event_id,
-             collect_list(ROUND(value, 4)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS xs
-      FROM events)
-    SELECT event_id,
-           ROUND(AGGREGATE(slice(xs, 2, size(xs) - 1), element_at(xs, 1),
-                           (acc, x) -> 0.2D * x + 0.8D * acc), 4) AS ema
-    FROM w ORDER BY event_id LIMIT 500
+    # Exact EMA oracle: the same left fold, expressed as a recursive CTE
+    # walking row_number order per user. IEEE-double op order is identical
+    # to the Spark-side fold (0.2*x + 0.8*acc), so the hash matches exactly.
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ROUND(value, 4) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, event_id, rn, v AS ema FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn, 0.2 * o.v + 0.8 * r.ema
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT event_id, ROUND(ema, 4) AS ema
+    FROM rec ORDER BY event_id LIMIT 500
     """,
-    duckdb_sql="""
-    WITH w AS (
-      SELECT event_id,
-             list(ROUND(value, 4)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS xs
-      FROM events)
-    SELECT event_id,
-           ROUND(list_reduce(xs, (acc, x) -> 0.2 * x + 0.8 * acc), 4) AS ema
-    FROM w ORDER BY event_id LIMIT 500
-    """,
-    tags=("timeseries", "window"),
+    tags=("timeseries", "window", "pandas"),
 )
+def x77_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key EMA over full history — one shuffle, no history arrays.
+
+    Replaces the r2 truncated form (collect_list 50-row frame): see
+    operators/timeseries.py for the plan-shape rationale.
+    """
+    from aetherium_trader_datapipeline_spark.operators.timeseries import ema
+
+    t = load_tables(spark, sf_dir)
+    src = t["events"].select(
+        "user_id", "event_id", "ts", F.round("value", 4).alias("v")
+    )
+    out = ema(src, ["user_id"], ["ts", "event_id"], "v", out_cols=["event_id"])
+    return (
+        out.select("event_id", F.round("ema", 4).alias("ema"))
+        .orderBy("event_id")
+        .limit(500)
+    )
 
 register_sql(
     "x78_resample_ffill",
