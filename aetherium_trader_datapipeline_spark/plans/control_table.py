@@ -10,21 +10,27 @@ redis.rs:198-200).
 Spark-native design: one JSON state file per job_key in a control
 directory, mutated via write-tmp → atomic rename — the same commit
 primitive the docs mandate for data files (IDD.md:26-28). Every mutation
-re-reads the state and rejects on instance-id mismatch, giving the CAS
-fencing semantics. On a production cluster this table is a Delta table
-and each mutation a conditional `MERGE ... ON job_key AND
-job_instance_id = expected` (0 rows matched == StaleInstance); the
-file-per-key layout keeps the same interface without requiring an ACID
-table format in this environment. ``as_dataframe`` exposes the table to
-Spark for supervisor queries (stalled scan, H1).
+is a true compare-and-set: a per-key `O_CREAT|O_EXCL` lockfile serializes
+the read→fence-check→write critical section (two concurrent writers can
+never interleave between the check and the commit — the race the
+reference's Lua script closes, state/redis.rs:25-42), and every committed
+state carries a monotonically increasing ``version`` so lost updates are
+detectable. On a production cluster this table is a Delta table and each
+mutation a conditional `MERGE ... ON job_key AND job_instance_id =
+expected` (0 rows matched == StaleInstance); the file-per-key layout
+keeps the same interface without requiring an ACID table format in this
+environment. ``as_dataframe`` exposes the table to Spark for supervisor
+queries (stalled scan, H1).
 """
 
 from __future__ import annotations
 
+import contextlib
 import datetime as dt
 import json
 import os
 import tempfile
+import time
 import uuid
 from dataclasses import asdict, dataclass, field
 
@@ -53,6 +59,7 @@ class JobState:
     heartbeat_at: float  # unix seconds
     critical_ranges: list[dict] = field(default_factory=list)
     last_error_type: str | None = None
+    version: int = 0  # bumped on every committed mutation (CAS audit trail)
 
 
 def job_key(symbol: str, date: str) -> str:
@@ -76,10 +83,43 @@ class ControlTable:
             return None
 
     def _write(self, st: JobState) -> None:
+        st.version += 1
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(asdict(st), f)
         os.replace(tmp, self._path(st.job_key))  # atomic commit (IDD.md:26-28)
+
+    @contextlib.contextmanager
+    def _locked(self, key: str, timeout_s: float = 5.0, stale_s: float = 30.0):
+        """Per-key critical section via `O_CREAT|O_EXCL` lockfile.
+
+        Exclusive create is atomic on POSIX, so exactly one writer enters;
+        others spin (1 ms) up to ``timeout_s``. A lockfile older than
+        ``stale_s`` is treated as left by a dead process and broken — the
+        file-based analogue of the reference's Redis lock TTL.
+        """
+        lock = self._path(key) + ".lock"
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        os.unlink(lock)  # break dead writer's lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released; retry immediately
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"lock contention on {key}")
+                time.sleep(0.001)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(lock)
 
     # -- J1: init / stale takeover (backfill_service.rs:82-115) ------------
 
@@ -92,33 +132,34 @@ class ControlTable:
         heartbeat_timeout_s: int = HEARTBEAT_TIMEOUT_S,
     ) -> JobState:
         now = now if now is not None else dt.datetime.now(dt.timezone.utc).timestamp()
-        st = self.get(key)
-        if st is not None and st.status == RUNNING:
-            if now - st.heartbeat_at <= heartbeat_timeout_s:
-                raise JobAlreadyRunningError(key)
-            # stale takeover: new instance id, cursor preserved
-            st.job_instance_id = str(uuid.uuid4())
-            st.heartbeat_at = now
+        with self._locked(key):
+            st = self.get(key)
+            if st is not None and st.status == RUNNING:
+                if now - st.heartbeat_at <= heartbeat_timeout_s:
+                    raise JobAlreadyRunningError(key)
+                # stale takeover: new instance id, cursor preserved
+                st.job_instance_id = str(uuid.uuid4())
+                st.heartbeat_at = now
+                self._write(st)
+                return st
+            if st is not None and st.status in (COMPLETED, FAILED, PENDING):
+                st.status = RUNNING
+                st.job_instance_id = str(uuid.uuid4())
+                st.heartbeat_at = now
+                self._write(st)
+                return st
+            st = JobState(
+                job_key=key,
+                status=RUNNING,
+                job_instance_id=str(uuid.uuid4()),
+                cursor=day_start_ms - 1,  # backfill_service.rs:105
+                end_time=end_time_ms,
+                heartbeat_at=now,
+            )
             self._write(st)
             return st
-        if st is not None and st.status in (COMPLETED, FAILED, PENDING):
-            st.status = RUNNING
-            st.job_instance_id = str(uuid.uuid4())
-            st.heartbeat_at = now
-            self._write(st)
-            return st
-        st = JobState(
-            job_key=key,
-            status=RUNNING,
-            job_instance_id=str(uuid.uuid4()),
-            cursor=day_start_ms - 1,  # backfill_service.rs:105
-            end_time=end_time_ms,
-            heartbeat_at=now,
-        )
-        self._write(st)
-        return st
 
-    # -- J2/Z1: fenced mutations ------------------------------------------
+    # -- J2/Z1: fenced mutations (atomic CAS, state/redis.rs:25-42) --------
 
     def _fenced(self, key: str, instance_id: str) -> JobState:
         st = self.get(key)
@@ -126,25 +167,37 @@ class ControlTable:
             raise StaleInstanceError(key)
         return st
 
+    def _mutate(self, key: str, instance_id: str, apply) -> None:
+        """CAS: fence-check and commit under the per-key lock — a zombie
+        holding a stale instance id can never interleave between another
+        writer's check and write (Z1, redis.rs:198-200)."""
+        with self._locked(key):
+            st = self._fenced(key, instance_id)
+            apply(st)
+            self._write(st)
+
     def update_cursor(self, key: str, instance_id: str, cursor_ms: int) -> None:
-        st = self._fenced(key, instance_id)
-        st.cursor = max(st.cursor, cursor_ms)  # HWM never regresses
-        self._write(st)
+        def apply(st: JobState) -> None:
+            st.cursor = max(st.cursor, cursor_ms)  # HWM never regresses
+
+        self._mutate(key, instance_id, apply)
 
     def update_status(
         self, key: str, instance_id: str, status: str, error_type: str | None = None
     ) -> None:
-        st = self._fenced(key, instance_id)
-        st.status = status
-        st.last_error_type = error_type
-        self._write(st)
+        def apply(st: JobState) -> None:
+            st.status = status
+            st.last_error_type = error_type
+
+        self._mutate(key, instance_id, apply)
 
     def heartbeat(self, key: str, instance_id: str, now: float | None = None) -> None:
-        st = self._fenced(key, instance_id)
-        st.heartbeat_at = (
-            now if now is not None else dt.datetime.now(dt.timezone.utc).timestamp()
-        )
-        self._write(st)
+        hb = now if now is not None else dt.datetime.now(dt.timezone.utc).timestamp()
+
+        def apply(st: JobState) -> None:
+            st.heartbeat_at = hb
+
+        self._mutate(key, instance_id, apply)
 
     # -- H1: supervisor view ----------------------------------------------
 
@@ -157,14 +210,15 @@ class ControlTable:
         schema = (
             "job_key STRING, status STRING, job_instance_id STRING, cursor BIGINT, "
             "end_time BIGINT, heartbeat_at DOUBLE, "
-            "critical_ranges ARRAY<MAP<STRING,STRING>>, last_error_type STRING"
+            "critical_ranges ARRAY<MAP<STRING,STRING>>, last_error_type STRING, "
+            "version BIGINT"
         )
         return spark.createDataFrame(
             [
                 (
                     s["job_key"], s["status"], s["job_instance_id"], s["cursor"],
                     s["end_time"], s["heartbeat_at"], s.get("critical_ranges", []),
-                    s.get("last_error_type"),
+                    s.get("last_error_type"), s.get("version", 0),
                 )
                 for s in states
             ],

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = [
     "region",
@@ -60,6 +60,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
             if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
                 df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            elif name == "events" and isinstance(
+                df.schema["ts"].dataType, TimestampNTZType
+            ):
+                # Fixture generations vary: timestamp[us] without tz reads as
+                # TIMESTAMP_NTZ. Session tz is UTC, so the cast reinterprets
+                # the wall clock as the same UTC instant — lossless, and it
+                # keeps the whole library (unix_micros, window(), watermarks)
+                # on the one TIMESTAMP type the engine declares (SURVEY §1.2).
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             dfs[name] = df
         _CACHE[cache_key] = dfs
     for name, df in dfs.items():

@@ -57,6 +57,57 @@ def test_cursor_never_regresses(control):
     assert control.get("k").cursor == DAY0 + 500
 
 
+def test_concurrent_writers_cas_no_lost_updates(control):
+    """Two-writer race (job_state_repository_test.rs:74-108 semantics):
+    after a stale takeover, the zombie's concurrent writes must ALL lose —
+    the lockfile serializes fence-check+commit, so no zombie write can slip
+    in between an owner's check and write."""
+    import threading
+
+    from aetherium_trader_datapipeline_spark.plans.control_table import StaleInstanceError
+
+    zombie = control.initialize_job("k", DAY0, DAY0 + 1, now=1000.0)
+    owner = control.initialize_job("k", DAY0, DAY0 + 1, now=2000.0)  # takeover
+
+    barrier = threading.Barrier(2)
+    zombie_wins = []
+
+    def zombie_writer():
+        barrier.wait()
+        for i in range(200):
+            try:
+                control.update_cursor("k", zombie.job_instance_id, DAY0 + 10_000_000 + i)
+                zombie_wins.append(i)
+            except StaleInstanceError:
+                pass
+
+    def owner_writer():
+        barrier.wait()
+        for i in range(200):
+            control.update_cursor("k", owner.job_instance_id, DAY0 + i)
+            control.heartbeat("k", owner.job_instance_id, now=3000.0 + i)
+
+    threads = [threading.Thread(target=zombie_writer), threading.Thread(target=owner_writer)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert zombie_wins == []  # every zombie CAS lost
+    st = control.get("k")
+    assert st.job_instance_id == owner.job_instance_id
+    assert st.cursor == DAY0 + 199  # owner's HWM, not the zombie's huge value
+    assert st.version == 2 + 400  # 2 inits + 200 cursor + 200 heartbeat commits
+
+
+def test_version_monotonic_per_commit(control):
+    st = control.initialize_job("k", DAY0, DAY0 + 1, now=1000.0)
+    v0 = control.get("k").version
+    control.update_cursor("k", st.job_instance_id, DAY0 + 1)
+    control.heartbeat("k", st.job_instance_id, now=1001.0)
+    assert control.get("k").version == v0 + 2
+
+
 def test_stalled_scan(spark, control):
     st = control.initialize_job("a", DAY0, DAY0 + 1, now=1000.0)
     control.initialize_job("b", DAY0, DAY0 + 1, now=5000.0)
