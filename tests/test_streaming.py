@@ -425,3 +425,34 @@ def test_ingest_observed_metrics(spark, tmp_path):
     assert invalid == 7
     # and the sink holds exactly the valid rows
     assert spark.read.parquet(str(tmp_path / "out")).count() == 100
+
+
+def test_ingest_throughput_sanity(spark, tmp_path):
+    """BASELINE.md throughput target: sustain >= 100 ticks/s (10x the
+    reference's mock live rate, di.rs:44-47) through the full ingest path —
+    validation + quarantine routing + hourly-partitioned sink — measured
+    over a bounded availableNow run of 10 days of ticks."""
+    import datetime as dt
+    import time
+
+    from aetherium_trader_datapipeline_spark.sources.ticks import historical_ticks
+    from aetherium_trader_datapipeline_spark.streaming.ingest import ingest_stream
+
+    days = [f"2024-01-{d:02d}" for d in range(2, 12)]  # 10 days x 1440 ticks
+    ticks = historical_ticks(spark, "NQ", days[0], today=dt.date(2024, 6, 1))
+    for day in days[1:]:
+        ticks = ticks.union(historical_ticks(spark, "NQ", day, today=dt.date(2024, 6, 1)))
+    src = str(tmp_path / "src")
+    ticks.write.parquet(src)
+
+    n = 10 * 1440
+    t0 = time.monotonic()
+    stream = spark.readStream.schema(ticks.schema).parquet(src)
+    q = ingest_stream(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    elapsed = time.monotonic() - t0
+    assert spark.read.parquet(str(tmp_path / "out")).count() == n
+    rate = n / elapsed
+    assert rate >= 100, f"ingest rate {rate:.0f} ticks/s below 100/s target"
