@@ -8,6 +8,10 @@ session.py). These helpers cover the cases AQE doesn't re-plan:
   feed). Stage 1 aggregates on (key, salt) — the hot key's rows spread
   over ``n_salts`` reducers; stage 2 merges the per-salt partials. Works
   for any algebraic aggregate (sum/count/min/max — supply the merge).
+  Pick ``n_salts`` well above the shuffle-partition count: a hot key
+  yields ``n_salts`` (key, salt) combos, and balls-into-bins collisions
+  only even out when combos-per-reducer is ~8+ (measured in
+  tests/test_skew_bucketing.py::test_salting_balances_hot_key_partitions).
 - ``salted_broadcast_left``: explode a broadcastable right side by salt so
   a salted left can equality-join it (the classic hot-key join salt).
 """
