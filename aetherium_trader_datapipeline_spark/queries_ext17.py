@@ -1,0 +1,135 @@
+"""Seventeenth extension wave: training-data preparation operators that a
+100 TB text pipeline runs between curation and tokenization —
+
+- document chunking into overlapping token windows (the context-window
+  packing precursor): pure ``split``/``sequence``/``explode``/``slice``
+  expressions, rows fan out JVM-side, no Python;
+- PII redaction (email/phone scrub) via global ``regexp_replace`` chains —
+  expression-only, so the scan stays in whole-stage codegen;
+- lexical-diversity scoring via word-distribution Shannon entropy, with
+  the per-term products accumulated in DECIMAL so the cross-engine hash is
+  summation-order-independent (the repo-wide pattern for double SUMs).
+
+All three are hash-verified against DuckDB on the documents fixture.
+"""
+
+from __future__ import annotations
+
+from aetherium_trader_datapipeline_spark.queries import register_sql
+
+# -- x143: overlapping token-window chunking --------------------------------
+#
+# Window 128 tokens, stride 64 → every token belongs to ≤2 chunks; chunk
+# count per doc is ceil(n_tokens/64). At scale this is a narrow map-side
+# fan-out (no shuffle): the explode multiplies rows before the sink's own
+# partitioning, exactly where a tokenizer stage would consume them.
+
+register_sql(
+    "x143_doc_chunking",
+    spark_sql="""
+    SELECT doc_id, ci AS chunk_idx,
+           array_join(slice(ws, ci * 64 + 1, 128), ' ') AS chunk_text,
+           CAST(size(slice(ws, ci * 64 + 1, 128)) AS INT) AS n_tokens
+    FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+    LATERAL VIEW explode(sequence(0, CAST(ceil(size(ws) / 64.0) AS INT) - 1)) t AS ci
+    ORDER BY doc_id, chunk_idx LIMIT 500
+    """,
+    duckdb_sql="""
+    SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           array_to_string(ws[ci * 64 + 1 : ci * 64 + 128], ' ') AS chunk_text,
+           CAST(len(ws[ci * 64 + 1 : ci * 64 + 128]) AS INT) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         LATERAL unnest(generate_series(0, CAST(ceil(len(ws) / 64.0) AS INT) - 1)) AS t(ci)
+    ORDER BY doc_id, chunk_idx LIMIT 500
+    """,
+    tags=("text", "llm"),
+)
+
+# -- x144: PII redaction ----------------------------------------------------
+#
+# The fixture corpus carries no PII, so the query plants deterministic
+# synthetic email/phone strings per doc and then scrubs them — the scrub
+# chain (global regexp_replace, expression-only) is what a real pipeline
+# runs over raw crawl text. n_hits counts replacements via length deltas,
+# so a regex that over- or under-matches hash-mismatches.
+
+register_sql(
+    "x144_pii_redact",
+    spark_sql="""
+    WITH dirty AS (
+      SELECT doc_id,
+             concat(substr(text, 1, 80), ' contact user', doc_id,
+                    '@mail.example tel 555-01', CAST(doc_id % 100 AS STRING),
+                    ' and admin', doc_id, '@corp.example') AS raw
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, raw,
+             regexp_replace(regexp_replace(raw,
+                 '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>'),
+                 '555-[0-9]+', '<PHONE>') AS clean
+      FROM dirty)
+    SELECT doc_id, clean,
+           CAST((length(raw) - length(regexp_replace(raw, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', ''))) > 0 AS INT)
+             + CAST((length(raw) - length(regexp_replace(raw, '555-[0-9]+', ''))) > 0 AS INT) AS n_pii_kinds
+    FROM scrubbed ORDER BY doc_id LIMIT 300
+    """,
+    duckdb_sql="""
+    WITH dirty AS (
+      SELECT doc_id,
+             concat(substr(text, 1, 80), ' contact user', doc_id,
+                    '@mail.example tel 555-01', CAST(doc_id % 100 AS VARCHAR),
+                    ' and admin', doc_id, '@corp.example') AS raw
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, raw,
+             regexp_replace(regexp_replace(raw,
+                 '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+                 '555-[0-9]+', '<PHONE>', 'g') AS clean
+      FROM dirty)
+    SELECT doc_id, clean,
+           CAST((length(raw) - length(regexp_replace(raw, '[A-Za-z0-9_.]+@[A-Za-z0-9.]+', '', 'g'))) > 0 AS INT)
+             + CAST((length(raw) - length(regexp_replace(raw, '555-[0-9]+', '', 'g'))) > 0 AS INT) AS n_pii_kinds
+    FROM scrubbed ORDER BY doc_id LIMIT 300
+    """,
+    tags=("text", "llm", "regex"),
+)
+
+# -- x146: word-distribution Shannon entropy --------------------------------
+#
+# Lexical diversity h = log2(n) − Σ c·log2(c) / n over per-doc word counts.
+# Σ c·log2(c) accumulates per-term DECIMAL(18,9) values (each term is the
+# same IEEE double in both engines before the cast), so the aggregate is
+# exact and order-independent; only the final combine runs in double.
+
+register_sql(
+    "x146_word_entropy",
+    spark_sql="""
+    WITH counts AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, explode(split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n,
+             SUM(CAST(c * log2(c) AS DECIMAL(18,9))) AS s
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id,
+           ROUND(log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 4) AS entropy_bits,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM agg ORDER BY doc_id LIMIT 300
+    """,
+    duckdb_sql="""
+    WITH counts AS (
+      SELECT doc_id, w, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY doc_id, w),
+    agg AS (
+      SELECT doc_id, SUM(c) AS n,
+             SUM(CAST(c * log2(c) AS DECIMAL(18,9))) AS s
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id,
+           ROUND(log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / n, 4) AS entropy_bits,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM agg ORDER BY doc_id LIMIT 300
+    """,
+    tags=("text", "llm", "stats"),
+)
