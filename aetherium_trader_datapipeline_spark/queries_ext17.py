@@ -133,3 +133,40 @@ register_sql(
     """,
     tags=("text", "llm", "stats"),
 )
+
+# -- x147: interval-coverage range join -------------------------------------
+#
+# Each 'click' joined to the 15-minute windows opened by the same user's
+# 'view' events — the interval-overlap join shape (ad attribution, session
+# stitching). Catalyst plans the equi-part (user_id) as the shuffle key and
+# evaluates the range predicate inside the join; at 100 TB the equality key
+# keeps this a hash join, never a cartesian.
+
+register_sql(
+    "x147_interval_join",
+    spark_sql="""
+    SELECT c.event_id,
+           COUNT(v.event_id) AS n_cover,
+           MAX(v.ts) AS last_view_ts
+    FROM events c
+    LEFT JOIN events v
+      ON c.user_id = v.user_id AND v.event_type = 'view'
+         AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 15 MINUTES
+         AND v.event_id != c.event_id
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id ORDER BY c.event_id LIMIT 500
+    """,
+    duckdb_sql="""
+    SELECT c.event_id,
+           COUNT(v.event_id) AS n_cover,
+           CAST(MAX(v.ts) AS TIMESTAMP) AS last_view_ts
+    FROM events c
+    LEFT JOIN events v
+      ON c.user_id = v.user_id AND v.event_type = 'view'
+         AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 15 MINUTE
+         AND v.event_id != c.event_id
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id ORDER BY c.event_id LIMIT 500
+    """,
+    tags=("join", "timeseries"),
+)
