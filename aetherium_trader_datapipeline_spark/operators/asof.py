@@ -9,9 +9,10 @@ Two strategies:
    CURRENT ROW)` is linear and never materializes pairs.
 
 2. ``asof_join`` — two-table as-of (trades vs. quotes): union the two sides
-   tagged with a priority column, then the same single window pass — still
-   one shuffle, no join. This is the standard log-merge trick; equals
-   pandas ``merge_asof`` semantics (backward, inclusive).
+   tagged with a priority column, then window passes — still one shuffle,
+   no join. This is the standard log-merge trick; equals pandas
+   ``merge_asof`` semantics for all three directions (backward / forward /
+   nearest-with-backward-ties), inclusive.
 
 At 100 TB both scale as a single repartition by key + in-partition sort,
 which AQE can further split on skewed keys.
@@ -58,19 +59,26 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
 ) -> DataFrame:
-    """Two-table as-of join via tagged union + one window pass (no join).
+    """Two-table as-of join via tagged union + window passes (no join).
 
-    For each left row, attach the most recent (direction='backward') right
-    row's ``right_value_cols`` with right.ts <= left.ts on equal keys.
+    ``direction``:
+      - ``backward`` — most recent right row with right.ts <= left.ts,
+      - ``forward`` — earliest right row with right.ts >= left.ts,
+      - ``nearest`` — whichever of the two is closer in time; equal
+        distance prefers backward (pandas ``merge_asof`` tie rule).
+
+    All inclusive on equal keys; one shuffle on ``key_cols`` regardless of
+    direction (nearest adds a second in-partition sort, not a shuffle).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
 
     lcols = [c for c in left.columns if c not in key_cols and c != ts_col]
     tagged_left = left.select(
         *key_cols,
         F.col(ts_col),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(left.schema[ts_col].dataType).alias("__rts"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix) for c in right_value_cols],
     )
@@ -78,27 +86,79 @@ def asof_join(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("__side"),
+        F.col(ts_col).alias("__rts"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(c + suffix) for c in right_value_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
-    # Right rows sort before left rows at equal ts (side 0 < 1) → inclusive.
-    w = (
+    # Backward: ascending (ts, side) — right rows (side 0) sort before left
+    # rows at equal ts, so CURRENT ROW frames include ts-peers (inclusive).
+    w_bwd = (
         Window.partitionBy(*key_cols)
         .orderBy(ts_col, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
+    # Forward: iterate ts DESCENDING; "last seen right row" is then the
+    # smallest right.ts >= left.ts. side asc keeps equal-ts rights first.
+    w_fwd = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).desc(), "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    if direction in ("backward", "forward"):
+        w = w_bwd if direction == "backward" else w_fwd
+        filled = unioned.select(
+            *key_cols,
+            ts_col,
+            "__side",
+            *lcols,
+            *[
+                F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+                for c in right_value_cols
+            ],
+        )
+        return filled.where(F.col("__side") == 1).drop("__side")
+
+    # nearest: both passes, then pick per-row by |Δts| with backward ties.
+    bwd_ts = F.last("__rts", ignorenulls=True).over(w_bwd)
+    fwd_ts = F.last("__rts", ignorenulls=True).over(w_fwd)
+    both = unioned.select(
+        *key_cols,
+        ts_col,
+        "__side",
+        *lcols,
+        bwd_ts.alias("__bts"),
+        fwd_ts.alias("__fts"),
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w_bwd).alias(c + "__b")
+            for c in right_value_cols
+        ],
+        *[
+            F.last(F.col(c + suffix), ignorenulls=True).over(w_fwd).alias(c + "__f")
+            for c in right_value_cols
+        ],
+    )
+    take_bwd = F.col("__bts").isNotNull() & (
+        F.col("__fts").isNull()
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__bts"))
+            <= F.unix_micros(F.col("__fts")) - F.unix_micros(F.col(ts_col))
+        )
+    )
+    picked = both.select(
         *key_cols,
         ts_col,
         "__side",
         *lcols,
         *[
-            F.last(F.col(c + suffix), ignorenulls=True).over(w).alias(c + suffix)
+            F.when(take_bwd, F.col(c + "__b"))
+            .otherwise(F.col(c + "__f"))
+            .alias(c + suffix)
             for c in right_value_cols
         ],
     )
-    return filled.where(F.col("__side") == 1).drop("__side")
+    return picked.where(F.col("__side") == 1).drop("__side")
 
 
 def asof_join_pandas(

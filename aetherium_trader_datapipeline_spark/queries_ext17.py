@@ -170,3 +170,76 @@ register_sql(
     """,
     tags=("join", "timeseries"),
 )
+
+# -- x148/x149: as-of join directions (operators/asof.py) -------------------
+#
+# The tagged-union window as-of now covers all three merge_asof directions;
+# these keys hash-verify forward and nearest (backward is q10) against a
+# naive range-join oracle. Fixture ts is unique per user, so "earliest
+# following" / "closest" are well-defined without further tie-breaks
+# beyond nearest's backward preference.
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aetherium_trader_datapipeline_spark.queries import register
+from aetherium_trader_datapipeline_spark.tables import load_tables
+
+
+def _asof_direction_query(direction: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from aetherium_trader_datapipeline_spark.operators.asof import asof_join
+
+        t = load_tables(spark, sf_dir)
+        ev = t["events"]
+        clicks = ev.where("event_type = 'click'").select("user_id", "ts", "event_id")
+        views = ev.where("event_type = 'view'").select("user_id", "ts", "event_id", "value")
+        out = asof_join(
+            clicks, views, "ts", ["user_id"], ["event_id", "value"],
+            direction=direction,
+        )
+        return (
+            out.where(F.col("event_id_r").isNotNull())
+            .select(
+                "event_id",
+                F.col("event_id_r").alias("view_event_id"),
+                F.round("value_r", 4).alias("view_value"),
+            )
+            .orderBy("event_id")
+            .limit(300)
+        )
+
+    return run
+
+
+register(
+    "x148_asof_forward",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT c.event_id, v.event_id AS view_event_id, v.value AS vv,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id ORDER BY v.ts) AS rn
+      FROM c JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
+    SELECT event_id, view_event_id, ROUND(vv, 4) AS view_value
+    FROM j WHERE rn = 1 ORDER BY event_id LIMIT 300
+    """,
+    tags=("join", "asof"),
+)(_asof_direction_query("forward"))
+
+register(
+    "x149_asof_nearest",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT c.event_id, v.event_id AS view_event_id, v.value AS vv,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                 ORDER BY ABS(epoch_us(v.ts) - epoch_us(c.ts)),
+                          CASE WHEN v.ts <= c.ts THEN 0 ELSE 1 END) AS rn
+      FROM c JOIN v ON c.user_id = v.user_id)
+    SELECT event_id, view_event_id, ROUND(vv, 4) AS view_value
+    FROM j WHERE rn = 1 ORDER BY event_id LIMIT 300
+    """,
+    tags=("join", "asof"),
+)(_asof_direction_query("nearest"))

@@ -51,6 +51,54 @@ def test_asof_join_matches_merge_asof(spark):
     ]
 
 
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions_match_merge_asof(spark, direction):
+    """forward/nearest as-of == pandas merge_asof with the same direction
+    (incl. the nearest equal-distance-prefers-backward tie rule)."""
+    from aetherium_trader_datapipeline_spark.operators.asof import asof_join
+
+    trades = pd.DataFrame(
+        {
+            "sym": ["A"] * 5 + ["B"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:05", "2024-01-01 10:00:10", "2024-01-01 10:00:15",
+                 "2024-01-01 10:00:30", "2024-01-01 10:00:50", "2024-01-01 09:59:59",
+                 "2024-01-01 10:00:20", "2024-01-01 10:01:00"]
+            ),
+            "qty": [1, 2, 3, 4, 5, 6, 7, 8],
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "sym": ["A", "A", "A", "B", "B"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00:00", "2024-01-01 10:00:10", "2024-01-01 10:00:20",
+                 "2024-01-01 10:00:00", "2024-01-01 10:00:45"]
+            ),
+            "px": [100.0, 101.0, 102.0, 200.0, 201.0],
+        }
+    )
+    # 10:00:15 sits exactly between quotes at :10 and :20 — the tie row.
+    out = asof_join(
+        spark.createDataFrame(trades),
+        spark.createDataFrame(quotes),
+        ts_col="ts",
+        key_cols=["sym"],
+        right_value_cols=["px"],
+        direction=direction,
+    ).toPandas()
+    expected = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"), on="ts", by="sym",
+        direction=direction,
+    )
+    got = out.sort_values(["sym", "ts", "qty"]).reset_index(drop=True)
+    exp = expected.sort_values(["sym", "ts", "qty"]).reset_index(drop=True)
+    assert list(got["qty"]) == list(exp["qty"])
+    assert [x if pd.notna(x) else None for x in got["px_r"]] == [
+        x if pd.notna(x) else None for x in exp["px"]
+    ]
+
+
 def test_validate_ticks_routing(spark):
     from aetherium_trader_datapipeline_spark.operators.validate import validate_ticks
 
