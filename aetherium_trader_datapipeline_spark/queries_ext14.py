@@ -196,7 +196,7 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
     for j in range(_NB)
 )
 
-_X129_ORACLE = f"""
+_X129_CTES = f"""
     WITH sh AS (
       SELECT DISTINCT doc_id AS id, gram AS sh FROM (
         SELECT doc_id,
@@ -216,17 +216,59 @@ _X129_ORACLE = f"""
     bands AS (
       {_BAND_SELECTS}
     )
+"""
+
+# Scale form: per-doc bucket-min representative (linear join cardinality —
+# bands×n rows — where the all-pairs form is quadratic in bucket size; a
+# duplicate-heavy 10x corpus measured 31.8 M pairs / 25 s vs linear here).
+_X129_ORACLE = (
+    _X129_CTES
+    + """,
+    bucket_min AS (
+      SELECT band, bk, MIN(id) AS rep FROM bands GROUP BY band, bk
+    )
+    SELECT e.id, MIN(m.rep) AS rep
+    FROM bands e JOIN bucket_min m ON e.band = m.band AND e.bk = m.bk
+    WHERE m.rep < e.id
+    GROUP BY e.id ORDER BY id LIMIT 200
+"""
+)
+
+# Pair form kept for cluster-quality inspection at small scale (n_bands =
+# LSH vote count per candidate pair).
+_X150_ORACLE = (
+    _X129_CTES
+    + """
     SELECT a.id AS a, b.id AS b, COUNT(*) AS n_bands
     FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
     GROUP BY a.id, b.id
     ORDER BY n_bands DESC, a, b LIMIT 100
 """
+)
 
 
 @register(
     "x129_minhash_portable", headline=True, oracle=_X129_ORACLE, tags=("dedup", "lsh")
 )
 def x129_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_portable_assignments,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return (
+        minhash_portable_assignments(
+            t["documents"], "doc_id", num_perm=_NP, bands=_NB
+        )
+        .orderBy("id")
+        .limit(200)
+    )
+
+
+@register(
+    "x150_minhash_pairs", oracle=_X150_ORACLE, tags=("dedup", "lsh")
+)
+def x150_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aetherium_trader_datapipeline_spark.operators.dedup import (
         minhash_portable_candidates,
     )

@@ -456,3 +456,45 @@ def test_ingest_throughput_sanity(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == n
     rate = n / elapsed
     assert rate >= 100, f"ingest rate {rate:.0f} ticks/s below 100/s target"
+
+
+def test_merge_stream_applies_cdc(spark, tmp_path):
+    """Streaming CDC apply: insert + update + tombstone batches land in the
+    keyed table with last-writer-wins per key and partition-scoped
+    rewrites (streaming/merge_sink.py)."""
+    from aetherium_trader_datapipeline_spark.streaming.merge_sink import merge_stream
+
+    schema = "k LONG, part STRING, val STRING, seq LONG, deleted BOOLEAN"
+    src = str(tmp_path / "cdc")
+    table = str(tmp_path / "table")
+
+    # Batch files arrive in order: seed, then update+tombstone+insert.
+    spark.createDataFrame(
+        [(1, "a", "v1", 1, False), (2, "a", "v2", 1, False), (3, "b", "v3", 1, False)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [
+            (1, "a", "v1-old", 2, False),
+            (1, "a", "v1-new", 3, False),  # same key twice: seq 3 wins
+            (2, "a", None, 2, True),  # tombstone
+            (4, "c", "v4", 2, False),  # new partition
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = merge_stream(
+        stream,
+        table,
+        str(tmp_path / "ckpt"),
+        key_cols=["k"],
+        partition_col="part",
+        seq_col="seq",
+        delete_col="deleted",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {r.k: (r.part, r.val) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", "v1-new"), 3: ("b", "v3"), 4: ("c", "v4")}
