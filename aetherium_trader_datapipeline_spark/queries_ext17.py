@@ -243,3 +243,91 @@ register(
     """,
     tags=("join", "asof"),
 )(_asof_direction_query("nearest"))
+
+# -- x151/x152: data-quality operators --------------------------------------
+#
+# A pipeline feeding 100 TB of training data needs the audit pass, not just
+# the transforms: referential-integrity violations between fact and dim
+# tables (anti-join counts — each an independent broadcast-dim anti join),
+# and per-column profiling (null fraction, exact distinct, numeric range)
+# of the kind schema-drift monitors diff between ingest runs.
+
+register_sql(
+    "x151_fk_audit",
+    spark_sql="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part_subset', COUNT(*)
+    FROM lineitem WHERE NOT EXISTS (
+      SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_partkey % 7 != 0)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders WHERE NOT EXISTS (
+      SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    ORDER BY fk
+    """,
+    duckdb_sql="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part_subset', COUNT(*)
+    FROM lineitem WHERE NOT EXISTS (
+      SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_partkey % 7 != 0)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*)
+    FROM orders WHERE NOT EXISTS (
+      SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    ORDER BY fk
+    """,
+    tags=("quality", "join"),
+)
+
+register_sql(
+    "x152_column_profile",
+    spark_sql="""
+    SELECT 'o_totalprice' AS col,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS min_v, ROUND(MAX(o_totalprice), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderdate),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    ORDER BY col
+    """,
+    duckdb_sql="""
+    SELECT 'o_totalprice' AS col,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           ROUND(MIN(o_totalprice), 2) AS min_v, ROUND(MAX(o_totalprice), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderdate),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    ORDER BY col
+    """,
+    tags=("quality", "agg"),
+)
