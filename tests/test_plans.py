@@ -334,3 +334,45 @@ def test_kmeans_assignment_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_ema_plan_single_exchange_no_window(spark, tables):
+    """Exact EMA: one hash shuffle on the key, in-partition sort, one
+    Python stage — no Window operator, no per-row history arrays."""
+    from aetherium_trader_datapipeline_spark.operators.timeseries import ema
+
+    src = tables["events"].select("user_id", "event_id", "ts", F.round("value", 4).alias("v"))
+    df = ema(src, ["user_id"], ["ts", "event_id"], "v", out_cols=["event_id"])
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange") == 1, plan[:2000]
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
+    assert "collect_list" not in plan
+
+
+def test_minhash_assignments_plan_single_linear_join(spark, tables):
+    """Bucket-min assignment: exactly one equality join (bands x bucket_min),
+    never a nested-loop/cartesian — the linear-candidate guarantee."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_portable_assignments,
+    )
+
+    df = minhash_portable_assignments(tables["documents"], "doc_id")
+    plan = plan_of(df, "simple")
+    assert plan.count("Join") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_plan_single_shuffle(spark, tables):
+    """Nearest as-of runs both direction passes off ONE hash exchange on
+    the key (two in-partition sorts, zero joins)."""
+    from aetherium_trader_datapipeline_spark.operators.asof import asof_join
+
+    ev = tables["events"]
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts", "event_id")
+    views = ev.where("event_type = 'view'").select("user_id", "ts", "event_id", "value")
+    df = asof_join(clicks, views, "ts", ["user_id"], ["event_id", "value"], direction="nearest")
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2500]
+    assert "Join" not in plan
