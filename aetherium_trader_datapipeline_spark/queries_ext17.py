@@ -331,3 +331,54 @@ register_sql(
     """,
     tags=("quality", "agg"),
 )
+
+# -- x153: cascading OHLCV rollup -------------------------------------------
+#
+# Hourly K-bars computed FROM minute K-bars (open = open of first minute,
+# close = close of last, high/low = max/min, volume = sum) — the
+# mergeability property that lets a tick store keep only fine-grained bars
+# and roll coarser granularities on demand (the reference docs' on-the-fly
+# K-bar design, docs/…系統設計文件.md:69-72, extended to the rollup cascade a
+# ClickHouse materialized-view hierarchy would hold).
+# tests/test_rollup_sketches.py asserts cascade == direct-from-ticks.
+
+register_sql(
+    "x153_ohlcv_cascade",
+    spark_sql="""
+    WITH m AS (
+      SELECT user_id, date_trunc('minute', ts) AS wm,
+             MIN_BY(value, ts) AS o, MAX(value) AS h,
+             MIN(value) AS l, MAX_BY(value, ts) AS c,
+             SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS vol
+      FROM events GROUP BY user_id, date_trunc('minute', ts)),
+    hr AS (
+      SELECT user_id, date_trunc('hour', wm) AS wh,
+             MIN_BY(o, wm) AS open, MAX(h) AS high,
+             MIN(l) AS low, MAX_BY(c, wm) AS close, SUM(vol) AS vol
+      FROM m GROUP BY user_id, date_trunc('hour', wm))
+    SELECT user_id, wh,
+           ROUND(open, 4) AS open, ROUND(high, 4) AS high,
+           ROUND(low, 4) AS low, ROUND(close, 4) AS close,
+           ROUND(CAST(vol AS DOUBLE), 4) AS vol
+    FROM hr ORDER BY user_id, wh LIMIT 500
+    """,
+    duckdb_sql="""
+    WITH m AS (
+      SELECT user_id, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS wm,
+             MIN_BY(value, ts) AS o, MAX(value) AS h,
+             MIN(value) AS l, MAX_BY(value, ts) AS c,
+             SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS vol
+      FROM events GROUP BY user_id, date_trunc('minute', CAST(ts AS TIMESTAMP))),
+    hr AS (
+      SELECT user_id, date_trunc('hour', wm) AS wh,
+             MIN_BY(o, wm) AS open, MAX(h) AS high,
+             MIN(l) AS low, MAX_BY(c, wm) AS close, SUM(vol) AS vol
+      FROM m GROUP BY user_id, date_trunc('hour', wm))
+    SELECT user_id, CAST(wh AS TIMESTAMP) AS wh,
+           ROUND(open, 4) AS open, ROUND(high, 4) AS high,
+           ROUND(low, 4) AS low, ROUND(close, 4) AS close,
+           ROUND(CAST(vol AS DOUBLE), 4) AS vol
+    FROM hr ORDER BY user_id, wh LIMIT 500
+    """,
+    tags=("timeseries", "ohlcv", "rollup"),
+)
