@@ -498,3 +498,41 @@ def test_merge_stream_applies_cdc(spark, tmp_path):
 
     got = {r.k: (r.part, r.val) for r in spark.read.parquet(table).collect()}
     assert got == {1: ("a", "v1-new"), 3: ("b", "v3"), 4: ("c", "v4")}
+
+
+def test_ingest_restart_exactly_once(spark, tick_day, tmp_path):
+    """Checkpoint recovery: restarting the ingest query with the same
+    checkpoint processes only NEW source files — no duplicates from
+    reprocessed ones, nothing added on an idle restart. This is the
+    exactly-once property the reference gets from instance-stamped
+    filenames + cursor CAS (IDD.md:26-28,181) and Spark gets from the
+    checkpoint/commit protocol."""
+    from aetherium_trader_datapipeline_spark.streaming.ingest import ingest_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first = tick_day.where("hour(timestamp) < 12")
+    second = tick_day.where("hour(timestamp) >= 12")
+    n1, n2 = first.count(), second.count()
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(tick_day.schema).parquet(src)
+    q = ingest_stream(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(tick_day.schema).parquet(src)
+    q = ingest_stream(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == n1 + n2  # second file applied exactly once
+    assert back.select("timestamp").distinct().count() == n1 + n2
+
+    # idle restart: nothing new to process, nothing written
+    stream = spark.readStream.schema(tick_day.schema).parquet(src)
+    q = ingest_stream(stream, out, ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1 + n2
