@@ -316,3 +316,68 @@ def test_asof_join_pandas_equals_window_form(spark, tables):
     ka = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
     kb = sorted(map(tuple, b.select(*sorted(b.columns)).collect()))
     assert ka == kb and len(ka) > 0
+
+
+def test_minhash_hash_families_agree_on_dup_groups(spark):
+    """Production (xxhash64) and portable (md5) MinHash pipelines recover
+    the SAME duplicate clusters on a corpus with planted near-dup groups —
+    the cross-check that justifies using the fast hash family in
+    production and the portable one for oracle verification."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_portable_assignments,
+        minhash_signatures,
+    )
+
+    # Long texts: one perturbed word leaves bigram-Jaccard ≈ 0.93, far above
+    # the band threshold, so candidate recall is ~certain per pair.
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank while "
+        "morning fog settles across the quiet valley and birds begin their song "
+        "above the old stone bridge crossing the shallow water",
+        "spark partitions shuffle planning broadcast joins adaptive execution "
+        "catalyst optimizer whole stage codegen tungsten memory format column "
+        "pruning predicate pushdown dynamic partition elimination runtime filters",
+        "parquet footers row groups dictionary encoding page statistics bloom "
+        "filters column chunks compression codecs schema evolution metadata "
+        "caching vectorized readers arrow batches zero copy buffers",
+    ]
+    rows = []
+    doc_id = 0
+    for g, text in enumerate(base):
+        for copy in range(4):  # 4 near-identical copies per group
+            words = text.split()
+            if copy:  # perturb one word so copies are near- not exact dups
+                words[copy] = words[copy] + "x"
+            rows.append((doc_id, g, " ".join(words)))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id LONG, grp LONG, text STRING")
+
+    # Production path: candidate pairs -> cluster by transitivity.
+    sigs = minhash_signatures(df, "doc_id", num_perm=32)
+    pairs = minhash_lsh_candidates(sigs, num_perm=32, bands=8).collect()
+    parent = {i: i for i in range(doc_id)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r.a)] = find(r.b)
+    prod_clusters = {}
+    for i in range(doc_id):
+        prod_clusters.setdefault(find(i), set()).add(i)
+
+    # Portable path: bucket-min assignments -> same union-find.
+    parent = {i: i for i in range(doc_id)}
+    for r in minhash_portable_assignments(df, "doc_id").collect():
+        parent[find(r.id)] = find(r.rep)
+    port_clusters = {}
+    for i in range(doc_id):
+        port_clusters.setdefault(find(i), set()).add(i)
+
+    expected = [set(range(g * 4, g * 4 + 4)) for g in range(3)]
+    assert sorted(map(sorted, prod_clusters.values())) == sorted(map(sorted, expected))
+    assert sorted(map(sorted, port_clusters.values())) == sorted(map(sorted, expected))
