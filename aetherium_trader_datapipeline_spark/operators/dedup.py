@@ -365,6 +365,10 @@ def minhash_portable_assignments(
     exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bk").alias("bk")
     )
+    # Both the join probe side and bucket_min consume `exploded`; without a
+    # cut Spark re-derives the whole shingle→md5→16-MIN pipeline twice.
+    # The frame is only bands×n small rows — materialize it once.
+    exploded = exploded.localCheckpoint(eager=True)
     bucket_min = exploded.groupBy("band", "bk").agg(F.min("id").alias("rep"))
     return (
         exploded.join(bucket_min, ["band", "bk"])
