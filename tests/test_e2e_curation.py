@@ -68,3 +68,60 @@ def test_streaming_curation_equals_batch(spark, tmp_path):
     e = sorted((r["text"], r["lang"], r["source"]) for r in expect.collect())
     assert g == e
     assert got.count() > 0
+
+
+def test_full_batch_curation_with_neardup_collapse(spark, tmp_path):
+    """The complete curation chain on a corpus with planted near-dups:
+    quality gate → MinHash bucket-min assignments → connected components →
+    keep the min-id representative per near-dup cluster → domain mix →
+    sequence packing. Verifies the assignment edges reproduce the planted
+    clusters and that exactly one representative per cluster survives."""
+    from aetherium_trader_datapipeline_spark.operators.curation import (
+        domain_mix_sample,
+        pack_sequences,
+    )
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_portable_assignments,
+    )
+    from aetherium_trader_datapipeline_spark.operators.graph import connected_components
+
+    docs = load_tables(spark, SF)["documents"]
+    # Plant 3 near-identical variants of 5 docs (one-word growth per copy).
+    originals = docs.limit(5).select("doc_id", "lang", "source", "text")
+    variants = []
+    for i in range(1, 3):
+        variants.append(
+            originals.select(
+                (F.col("doc_id") + F.lit(100_000 * i)).alias("doc_id"),
+                "lang",
+                "source",
+                F.concat_ws(" ", "text", F.lit(f"tail{i}")).alias("text"),
+            )
+        )
+    corpus = docs.select("doc_id", "lang", "source", "text")
+    for v in variants:
+        corpus = corpus.unionByName(v)
+
+    edges = minhash_portable_assignments(corpus, "doc_id")
+    comps = connected_components(edges, src="id", dst="rep")
+    canonical = (
+        corpus.join(comps, corpus.doc_id == comps.node, "left")
+        .withColumn("cluster", F.coalesce("component", "doc_id"))
+        .where(F.col("doc_id") == F.col("cluster"))  # keep min-id rep
+        .select("doc_id", "lang", "source", "text")
+    )
+    # every planted variant collapsed onto its original
+    kept_ids = {r.doc_id for r in canonical.select("doc_id").collect()}
+    assert all(oid in kept_ids for oid in range(5))
+    assert not any(i >= 100_000 for i in kept_ids)
+
+    weights = spark.createDataFrame(_WEIGHTS, "source string, w double")
+    mixed = domain_mix_sample(canonical, weights, default_weight=0.5)
+    packed = pack_sequences(mixed, id_col="doc_id", text_col="text", budget=512)
+    assert packed.count() > 0
+    # a doc over budget gets its own pack; multi-doc packs stay within it
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("tokens").alias("tok"), F.count(F.lit(1)).alias("n")
+    )
+    viol = per_pack.where((F.col("n") > 1) & (F.col("tok") > 512)).count()
+    assert viol == 0
