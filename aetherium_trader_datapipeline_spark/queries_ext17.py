@@ -382,3 +382,87 @@ register_sql(
     """,
     tags=("timeseries", "ohlcv", "rollup"),
 )
+
+# -- x154: bigram PMI (collocation mining) ----------------------------------
+#
+# Pointwise mutual information over corpus bigrams: the phrase-mining pass
+# that finds multi-word units worth treating as tokens. All counting is
+# exact integer aggregation; the PMI itself is per-row double math on
+# counts (no float SUMs), so it is engine-deterministic without decimal
+# tricks.
+
+register_sql(
+    "x154_bigram_pmi",
+    spark_sql="""
+    WITH toks AS (
+      SELECT doc_id, w, idx FROM documents
+      LATERAL VIEW posexplode(split(lower(text), ' ')) t AS idx, w),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+      GROUP BY a.w, b.w),
+    btot AS (SELECT SUM(c) AS bn FROM big)
+    SELECT w1, w2, big.c AS c,
+           ROUND(log2((big.c / bn) / ((u1.c / n) * (u2.c / n))), 4) AS pmi
+    FROM big JOIN uni u1 ON big.w1 = u1.w JOIN uni u2 ON big.w2 = u2.w
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE big.c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+    duckdb_sql="""
+    WITH toks AS (
+      SELECT doc_id, ws[i] AS w, i AS idx FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        LATERAL unnest(generate_series(1, len(ws))) AS t(i)),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS c
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+      GROUP BY a.w, b.w),
+    btot AS (SELECT SUM(c) AS bn FROM big)
+    SELECT w1, w2, big.c AS c,
+           ROUND(log2((big.c / bn) / ((u1.c / n) * (u2.c / n))), 4) AS pmi
+    FROM big JOIN uni u1 ON big.w1 = u1.w JOIN uni u2 ON big.w2 = u2.w
+    CROSS JOIN tot CROSS JOIN btot
+    WHERE big.c >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 100
+    """,
+    tags=("text", "llm", "stats"),
+)
+
+# -- x155: Arrow-optimized Python UDF (Spark 4 useArrow) --------------------
+#
+# Completes the Q38 UDF surface tiers: row-at-a-time udf (x40), pandas_udf
+# (x41/x56), applyInPandas/mapInPandas (x77/x138/x142) — and here the
+# Spark 4 Arrow-optimized scalar udf (useArrow=True), which keeps the
+# Python worker but swaps pickle row transfer for Arrow batches. The
+# logic is deliberately SQL-replayable so the whole path hash-verifies.
+
+def _x155_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def chars_per_token(n_chars: int, text: str) -> float:
+        toks = text.split(" ")
+        return float(n_chars) / (1.0 + len(toks))
+
+    t = load_tables(spark, sf_dir)
+    out = t["documents"].select(
+        "doc_id",
+        F.round(chars_per_token(F.col("n_chars"), F.col("text")), 4).alias("cpt"),
+    )
+    return out.orderBy("doc_id").limit(300)
+
+
+register(
+    "x155_arrow_udf",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(n_chars AS DOUBLE) / (1.0 + len(string_split(text, ' '))), 4) AS cpt
+    FROM documents ORDER BY doc_id LIMIT 300
+    """,
+    tags=("udf", "arrow"),
+)(_x155_run)
