@@ -26,6 +26,7 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 
 register_sql(
     "x143_doc_chunking",
+    headline=True,
     spark_sql="""
     SELECT doc_id, ci AS chunk_idx,
            array_join(slice(ws, ci * 64 + 1, 128), ' ') AS chunk_text,
@@ -344,6 +345,7 @@ register_sql(
 
 register_sql(
     "x153_ohlcv_cascade",
+    headline=True,
     spark_sql="""
     WITH m AS (
       SELECT user_id, date_trunc('minute', ts) AS wm,
