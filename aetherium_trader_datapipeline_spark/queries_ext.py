@@ -394,11 +394,39 @@ def x50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(t["embeddings"], "vec_id", "embedding", dim=64, k=20)
 
 
-@register("x63_stateful_ratelimit", oracle=None, tags=("ratelimit", "stateful"))
+@register(
+    "x63_stateful_ratelimit",
+    # The admission recurrence (denied requests leave no window trace) is
+    # sequential, but a list-carrying recursive CTE replays it exactly:
+    # state = admitted-request timestamps inside the longest window,
+    # trimmed and appended per step in row_number order — the same
+    # ZREMRANGEBYSCORE/ZCARD/ZADD walk as _admit_kernel (limiter.lua:21-53).
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS tms,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events),
+    rec AS (
+      SELECT user_id, rn, ts, TRUE AS admitted, [tms] AS hist
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts,
+             (len(list_filter(r.hist, x -> x > o.tms - 3600000)) < 3
+              AND len(list_filter(r.hist, x -> x > o.tms - 600000)) < 1) AS admitted,
+             CASE WHEN (len(list_filter(r.hist, x -> x > o.tms - 3600000)) < 3
+                        AND len(list_filter(r.hist, x -> x > o.tms - 600000)) < 1)
+                  THEN list_append(list_filter(r.hist, x -> x > o.tms - 3600000), o.tms)
+                  ELSE list_filter(r.hist, x -> x > o.tms - 3600000) END AS hist
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+    SELECT user_id, ts, admitted FROM rec ORDER BY user_id, ts LIMIT 500
+    """,
+    tags=("ratelimit", "stateful"),
+)
 def x63_stateful_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch form of the applyInPandasWithState R1 admission kernel
-    (sequential — denied requests leave no window trace, so it is not
-    SQL-expressible; streaming==batch equivalence in test_streaming.py)."""
+    """Batch form of the applyInPandasWithState R1 admission kernel;
+    streaming==batch equivalence in test_streaming.py, and the sequential
+    recurrence itself is hash-verified against a recursive-CTE replay."""
     from aetherium_trader_datapipeline_spark.streaming.stateful import (
         RateWindow,
         rate_limit_batch,
