@@ -139,11 +139,23 @@ def asof_join(
             for c in right_value_cols
         ],
     )
+    # Distance comparison must work for any orderable ts type (timestamps
+    # via epoch µs; numeric epoch columns as-is), keeping the three
+    # directions API-consistent.
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(left.schema[ts_col].dataType, (TimestampType, TimestampNTZType)):
+        def scale(c: F.Column) -> F.Column:  # type: ignore[name-defined]
+            return F.unix_micros(c.cast("timestamp"))
+    else:
+        def scale(c):
+            return c
+
     take_bwd = F.col("__bts").isNotNull() & (
         F.col("__fts").isNull()
         | (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__bts"))
-            <= F.unix_micros(F.col("__fts")) - F.unix_micros(F.col(ts_col))
+            scale(F.col(ts_col)) - scale(F.col("__bts"))
+            <= scale(F.col("__fts")) - scale(F.col(ts_col))
         )
     )
     picked = both.select(

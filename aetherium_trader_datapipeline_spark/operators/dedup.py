@@ -258,21 +258,18 @@ def portable_perm_consts(num_perm: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_portable_candidates(
+def _portable_band_explode(
     df: DataFrame,
     id_col: str,
-    text_col: str = "text",
-    shingle_size: int = 2,
-    num_perm: int = 16,
-    bands: int = 4,
+    text_col: str,
+    shingle_size: int,
+    num_perm: int,
+    bands: int,
 ) -> DataFrame:
-    """LSH candidate pairs (a, b, n_bands) under the portable hash family.
-
-    Same plan shape as the xxhash64 path: one shuffle to aggregate
-    ``num_perm`` MIN columns, explode to (band, key), equality self-join on
-    the bucket. Band keys are decimal-string concatenations, identical in
-    any engine.
-    """
+    """(id, band, bk) rows under the portable hash family — the shared
+    front half of the candidate-pair and assignment paths (one shuffle to
+    aggregate ``num_perm`` MIN columns, then the band-struct explode).
+    Band keys are decimal-string concatenations, identical in any engine."""
     a_c, b_c = portable_perm_consts(num_perm)
     sh = _shingles(df, id_col, text_col, shingle_size)
     h = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
@@ -299,8 +296,27 @@ def minhash_portable_candidates(
         )
         for j in range(bands)
     ]
-    exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bk").alias("bk")
+    )
+
+
+def minhash_portable_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 2,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs (a, b, n_bands) under the portable hash family.
+
+    Same plan shape as the xxhash64 path: band explode + equality
+    self-join on the bucket. Quadratic in bucket size — use
+    ``minhash_portable_assignments`` on duplicate-heavy corpora.
+    """
+    exploded = _portable_band_explode(
+        df, id_col, text_col, shingle_size, num_perm, bands
     )
     lhs = exploded.select(F.col("id").alias("a"), "band", "bk")
     rhs = exploded.select(F.col("id").alias("b"), "band", "bk")
@@ -333,48 +349,27 @@ def minhash_portable_assignments(
     these edges to connected components (operators/graph.py) reproduces
     the clusters the pair set implies — but join cardinality is bands×n.
 
-    Returns (id, rep) for every doc with at least one smaller-id candidate
-    peer; docs absent from the result are their own representatives.
+    Returns DISTINCT (id, rep) edges — per doc, one edge to the min id of
+    EACH band bucket it shares (not collapsed to a single min: doc 9 in
+    buckets {5,9} and {7,9} must emit both 9→5 and 9→7, or the 5–7 link
+    the pair graph implies through 9 is lost and clusters under-merge).
+    ≤ ``bands`` edges per doc, so cardinality stays linear. Docs absent
+    from the result are their own representatives.
     """
-    a_c, b_c = portable_perm_consts(num_perm)
-    sh = _shingles(df, id_col, text_col, shingle_size)
-    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
-    sig = (
-        sh.select("id", h.alias("h"))
-        .groupBy("id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(a_c[i]) * F.col("h") + F.lit(b_c[i]))
-                    % F.lit(PORTABLE_MINHASH_P)
-                ).alias(f"mh{i}")
-                for i in range(num_perm)
-            ]
-        )
-    )
-    rpb = num_perm // bands
-    band_cols = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.concat_ws(
-                "-", *[F.col(f"mh{j * rpb + r}").cast("string") for r in range(rpb)]
-            ).alias("bk"),
-        )
-        for j in range(bands)
-    ]
-    exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "id", F.col("b.band").alias("band"), F.col("b.bk").alias("bk")
+    exploded = _portable_band_explode(
+        df, id_col, text_col, shingle_size, num_perm, bands
     )
     # Both the join probe side and bucket_min consume `exploded`; without a
-    # cut Spark re-derives the whole shingle→md5→16-MIN pipeline twice.
-    # The frame is only bands×n small rows — materialize it once.
-    exploded = exploded.localCheckpoint(eager=True)
+    # cut Spark re-derives the whole shingle→md5→16-MIN pipeline twice. The
+    # frame is only bands×n small rows — checkpoint it (lazily: the cut
+    # materializes on first action, so plan-only callers pay nothing).
+    exploded = exploded.localCheckpoint(eager=False)
     bucket_min = exploded.groupBy("band", "bk").agg(F.min("id").alias("rep"))
     return (
         exploded.join(bucket_min, ["band", "bk"])
         .where(F.col("rep") < F.col("id"))
-        .groupBy("id")
-        .agg(F.min("rep").alias("rep"))
+        .select("id", "rep")
+        .distinct()
     )
 
 

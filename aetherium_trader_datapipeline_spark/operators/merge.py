@@ -36,6 +36,7 @@ def merge_upsert(
     key_cols: list[str],
     partition_col: str,
     delete_col: str | None = None,
+    seq_col: str | None = None,
 ) -> dict:
     """Upsert `changes` into the parquet table at `table_path`.
 
@@ -43,28 +44,49 @@ def merge_upsert(
     the caller's responsibility — dedupe first); unmatched keys insert.
     Rows with `delete_col = true` are tombstones: the key is removed.
     Only partitions present in `changes` are rewritten.
+
+    ``seq_col``: when given, the column is persisted in the table and a
+    matched key is replaced (or tombstoned) only if the change's sequence
+    is >= the stored one — out-of-order change feeds can no longer clobber
+    newer state with older values (ties prefer the change).
     """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         touched = [r[0] for r in changes.select(partition_col).distinct().collect()]
-        upserts = changes
-        if delete_col is not None:
-            upserts = changes.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+
+        def minus_tombstones(df: DataFrame) -> DataFrame:
+            if delete_col is None:
+                return df
+            return df.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
                 delete_col
             )
+
         try:
             current = spark.read.parquet(table_path).where(
                 F.col(partition_col).isin(touched)
             )
-            # keep current rows whose key has no row (upsert OR tombstone)
-            # in the change batch
+            eff = changes
+            if seq_col is not None:
+                cur_seq = current.select(
+                    *key_cols, F.col(seq_col).alias("__cur_seq")
+                )
+                eff = (
+                    changes.join(cur_seq, on=key_cols, how="left")
+                    .where(
+                        F.col("__cur_seq").isNull()
+                        | (F.col(seq_col) >= F.col("__cur_seq"))
+                    )
+                    .drop("__cur_seq")
+                )
+            # keep current rows whose key has no surviving row (upsert OR
+            # tombstone) in the change batch
             keep = current.join(
-                changes.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+                eff.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )
-            merged = keep.unionByName(upserts)
+            merged = keep.unionByName(minus_tombstones(eff))
         except Exception:  # table does not exist yet → plain insert
-            merged = upserts
+            merged = minus_tombstones(changes)
         # Dynamic overwrite only replaces partitions PRESENT in the output;
         # a partition fully emptied by tombstones writes no rows, so its old
         # files would survive. Find those partitions BEFORE the write (the

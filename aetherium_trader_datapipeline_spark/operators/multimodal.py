@@ -83,6 +83,9 @@ def parse_image_header(blob: bytes) -> tuple[int, int, str] | None:
         while i + 9 <= len(b):
             if b[i] != 0xFF:
                 return None
+            # JPEG allows any number of 0xFF fill bytes before the marker
+            while i + 9 <= len(b) and b[i + 1] == 0xFF:
+                i += 1
             marker = b[i + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
                 i += 2

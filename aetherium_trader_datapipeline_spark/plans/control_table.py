@@ -90,36 +90,37 @@ class ControlTable:
         os.replace(tmp, self._path(st.job_key))  # atomic commit (IDD.md:26-28)
 
     @contextlib.contextmanager
-    def _locked(self, key: str, timeout_s: float = 5.0, stale_s: float = 30.0):
-        """Per-key critical section via `O_CREAT|O_EXCL` lockfile.
+    def _locked(self, key: str, timeout_s: float = 5.0):
+        """Per-key critical section via ``flock(LOCK_EX)`` on a lockfile.
 
-        Exclusive create is atomic on POSIX, so exactly one writer enters;
-        others spin (1 ms) up to ``timeout_s``. A lockfile older than
-        ``stale_s`` is treated as left by a dead process and broken — the
-        file-based analogue of the reference's Redis lock TTL.
+        The kernel grants the exclusive lock to exactly one holder and
+        releases it automatically when the holding process dies — so there
+        is no stale-lock state to detect and no break-the-lock window for
+        two waiters to race through (an unlink-based stale-break has an
+        unavoidable TOCTOU: a waiter can delete a FRESH lock another
+        waiter just created). The lockfile itself is never unlinked.
+        Waiters poll non-blocking every 1 ms up to ``timeout_s``.
         """
+        import fcntl
+
         lock = self._path(key) + ".lock"
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR)
         deadline = time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > stale_s:
-                        os.unlink(lock)  # break dead writer's lock
-                        continue
-                except FileNotFoundError:
-                    continue  # holder just released; retry immediately
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"lock contention on {key}")
-                time.sleep(0.001)
         try:
-            yield
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except BlockingIOError:
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"lock contention on {key}")
+                    time.sleep(0.001)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
         finally:
             os.close(fd)
-            with contextlib.suppress(FileNotFoundError):
-                os.unlink(lock)
 
     # -- J1: init / stale takeover (backfill_service.rs:82-115) ------------
 

@@ -227,10 +227,10 @@ _X129_ORACLE = (
     bucket_min AS (
       SELECT band, bk, MIN(id) AS rep FROM bands GROUP BY band, bk
     )
-    SELECT e.id, MIN(m.rep) AS rep
+    SELECT DISTINCT e.id, m.rep
     FROM bands e JOIN bucket_min m ON e.band = m.band AND e.bk = m.bk
     WHERE m.rep < e.id
-    GROUP BY e.id ORDER BY id LIMIT 200
+    ORDER BY id, rep LIMIT 200
 """
 )
 
@@ -260,7 +260,7 @@ def x129_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_portable_assignments(
             t["documents"], "doc_id", num_perm=_NP, bands=_NB
         )
-        .orderBy("id")
+        .orderBy("id", "rep")
         .limit(200)
     )
 

@@ -3,9 +3,9 @@ events stream — the query side of the reference's tick domain (K-bar docs,
 docs/…系統設計文件.md:69-72, generalized beyond OHLCV):
 
 - EMA: a linear recurrence (not a plain window aggregate) — exact per-key
-  left fold over the FULL history via ``applyInPandas``
-  (operators/timeseries.py), hash-matched against a DuckDB recursive-CTE
-  oracle computing the same IEEE-double fold.
+  left fold over the FULL history via a sorted-partition ``mapInPandas``
+  pass (operators/timeseries.py), hash-matched against a DuckDB
+  recursive-CTE oracle computing the same IEEE-double fold.
 - Resample + forward fill: hourly spine per key (sequence/explode) LEFT
   JOIN hourly aggregates, gap-fill with LAST_VALUE IGNORE NULLS — the
   batch form of gap repair on a downsampled tick store.

@@ -35,22 +35,27 @@ def merge_stream(
 ) -> StreamingQuery:
     """Start a streaming query applying a CDC feed to a keyed table.
 
-    ``seq_col`` orders changes within a batch (last write per key wins);
-    ``delete_col`` marks tombstones (key removed from the table).
+    ``seq_col`` orders changes globally: within a batch the highest seq
+    per key wins (ties broken deterministically by a content hash), and
+    the column is persisted in the table so a LATER micro-batch carrying
+    an OLDER seq (out-of-order file arrival) cannot clobber newer state —
+    merge_upsert compares it per key. ``delete_col`` marks tombstones.
     """
     from aetherium_trader_datapipeline_spark.operators.merge import merge_upsert
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        # Last-writer-wins within the batch: highest seq per key.
+        # Last-writer-wins within the batch: highest seq per key; equal-seq
+        # rows tie-break on a hash of the full row so replays pick the same
+        # winner every time.
         w = Window.partitionBy(*key_cols).orderBy(
-            F.col(seq_col).desc(), *[F.col(c) for c in key_cols]
+            F.col(seq_col).desc(), F.xxhash64(F.struct(*batch.columns))
         )
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
-            .drop("__rn", seq_col)
+            .drop("__rn")
         )
         merge_upsert(
             batch.sparkSession,
@@ -59,6 +64,7 @@ def merge_stream(
             key_cols=key_cols,
             partition_col=partition_col,
             delete_col=delete_col,
+            seq_col=seq_col,
         )
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(

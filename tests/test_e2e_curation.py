@@ -87,7 +87,7 @@ def test_full_batch_curation_with_neardup_collapse(spark, tmp_path):
 
     docs = load_tables(spark, SF)["documents"]
     # Plant 3 near-identical variants of 5 docs (one-word growth per copy).
-    originals = docs.limit(5).select("doc_id", "lang", "source", "text")
+    originals = docs.orderBy("doc_id").limit(5).select("doc_id", "lang", "source", "text")
     variants = []
     for i in range(1, 3):
         variants.append(
@@ -111,8 +111,9 @@ def test_full_batch_curation_with_neardup_collapse(spark, tmp_path):
         .select("doc_id", "lang", "source", "text")
     )
     # every planted variant collapsed onto its original
+    orig_ids = [r.doc_id for r in originals.select("doc_id").collect()]
     kept_ids = {r.doc_id for r in canonical.select("doc_id").collect()}
-    assert all(oid in kept_ids for oid in range(5))
+    assert all(oid in kept_ids for oid in orig_ids)
     assert not any(i >= 100_000 for i in kept_ids)
 
     weights = spark.createDataFrame(_WEIGHTS, "source string, w double")

@@ -118,3 +118,16 @@ def test_embed_blobs_feeds_similarity(spark, blobs):
     top = pairwise_cosine_topk(emb, "media_id", "embedding", k=3).collect()
     assert len(top) == 3
     assert all(-1.0 <= r.sim <= 1.0 for r in top)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """JPEG permits 0xFF padding before any marker; the walk must skip it."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        encode_jpeg,
+        parse_image_header,
+    )
+
+    blob = encode_jpeg(33, 44)
+    # inject two fill bytes before the first segment after SOI
+    padded = blob[:2] + b"\xff\xff" + blob[2:]
+    assert parse_image_header(padded) == (33, 44, "jpeg")

@@ -381,3 +381,31 @@ def test_minhash_hash_families_agree_on_dup_groups(spark):
     expected = [set(range(g * 4, g * 4 + 4)) for g in range(3)]
     assert sorted(map(sorted, prod_clusters.values())) == sorted(map(sorted, expected))
     assert sorted(map(sorted, port_clusters.values())) == sorted(map(sorted, expected))
+
+
+def test_assignment_edges_preserve_pair_graph_components(spark, tables):
+    """Regression for the bucket-min under-merge: components built from the
+    linear (id, rep) assignment edges must equal components built from the
+    quadratic all-pairs candidate set — including clusters linked only
+    TRANSITIVELY through a doc that shares different buckets with each
+    side (one min-edge per doc would break those)."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_portable_assignments,
+        minhash_portable_candidates,
+    )
+    from aetherium_trader_datapipeline_spark.operators.graph import connected_components
+
+    docs = tables["documents"]
+    pair_edges = minhash_portable_candidates(docs, "doc_id").select(
+        F.col("a").alias("id"), F.col("b").alias("rep")
+    )
+    assign_edges = minhash_portable_assignments(docs, "doc_id")
+
+    def comps(edges):
+        rows = connected_components(edges, src="id", dst="rep").collect()
+        byc = {}
+        for r in rows:
+            byc.setdefault(r.component, set()).add(r.node)
+        return sorted(sorted(c) for c in byc.values())
+
+    assert comps(assign_edges) == comps(pair_edges)

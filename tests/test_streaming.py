@@ -483,6 +483,12 @@ def test_merge_stream_applies_cdc(spark, tmp_path):
         schema,
     ).coalesce(1).write.mode("append").parquet(src)
 
+    # Delayed file: an OLDER change (seq=2) for key 1 arrives in a LATER
+    # micro-batch — the persisted seq must keep it from clobbering seq=3.
+    spark.createDataFrame([(1, "a", "v1-stale", 2, False)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     q = merge_stream(
         stream,
@@ -496,8 +502,8 @@ def test_merge_stream_applies_cdc(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = {r.k: (r.part, r.val) for r in spark.read.parquet(table).collect()}
-    assert got == {1: ("a", "v1-new"), 3: ("b", "v3"), 4: ("c", "v4")}
+    got = {r.k: (r.part, r.val, r.seq) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a", "v1-new", 3), 3: ("b", "v3", 1), 4: ("c", "v4", 2)}
 
 
 def test_ingest_restart_exactly_once(spark, tick_day, tmp_path):
