@@ -308,16 +308,27 @@ def minhash_portable_candidates(
     shingle_size: int = 2,
     num_perm: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (a, b, n_bands) under the portable hash family.
 
     Same plan shape as the xxhash64 path: band explode + equality
-    self-join on the bucket. Quadratic in bucket size — use
-    ``minhash_portable_assignments`` on duplicate-heavy corpora.
+    self-join on the bucket. Quadratic in bucket size — pass
+    ``max_bucket`` to skip hotter buckets (their members are near-certain
+    duplicates better handled by ``minhash_portable_assignments`` +
+    connected components, which stays linear), or use the assignment form
+    outright on duplicate-heavy corpora.
     """
     exploded = _portable_band_explode(
         df, id_col, text_col, shingle_size, num_perm, bands
     )
+    if max_bucket is not None:
+        sizes = exploded.groupBy("band", "bk").agg(F.count(F.lit(1)).alias("__n"))
+        exploded = (
+            exploded.join(sizes, ["band", "bk"])
+            .where(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
     lhs = exploded.select(F.col("id").alias("a"), "band", "bk")
     rhs = exploded.select(F.col("id").alias("b"), "band", "bk")
     return (

@@ -409,3 +409,24 @@ def test_assignment_edges_preserve_pair_graph_components(spark, tables):
         return sorted(sorted(c) for c in byc.values())
 
     assert comps(assign_edges) == comps(pair_edges)
+
+
+def test_minhash_pairs_max_bucket_caps_fanout(spark):
+    """The hot-bucket guard: a 12-copy duplicate cluster produces C(12,2)
+    pairs uncapped; with max_bucket the bucket is skipped entirely and
+    pair output stays bounded while distinct small clusters survive."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_portable_candidates,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    text_b = "one two three four five six seven eight nine ten eleven " * 3
+    rows = [(i, text_a) for i in range(12)] + [(100, text_b), (101, text_b)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    uncapped = minhash_portable_candidates(df, "doc_id").count()
+    capped = minhash_portable_candidates(df, "doc_id", max_bucket=5)
+    capped_pairs = {(r.a, r.b) for r in capped.collect()}
+    assert uncapped >= 66 + 1  # C(12,2) hot cluster + the small pair
+    assert (100, 101) in capped_pairs  # small cluster survives the cap
+    assert not any(a < 100 for a, _ in capped_pairs)  # hot bucket skipped
