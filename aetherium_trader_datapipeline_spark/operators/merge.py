@@ -84,7 +84,10 @@ def merge_upsert(
             keep = current.join(
                 eff.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )
-            merged = keep.unionByName(minus_tombstones(eff))
+            # allowMissingColumns: additive schema evolution — a change
+            # batch may carry new columns (old rows get NULL) and old
+            # columns the batch lacks survive as NULL on the new rows.
+            merged = keep.unionByName(minus_tombstones(eff), allowMissingColumns=True)
         except Exception:  # table does not exist yet → plain insert
             merged = minus_tombstones(changes)
         # Dynamic overwrite only replaces partitions PRESENT in the output;

@@ -127,3 +127,26 @@ def test_merge_upsert_idempotent_reapply(spark):
             (2, "B", "p2"),
             (4, "d", "p3"),
         }
+
+
+def test_merge_upsert_additive_schema_evolution(spark, tmp_path):
+    """A change batch carrying a NEW column merges cleanly: existing rows
+    get NULL for it, and subsequent reads see the widened schema."""
+    from aetherium_trader_datapipeline_spark.operators.merge import merge_upsert
+
+    table = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", "v1"), (2, "a", "v2")], "k LONG, part STRING, val STRING"
+    ).write.partitionBy("part").parquet(table)
+
+    changes = spark.createDataFrame(
+        [(2, "a", "v2-new", "extra2"), (3, "a", "v3", "extra3")],
+        "k LONG, part STRING, val STRING, note STRING",
+    )
+    merge_upsert(spark, table, changes, key_cols=["k"], partition_col="part")
+
+    got = {
+        r.k: (r.val, r.note)
+        for r in spark.read.option("mergeSchema", "true").parquet(table).collect()
+    }
+    assert got == {1: ("v1", None), 2: ("v2-new", "extra2"), 3: ("v3", "extra3")}
