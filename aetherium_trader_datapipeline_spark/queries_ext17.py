@@ -1,16 +1,18 @@
-"""Seventeenth extension wave: training-data preparation operators that a
-100 TB text pipeline runs between curation and tokenization —
+"""Seventeenth extension wave — round-3 additions, all DuckDB
+hash-verified:
 
-- document chunking into overlapping token windows (the context-window
-  packing precursor): pure ``split``/``sequence``/``explode``/``slice``
-  expressions, rows fan out JVM-side, no Python;
-- PII redaction (email/phone scrub) via global ``regexp_replace`` chains —
-  expression-only, so the scan stays in whole-stage codegen;
-- lexical-diversity scoring via word-distribution Shannon entropy, with
-  the per-term products accumulated in DECIMAL so the cross-engine hash is
-  summation-order-independent (the repo-wide pattern for double SUMs).
+Training-data prep (documents): x143 overlapping token-window chunking
+(pure split/sequence/explode/slice — JVM-side fan-out), x144 PII
+redaction (global regexp_replace chains, codegen'd), x146 word-entropy
+lexical diversity (decimal-exact Σ c·log2 c), x154 bigram-PMI
+collocation mining, x155 Spark 4 Arrow-optimized scalar UDF surface.
 
-All three are hash-verified against DuckDB on the documents fixture.
+Joins/time-series (events): x147 interval-coverage range join, x148/x149
+forward/nearest as-of directions (operators/asof.py), x153 cascading
+OHLCV rollup (minute → hour K-bars; mergeability proven in pytest).
+
+Data quality: x151 FK orphan audit (anti-join per edge), x152 per-column
+profile (null fraction / exact distinct / range).
 """
 
 from __future__ import annotations
