@@ -7,20 +7,31 @@ under per-row double math, hash orderings with tie-breakers).
   ranks by ln(u)/w — the top-k under that key IS a weight-proportional
   sample, reproducible across engines and runs. This is the scale form
   of weighted sampling: one TakeOrdered, no per-group state.
-- x167 containment (|A∩B| / |A|) over 3-token shingles: the asymmetric
+- x167 containment (|A∩B| / |A|) over 5-token shingles: the asymmetric
   near-subset detector that Jaccard misses (a short doc embedded in a
-  long one scores low Jaccard but high containment). Hot shingles are
-  capped (df ≤ 50) on the join side — the same stop-shingle guard as
-  operators/dedup.py:77 — so candidate fan-out stays bounded; the
-  denominator stays the full shingle count.
+  long one scores low Jaccard but high containment). Candidate-then-
+  verify shape: candidate pairs come ONLY from rare shingles (df ≤ 50 —
+  the stop-shingle guard of operators/dedup.py:77, keeping pair fan-out
+  Σdf² bounded; a relaxed corpus-relative cap measured 88 s at 10× from
+  quadratic hot-shingle pairs), then the containment numerator is
+  verified over ALL shared shingles of each candidate pair, so scores
+  are exact. Pairs sharing only hot shingles are missed — the standard
+  LSH-style recall trade; near-identical docs reach the exact-dup and
+  MinHash paths instead. Width 5 (not 3): on this corpus 3-gram
+  collisions produce 2.26 M candidate pairs where 5-grams produce 2,920
+  for the same top pairs — shingle width is the first-order fan-out
+  knob, before any cap.
 - x168 dedup keep-best: dup groups by a 10-token-prefix fingerprint
   (md5 of the normalized prefix — the URL/boilerplate-dup heuristic;
   exact-text grouping is q34/x55) keep the longest member (ties → lowest
   doc_id) and emit kept doc + drop count per group — the
   canonical-selection policy layered on detection.
 - x170 duplicated-span REMOVAL: the transform stage of exact substring
-  dedup (Lee et al.) — every token covered by any globally-duplicated
-  8-gram is dropped, and the surviving tokens are re-joined in order.
+  dedup (Lee et al.), keep-first semantics — a duplicated 8-gram's
+  tokens are dropped from every doc EXCEPT the lowest-doc_id owner
+  (dropping all occurrences erases the entire corpus under heavy
+  duplication — measured 0 surviving docs at 10× before the keeper
+  exemption), and surviving tokens are re-joined in order.
   Two shuffles (shingle df, doc_id regroup); the rebuild is
   array_sort(collect_list(struct(pos, w))) so output text is
   order-deterministic despite distributed aggregation.
@@ -61,18 +72,22 @@ register_sql(
     "x167_containment",
     spark_sql="""
     WITH sh AS (
-      SELECT DISTINCT doc_id, array_join(slice(ws, i, 3), ' ') AS shingle
+      SELECT DISTINCT doc_id, array_join(slice(ws, i, 5), ' ') AS shingle
       FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents
             ) d
-      LATERAL VIEW explode(sequence(1, size(ws) - 2)) t AS i
-      WHERE size(ws) >= 3),
+      LATERAL VIEW explode(sequence(1, size(ws) - 4)) t AS i
+      WHERE size(ws) >= 5),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN rare ON a.shingle = rare.shingle
+                JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
     inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-      FROM sh a JOIN ok ON a.shingle = ok.shingle
-                JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
+      SELECT c.a, c.b, COUNT(*) AS c
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b)
     SELECT a, b, c AS n_shared, sz.n AS n_a,
            ROUND(c / CAST(sz.n AS DOUBLE), 4) AS containment
     FROM inter JOIN sz ON inter.a = sz.doc_id
@@ -81,18 +96,22 @@ register_sql(
     """,
     duckdb_sql="""
     WITH sh AS (
-      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
             FROM documents) d,
-      LATERAL unnest(generate_series(1, len(ws) - 2)) AS t(i)
-      WHERE len(ws) >= 3),
+      LATERAL unnest(generate_series(1, len(ws) - 4)) AS t(i)
+      WHERE len(ws) >= 5),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN rare ON a.shingle = rare.shingle
+                JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
     inter AS (
-      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-      FROM sh a JOIN ok ON a.shingle = ok.shingle
-                JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
+      SELECT c.a, c.b, COUNT(*) AS c
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b)
     SELECT a, b, CAST(c AS BIGINT) AS n_shared, CAST(sz.n AS BIGINT) AS n_a,
            ROUND(c / CAST(sz.n AS DOUBLE), 4) AS containment
     FROM inter JOIN sz ON inter.a = sz.doc_id
@@ -143,8 +162,8 @@ register_sql(
 #
 # Position arithmetic: shingle index i is 1-based (slice semantics), so a
 # duplicated shingle at i covers 1-based token positions i..i+7; Spark's
-# posexplode is 0-based, hence the t.i + 1 in the anti-join. Documents
-# whose every token is covered disappear (same semantics both engines).
+# posexplode is 0-based, hence the t.i + 1 in the anti-join. Non-keeper
+# documents whose every token is covered disappear (same both engines).
 
 register_sql(
     "x170_dup_span_removal",
@@ -155,11 +174,12 @@ register_sql(
       FROM (SELECT doc_id, ws FROM d WHERE size(ws) >= 8)
       LATERAL VIEW explode(sequence(1, size(ws) - 7)) t AS i),
     dup AS (
-      SELECT shingle FROM sh GROUP BY shingle
+      SELECT shingle, MIN(doc_id) AS keeper FROM sh GROUP BY shingle
       HAVING COUNT(DISTINCT doc_id) > 1),
     cover AS (
       SELECT DISTINCT s.doc_id, p
-      FROM (SELECT sh.doc_id, sh.i FROM sh JOIN dup ON sh.shingle = dup.shingle) s
+      FROM (SELECT sh.doc_id, sh.i FROM sh JOIN dup
+              ON sh.shingle = dup.shingle AND sh.doc_id > dup.keeper) s
       LATERAL VIEW explode(sequence(s.i, s.i + 7)) c AS p),
     toks AS (
       SELECT doc_id, i, w FROM d LATERAL VIEW posexplode(ws) t AS i, w),
@@ -180,11 +200,12 @@ register_sql(
       FROM (SELECT doc_id, ws FROM d WHERE len(ws) >= 8) dd,
       LATERAL unnest(generate_series(1, len(ws) - 7)) AS t(i)),
     dup AS (
-      SELECT shingle FROM sh GROUP BY shingle
+      SELECT shingle, MIN(doc_id) AS keeper FROM sh GROUP BY shingle
       HAVING COUNT(DISTINCT doc_id) > 1),
     cover AS (
       SELECT DISTINCT s.doc_id, p
-      FROM (SELECT sh.doc_id, sh.i FROM sh JOIN dup USING (shingle)) s,
+      FROM (SELECT sh.doc_id, sh.i FROM sh JOIN dup
+              ON sh.shingle = dup.shingle AND sh.doc_id > dup.keeper) s,
       LATERAL unnest(generate_series(s.i, s.i + 7)) AS c(p)),
     toks AS (
       SELECT doc_id, i, ws[i] AS w FROM d,
