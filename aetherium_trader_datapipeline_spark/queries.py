@@ -773,6 +773,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext18  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext19  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext20  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext21  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a

@@ -542,3 +542,102 @@ def test_ingest_restart_exactly_once(spark, tick_day, tmp_path):
     q = ingest_stream(stream, out, ckpt, available_now=True)
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == n1 + n2
+
+
+def test_stateful_anomaly_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState anomaly flags over multiple micro-batches
+    must equal the batch kernel over the full history (trailing-value
+    state carries), and both must match the x161-style SQL window form."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.streaming.anomaly import (
+        anomaly_batch,
+        stateful_anomaly,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = pd.Timestamp("2024-01-02 09:00:00")
+    eid = 0
+    for u in ("u1", "u2"):
+        vals = rng.normal(100, 2, 120).round(2)
+        vals[40] = 200.0  # a genuine spike inside warm history
+        vals[90] = 0.01
+        for i, v in enumerate(vals):
+            rows.append((u, base + pd.Timedelta(seconds=10 * i), eid, float(v)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "value"])
+    df = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "src")
+    bounds = ["2024-01-02 09:06:00", "2024-01-02 09:13:00", None]
+    lo = None
+    for i, hi in enumerate(bounds):
+        part = df
+        if lo is not None:
+            part = part.where(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.where(F.col("ts") < hi)
+        part.coalesce(1).write.parquet(f"{src}/c{i}")
+        _time.sleep(1.1)
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*")
+    )
+    out = stateful_anomaly(
+        stream, ["user_id"], ["ts", "event_id"], "value", window=30, min_n=10
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anomaly_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.event_id, r.flagged)
+        for r in spark.sql("SELECT * FROM anomaly_state").collect()
+    }
+    batch = anomaly_batch(
+        df, ["user_id"], ["ts", "event_id"], "value", window=30, min_n=10
+    )
+    expected = {(r.user_id, r.event_id, r.flagged) for r in batch.collect()}
+    assert len(got) == 240
+    assert got == expected
+    # the planted spikes must flag; warm-up must not
+    flagged = {e for (_, e, f) in expected if f}
+    assert 40 in flagged and 160 in flagged  # u2's spike is event 120+40
+    assert not any(e in flagged for e in list(range(0, 10)))
+
+    # SQL window replay agrees with the kernel (same inequality, same frame)
+    df.createOrReplaceTempView("anomaly_in")
+    sql_flags = {
+        (r.user_id, r.event_id, bool(r.flagged))
+        for r in spark.sql(
+            """
+            WITH d AS (
+              SELECT user_id, ts, event_id,
+                     CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+              FROM anomaly_in),
+            w AS (
+              SELECT user_id, event_id, xc,
+                     COUNT(*) OVER win AS n,
+                     SUM(xc) OVER win AS s,
+                     SUM(xc * xc) OVER win AS ss
+              FROM d
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id,
+                   (n >= 10 AND (n*xc - s)*(n*xc - s) > 9*(n*ss - s*s)) AS flagged
+            FROM w
+            """
+        ).collect()
+    }
+    assert sql_flags == expected
