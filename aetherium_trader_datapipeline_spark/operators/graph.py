@@ -147,3 +147,75 @@ def dedup_clusters(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Downstream dedup = anti-join docs against rows where id != canonical_id."""
     cc = connected_components(pairs, src=a, dst=b)
     return cc.select(F.col("node").alias("id"), F.col("component").alias("canonical_id"))
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+    n_nodes: int | None = None,
+) -> DataFrame:
+    """Fixed-point integer PageRank (damping 0.85), ``iterations`` rounds.
+
+    All arithmetic is integer: ranks live at ``scale`` fixed-point, each
+    contribution is ``p DIV outdeg`` and the damped sum is
+    ``(85 * Σcontrib) DIV 100`` — truncating division on non-negative
+    ints agrees between Spark (DIV) and DuckDB (//), so the result is
+    engine-exact and hash-verifiable (x172), unlike float PageRank whose
+    per-partition double sums are order-dependent. The truncation error
+    is ≤ outdeg per node per round — at scale=1e12, noise in the 12th
+    digit, irrelevant for ranking.
+
+    Scale shape: per iteration one equality-join shuffle (share × edges)
+    plus one groupBy(dst) agg — the standard BSP PageRank round; rank
+    state is one row per node. ``n_nodes`` avoids the count job when the
+    caller already knows it (same contract as similarity.py's ``n``).
+    Fixed iteration count keeps the plan finite for Catalyst (the x139
+    k-means posture); convergence-probe loops belong to the caller.
+    """
+    # materialize the (possibly join-derived) edge list ONCE — every frame
+    # below re-reads it, and three BSP rounds would otherwise recompute the
+    # upstream join per reference (measured 8.8 s → 2.9 s at sf0.1)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n = n_nodes if n_nodes is not None else nodes.count()  # bounded scalar
+    base = scale // n
+    tele = (15 * base) // 100
+    # checkpointed frames lose Catalyst stats (graph.py:110-114 posture):
+    # broadcast the node-sized sides explicitly while they provably fit
+    small = n <= 5_000_000
+    _b = F.broadcast if small else (lambda df: df)
+
+    # name-based equi-joins throughout: every frame below re-derives from
+    # ``e``, and attribute-based conditions trip Spark's ambiguous-self-join
+    # check on shared lineage
+    deg = outdeg.withColumnRenamed("src", "node")
+    e_s = e.withColumnRenamed("src", "s")
+    p = nodes.withColumn("p", F.lit(base))
+    for _ in range(iterations):
+        share = p.join(_b(deg), "node").select(
+            F.col("node").alias("s"), F.expr("p DIV outdeg").alias("sh")
+        )
+        contrib = (
+            e_s.join(_b(share), "s")
+            .groupBy("dst")
+            .agg(F.sum("sh").alias("c"))
+            .withColumnRenamed("dst", "node")
+        )
+        p = nodes.join(_b(contrib), "node", "left").select(
+            "node",
+            (F.lit(tele) + F.expr("(85 * coalesce(c, 0L)) DIV 100")).alias("p"),
+        )
+    return p

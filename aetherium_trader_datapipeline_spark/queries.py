@@ -820,6 +820,13 @@ def _emission_order() -> list[str]:
         "x138_sequence_packing", "x139_kmeans_embeddings",
         "x129_minhash_portable", "x130_simhash_portable",
         "x72_connected_components", "x73_dup_clusters", "x77_ema",
+        # round-3 late additions: the most novel unverified keys join the
+        # window ahead of plain function-coverage keys
+        "x170_dup_span_removal", "x167_containment", "x171_stateful_anomaly",
+        "x172_pagerank",
+        "x156_bigram_lm_score", "x157_dup_span_fraction", "x161_rolling_anomaly",
+        "x163_event_funnel", "x166_weighted_sample", "x162_gram_matrix",
+        "x168_dedup_keep_best",
     ]
     rank = {k: i for i, k in enumerate(front)}
 

@@ -53,3 +53,74 @@ def x171_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_id")
         .limit(3000)
     )
+
+
+# -- x172: fixed-point integer PageRank -------------------------------------
+#
+# Random-walk centrality over the customer↔supplier trade graph (bipartite
+# edges from orders⨝lineitem, symmetrized; supplier ids offset so the two
+# key spaces don't collide). The operator (operators/graph.py:pagerank_fixed)
+# runs 3 BSP rounds entirely in fixed-point integers, so the DuckDB oracle
+# — the same 3 rounds unrolled as CTEs — matches bit-for-bit. Float
+# PageRank could never hash-verify: its per-partition sums are
+# order-dependent.
+
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _x172_oracle() -> str:
+    head = f"""
+    WITH e1 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT src, dst FROM e1 UNION SELECT dst AS src, src AS dst FROM e1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst AS node FROM edges),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    tele AS (SELECT (15 * ({_PR_SCALE} // n)) // 100 AS t FROM nn),
+    p0 AS (SELECT node, {_PR_SCALE} // n AS p FROM nodes CROSS JOIN nn)"""
+    its = []
+    for i in range(_PR_ITERS):
+        its.append(f"""
+    sh{i} AS (
+      SELECT d.src AS s, p.p // d.outdeg AS sh
+      FROM p{i} p JOIN deg d ON p.node = d.src),
+    p{i + 1} AS (
+      SELECT nd.node,
+             tele.t + (85 * COALESCE(c.c, 0)) // 100 AS p
+      FROM nodes nd CROSS JOIN tele
+      LEFT JOIN (SELECT e.dst, CAST(SUM(s.sh) AS BIGINT) AS c
+                 FROM edges e JOIN sh{i} s ON e.src = s.s
+                 GROUP BY e.dst) c ON nd.node = c.dst)""")
+    return (
+        head + "," + ",".join(its)
+        + f"""
+    SELECT node, p AS pr FROM p{_PR_ITERS}
+    ORDER BY pr DESC, node LIMIT 100
+    """
+    )
+
+
+@register("x172_pagerank", oracle=_x172_oracle(), headline=True, tags=("graph", "iterative"))
+def x172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.graph import pagerank_fixed
+
+    t = load_tables(spark, sf_dir)
+    e1 = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 10000000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    pr = pagerank_fixed(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+    return (
+        pr.select("node", F.col("p").alias("pr"))
+        .orderBy(F.desc("pr"), "node")
+        .limit(100)
+    )
