@@ -240,3 +240,83 @@ def embed_blobs(df: DataFrame, blob_col: str = "blob", dim: int = 8) -> DataFram
             yield pdf
 
     return df.mapInPandas(fn, schema=out_schema)
+
+
+def encode_wav(
+    sample_rate: int, n_channels: int, n_samples: int, bits: int = 16
+) -> bytes:
+    """A complete, valid RIFF/WAVE container (PCM fmt chunk + silent data
+    chunk, plus a LIST/INFO chunk so parsers must actually WALK chunks
+    rather than assume fixed offsets) — the audio analogue of
+    encode_png/encode_jpeg."""
+    import struct
+
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    info = b"INFO" + b"ISFT" + struct.pack("<I", 6) + b"synth\x00"
+    data = b"\x00" * (n_samples * block_align)
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_channels, bits, n_samples) from a RIFF/WAVE byte
+    stream, walking chunks (fmt may come after LIST/INFO etc.); None for
+    non-WAV bytes. Pure Python — no audio library."""
+    b = bytes(blob)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = chans = bits = block_align = None
+    n_samples = None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        payload = b[i + 8 : i + 8 + size]
+        if tag == b"fmt " and size >= 16:
+            chans = int.from_bytes(payload[2:4], "little")
+            rate = int.from_bytes(payload[4:8], "little")
+            block_align = int.from_bytes(payload[12:14], "little")
+            bits = int.from_bytes(payload[14:16], "little")
+        elif tag == b"data" and block_align:
+            n_samples = size // block_align
+        i += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if rate is None or n_samples is None:
+        return None
+    return rate, chans, bits, n_samples
+
+
+def extract_audio_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Arrow-batched header decode for audio blobs: adds sample_rate,
+    n_channels, bits, n_samples, duration_ms (integer division — exact).
+    Same mapInPandas plumbing as extract_image_meta."""
+    import pandas as pd
+
+    fields = df.schema.fieldNames()
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [
+            "sample_rate INT", "n_channels INT", "bits INT",
+            "n_samples INT", "duration_ms BIGINT",
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [parse_wav_header(b) or (0, 0, 0, 0) for b in pdf[blob_col]]
+            out = pdf[fields].copy()
+            out["sample_rate"] = [m[0] for m in metas]
+            out["n_channels"] = [m[1] for m in metas]
+            out["bits"] = [m[2] for m in metas]
+            out["n_samples"] = [m[3] for m in metas]
+            out["duration_ms"] = [
+                (m[3] * 1000) // m[0] if m[0] else 0 for m in metas
+            ]
+            yield out
+
+    return df.mapInPandas(fn, out_schema)

@@ -774,6 +774,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext19  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext20  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext21  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext22  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -823,7 +824,7 @@ def _emission_order() -> list[str]:
         # round-3 late additions: the most novel unverified keys join the
         # window ahead of plain function-coverage keys
         "x170_dup_span_removal", "x167_containment", "x171_stateful_anomaly",
-        "x172_pagerank",
+        "x172_pagerank", "x173_audio_meta", "x174_python_udtf",
         "x156_bigram_lm_score", "x157_dup_span_fraction", "x161_rolling_anomaly",
         "x163_event_funnel", "x166_weighted_sample", "x162_gram_matrix",
         "x168_dedup_keep_best",

@@ -131,3 +131,19 @@ def test_jpeg_fill_bytes_before_marker():
     # inject two fill bytes before the first segment after SOI
     padded = blob[:2] + b"\xff\xff" + blob[2:]
     assert parse_image_header(padded) == (33, 44, "jpeg")
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode_wav produces a chunk-ordered RIFF container the parser must
+    walk (LIST/INFO sits between fmt and data); corrupt/foreign bytes
+    return None instead of raising."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav_header,
+    )
+
+    assert parse_wav_header(encode_wav(44100, 2, 480)) == (44100, 2, 16, 480)
+    assert parse_wav_header(encode_wav(8000, 1, 7, bits=8)) == (8000, 1, 8, 7)
+    assert parse_wav_header(b"RIFFxxxxWAVE") is None  # no chunks at all
+    assert parse_wav_header(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_wav_header(b"") is None
