@@ -1,0 +1,136 @@
+"""Twenty-third extension wave — calendar analytics over events. All
+DuckDB hash-verified; day-of-week uses epoch-anchored integer arithmetic
+(``datediff`` from a fixed Monday) instead of each engine's dayofweek()
+(whose 0/1 anchoring differs), and means are DECIMAL-exact.
+
+- x175 seasonal profile: per (day-of-week, hour) traffic/mean-value — the
+  seasonality baseline a monitoring stack subtracts before anomaly rules
+  like x161/x171 fire.
+- x176 time-boxed funnel: x163's view→click→purchase chain but each stage
+  must land within 1 hour of the previous — the form product analytics
+  actually uses (unbounded funnels overcount).
+- x177 DAU/WAU stickiness: daily actives and trailing-7-day actives per
+  day. The WAU side is a range join of events against the ~bounded day
+  spine — Catalyst plans BroadcastNestedLoopJoin with the spine broadcast,
+  which is the right physical shape at any corpus size because the spine
+  grows with days, not rows.
+"""
+
+from __future__ import annotations
+
+from aetherium_trader_datapipeline_spark.queries import register_sql
+
+# -- x175: seasonal (dow × hour) profile ------------------------------------
+
+register_sql(
+    "x175_seasonal_profile",
+    spark_sql="""
+    SELECT CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') % 7 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_value
+    FROM events
+    GROUP BY datediff(CAST(ts AS DATE), DATE'2024-01-01') % 7, hour(ts)
+    ORDER BY dow, hr
+    """,
+    duckdb_sql="""
+    SELECT CAST(date_diff('day', DATE'2024-01-01', CAST(ts AS DATE)) % 7 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_value
+    FROM events
+    GROUP BY date_diff('day', DATE'2024-01-01', CAST(ts AS DATE)) % 7, hour(ts)
+    ORDER BY dow, hr
+    """,
+    tags=("analytics", "date", "agg"),
+)
+
+# -- x176: time-boxed funnel (1-hour stage windows) -------------------------
+
+register_sql(
+    "x176_windowed_funnel",
+    spark_sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 1 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL 1 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT COUNT(v.user_id) AS n_view,
+           COUNT(c.user_id) AS n_click_1h,
+           COUNT(p.user_id) AS n_purchase_1h,
+           ROUND(COUNT(c.user_id) / CAST(COUNT(v.user_id) AS DOUBLE), 4) AS click_rate,
+           ROUND(COUNT(p.user_id) / CAST(COUNT(v.user_id) AS DOUBLE), 4) AS purchase_rate
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    duckdb_sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+        AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 1 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+        AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL 1 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT COUNT(v.user_id) AS n_view,
+           COUNT(c.user_id) AS n_click_1h,
+           COUNT(p.user_id) AS n_purchase_1h,
+           ROUND(COUNT(c.user_id) / CAST(COUNT(v.user_id) AS DOUBLE), 4) AS click_rate,
+           ROUND(COUNT(p.user_id) / CAST(COUNT(v.user_id) AS DOUBLE), 4) AS purchase_rate
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("analytics", "join", "agg"),
+)
+
+# -- x177: DAU / trailing-7-day WAU stickiness ------------------------------
+
+register_sql(
+    "x177_dau_wau",
+    spark_sql="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY CAST(ts AS DATE)),
+    spine AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    wau AS (
+      SELECT s.d, COUNT(DISTINCT e.user_id) AS wau
+      FROM spine s JOIN events e
+        ON datediff(s.d, CAST(e.ts AS DATE)) BETWEEN 0 AND 6
+      GROUP BY s.d)
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+    duckdb_sql="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY CAST(ts AS DATE)),
+    spine AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    wau AS (
+      SELECT s.d, COUNT(DISTINCT e.user_id) AS wau
+      FROM spine s JOIN events e
+        ON date_diff('day', CAST(e.ts AS DATE), s.d) BETWEEN 0 AND 6
+      GROUP BY s.d)
+    SELECT dau.d AS day, CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+    tags=("analytics", "date", "join"),
+)
