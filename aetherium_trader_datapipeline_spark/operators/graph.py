@@ -194,8 +194,10 @@ def pagerank_fixed(
     base = scale // n
     tele = (15 * base) // 100
     # checkpointed frames lose Catalyst stats (graph.py:110-114 posture):
-    # broadcast the node-sized sides explicitly while they provably fit
-    small = n <= 5_000_000
+    # broadcast the node-sized sides explicitly while the built hash
+    # relation stays tens of MB (row count bounds rows, not JVM bytes —
+    # 5M-row relations already risk driver pressure across 9 broadcasts)
+    small = n <= 1_000_000
     _b = F.broadcast if small else (lambda df: df)
 
     # name-based equi-joins throughout: every frame below re-derives from

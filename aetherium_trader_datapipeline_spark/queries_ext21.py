@@ -58,8 +58,10 @@ def x171_stateful_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- x172: fixed-point integer PageRank -------------------------------------
 #
 # Random-walk centrality over the customer↔supplier trade graph (bipartite
-# edges from orders⨝lineitem, symmetrized; supplier ids offset so the two
-# key spaces don't collide). The operator (operators/graph.py:pagerank_fixed)
+# edges from orders⨝lineitem, symmetrized). Node ids interleave the two
+# key spaces by parity — customers even (2k), suppliers odd (2k+1) — so
+# they stay disjoint at ANY scale factor (a fixed additive offset
+# collides once custkey outgrows it, ~SF 67 for +10M). The operator (operators/graph.py:pagerank_fixed)
 # runs 3 BSP rounds entirely in fixed-point integers, so the DuckDB oracle
 # — the same 3 rounds unrolled as CTEs — matches bit-for-bit. Float
 # PageRank could never hash-verify: its per-partition sums are
@@ -72,7 +74,7 @@ _PR_ITERS = 3
 def _x172_oracle() -> str:
     head = f"""
     WITH e1 AS (
-      SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     edges AS (SELECT src, dst FROM e1 UNION SELECT dst AS src, src AS dst FROM e1),
     nodes AS (SELECT DISTINCT src AS node FROM edges
@@ -112,8 +114,8 @@ def x172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 10000000).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )

@@ -41,23 +41,31 @@ def _zflag_kernel(
     xs: list[int], prev: list[int], window: int, min_n: int, z: int
 ) -> tuple[list[bool], list[int]]:
     """Sequential flags over value-ordered events; returns flags and the
-    surviving trailing-value state (last ``window`` values)."""
-    state = list(prev)
+    surviving trailing-value state (last ``window`` values). Rolling
+    Σx/Σx² updates (exact integers — add incoming, subtract evicted) keep
+    this O(n) instead of O(n·window); results are bit-identical to the
+    recompute-per-event form."""
+    from collections import deque
+
+    state = deque(prev[-window:] if len(prev) > window else prev)
+    s = sum(state)
+    ss = sum(v * v for v in state)
     flags: list[bool] = []
     z2 = z * z
     for x in xs:
-        tail = state[-window:]
-        n = len(tail)
+        n = len(state)
         if n >= min_n:
-            s = sum(tail)
-            ss = sum(v * v for v in tail)
             flags.append((n * x - s) ** 2 > z2 * (n * ss - s * s))
         else:
             flags.append(False)
         state.append(x)
+        s += x
+        ss += x * x
         if len(state) > window:
-            state = state[-window:]
-    return flags, state
+            old = state.popleft()
+            s -= old
+            ss -= old * old
+    return flags, list(state)
 
 
 def _cents(df: DataFrame, value_col: str) -> DataFrame:
@@ -82,9 +90,13 @@ def stateful_anomaly(
     z: int = 3,
 ) -> DataFrame:
     """Streaming form: one shuffle on ``key_cols``; the trailing-value
-    state carries across micro-batches via GroupState. Events inside a
-    micro-batch are processed in ``order_cols`` order; cross-batch order
-    is the source's replay order (time-ordered for our sources)."""
+    state carries across micro-batches via GroupState. A group's rows can
+    arrive as MULTIPLE Arrow chunks in arbitrary order (split at
+    arrow.maxRecordsPerBatch), so the chunks are concatenated and sorted
+    ONCE before the order-sensitive kernel runs — per-chunk sorting would
+    silently break stream==batch for keys with >10k events per
+    micro-batch. Cross-batch order is the source's replay order
+    (time-ordered for our sources)."""
     out_schema = _out_schema(stream, key_cols, order_cols)
     src = _cents(stream, value_col)
 
@@ -92,8 +104,9 @@ def stateful_anomaly(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         prev = list(state.get[0] or []) if state.exists else []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_cols)
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(order_cols)
             flags, prev = _zflag_kernel(
                 pdf["_xc"].tolist(), prev, window, min_n, z
             )

@@ -97,8 +97,12 @@ def stateful_rate_limit(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         prev = list(state.get[0] or []) if state.exists else []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        # a group's rows can arrive as multiple Arrow chunks in arbitrary
+        # order — concatenate and sort ONCE, or the sequential admission
+        # walk diverges from the batch kernel for >10k-event micro-batches
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(ts_col)
             ts_ms = pdf[ts_col].to_numpy().astype("datetime64[ms]").astype("int64").tolist()
             verdicts, prev = _admit_kernel(ts_ms, prev, win)
             out = pd.DataFrame({k: pdf[kc].to_numpy() for k, kc in zip(key_cols, key_cols)})

@@ -12,8 +12,11 @@ the columns it needs; these tests make the two claims executable:
    columns (e.g. q01 aggregates l_orderkey only — a scan that also reads
    l_comment would ship the table's widest column for nothing).
 
-Plans are compiled (analyzed + physical planning) without executing, so
-the audit covers all keys in seconds at sf0.001.
+Plans are compiled (analyzed + physical planning) without executing the
+query — with one caveat: operators that eagerly localCheckpoint or count
+during plan CONSTRUCTION (x172's pagerank materializes its edge list)
+do run those setup jobs. At sf0.001 that keeps the full audit in tens of
+seconds.
 """
 
 from __future__ import annotations
@@ -21,8 +24,7 @@ from __future__ import annotations
 import pytest
 
 from aetherium_trader_datapipeline_spark.queries import REGISTRY, queries
-
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR
 
 
 def _spark_plan(spark, key: str) -> str:
