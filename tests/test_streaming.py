@@ -641,3 +641,63 @@ def test_stateful_anomaly_stream_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert sql_flags == expected
+
+
+def test_stateful_kernels_survive_chunked_groups(spark, tmp_path):
+    """With arrow.maxRecordsPerBatch far below the group size, a group's
+    rows reach applyInPandasWithState as MANY out-of-order chunks; the
+    operators must concat+sort once, not per chunk (regression for the
+    per-chunk-sort divergence)."""
+    import numpy as np
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.streaming.anomaly import (
+        anomaly_batch,
+        stateful_anomaly,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        rng = np.random.default_rng(11)
+        base = pd.Timestamp("2024-03-01 12:00:00")
+        vals = rng.normal(50, 1, 200).round(2)
+        vals[150] = 500.0
+        pdf = pd.DataFrame(
+            {
+                "user_id": ["u1"] * 200,
+                "ts": [base + pd.Timedelta(seconds=5 * i) for i in range(200)],
+                "event_id": range(200),
+                "value": vals.astype(float),
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        src = str(tmp_path / "src")
+        df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        out = stateful_anomaly(
+            stream, ["user_id"], ["ts", "event_id"], "value", window=30, min_n=10
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("anom_chunked")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.event_id, r.flagged)
+            for r in spark.sql("SELECT * FROM anom_chunked").collect()
+        }
+        expected = {
+            (r.event_id, r.flagged)
+            for r in anomaly_batch(
+                df, ["user_id"], ["ts", "event_id"], "value", window=30, min_n=10
+            ).collect()
+        }
+        assert len(got) == 200
+        assert got == expected
+        assert (150, True) in expected  # the planted spike flags
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
