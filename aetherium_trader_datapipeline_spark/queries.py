@@ -828,6 +828,11 @@ def _emission_order() -> list[str]:
         # window ahead of plain function-coverage keys
         "x170_dup_span_removal", "x167_containment", "x171_stateful_anomaly",
         "x172_pagerank", "x173_audio_meta", "x174_python_udtf",
+        "x178_bm25", "x177_dau_wau", "x176_windowed_funnel",
+        "x165_event_transitions", "x164_retention_cohorts",
+        "x175_seasonal_profile", "x158_quality_model_score",
+        "x159_shard_assign", "x160_url_canonicalize",
+        "x179_map_in_arrow", "x180_pandas_iter_udf",
         "x156_bigram_lm_score", "x157_dup_span_fraction", "x161_rolling_anomaly",
         "x163_event_funnel", "x166_weighted_sample", "x162_gram_matrix",
         "x168_dedup_keep_best",
