@@ -778,6 +778,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext23  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext24  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext25  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext26  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
