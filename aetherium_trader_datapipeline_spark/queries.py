@@ -783,6 +783,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext28  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext29  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext30  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext31  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -836,6 +837,7 @@ def _emission_order() -> list[str]:
         "x187_hll_portable", "x188_cms_topk",
         "x189_triangle_census", "x190_neighbor_jaccard",
         "x191_semdedup", "x192_knn_classify",
+        "x193_scd2_history", "x194_cdc_snapshot", "x195_bloom_prune",
         "x170_dup_span_removal", "x167_containment", "x171_stateful_anomaly",
         "x172_pagerank", "x173_audio_meta", "x174_python_udtf",
         "x178_bm25", "x177_dau_wau", "x176_windowed_funnel",

@@ -30,6 +30,7 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 _X182_BODY = """
     WITH px AS (
       SELECT user_id, ts, event_id, CAST(value AS DECIMAL(14,4)) AS p FROM events
+      WHERE value > 0
     ),
     runs AS (
       SELECT user_id, p,
@@ -94,11 +95,11 @@ register_sql(
 _X184_FMT = """
     WITH hp AS (
       SELECT user_id, {hourkey} AS h, MAX_BY(value, event_id) AS px
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value > 0 GROUP BY 1, 2
     ),
     r AS (
       SELECT user_id, h,
-             CAST(ROUND(px / LAG(px) OVER (PARTITION BY user_id ORDER BY h) - 1, 7)
+             CAST(ROUND(px / NULLIF(LAG(px) OVER (PARTITION BY user_id ORDER BY h), 0) - 1, 7)
                   AS DECIMAL(19,7)) AS r
       FROM hp
     ),
@@ -146,11 +147,11 @@ _X185_FMT = """
     hp AS (
       SELECT t.rk, {hourkey} AS h, MAX_BY(e.value, e.event_id) AS px
       FROM events e JOIN top2 t ON e.user_id = t.user_id
-      GROUP BY 1, 2
+      WHERE e.value > 0 GROUP BY 1, 2
     ),
     r AS (
       SELECT rk, h,
-             CAST(ROUND(px / LAG(px) OVER (PARTITION BY rk ORDER BY h) - 1, 7)
+             CAST(ROUND(px / NULLIF(LAG(px) OVER (PARTITION BY rk ORDER BY h), 0) - 1, 7)
                   AS DECIMAL(19,7)) AS r
       FROM hp
     ),
