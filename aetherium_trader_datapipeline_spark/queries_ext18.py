@@ -107,18 +107,24 @@ register_sql(
     headline=True,
     spark_sql="""
     WITH sh AS (
-      SELECT doc_id, array_join(slice(ws, i, 8), ' ') AS shingle
+      SELECT doc_id, xxhash64(array_join(slice(ws, i, 8), ' ')) AS h
       FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents)
       LATERAL VIEW explode(sequence(1, size(ws) - 7)) t AS i
       WHERE size(ws) >= 8),
-    cnt AS (SELECT shingle, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY shingle)
-    SELECT sh.doc_id,
-           COUNT(*) AS n_spans,
-           SUM(CASE WHEN cnt.nd > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
-           ROUND(SUM(CASE WHEN cnt.nd > 1 THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
-    FROM sh JOIN cnt ON sh.shingle = cnt.shingle
-    GROUP BY sh.doc_id ORDER BY dup_frac DESC, doc_id LIMIT 300
+    -- per-(doc, shingle-hash) occurrence counts first: cnt then derives
+    -- from oc under the SAME hash partitioning, so the oc⨝cnt join is
+    -- co-partitioned (zero extra exchange, exchange reuse for oc), and the
+    -- 8-word join string is built once and never shuffled (64-bit key
+    -- only; collision odds ~1e-8 at 1M spans)
+    oc AS (SELECT doc_id, h, COUNT(*) AS n_occ FROM sh GROUP BY doc_id, h),
+    cnt AS (SELECT h, COUNT(*) AS nd FROM oc GROUP BY h)
+    SELECT oc.doc_id,
+           SUM(n_occ) AS n_spans,
+           SUM(CASE WHEN cnt.nd > 1 THEN n_occ ELSE 0 END) AS n_dup_spans,
+           ROUND(SUM(CASE WHEN cnt.nd > 1 THEN n_occ ELSE 0 END)
+                 / CAST(SUM(n_occ) AS DOUBLE), 4) AS dup_frac
+    FROM oc JOIN cnt ON oc.h = cnt.h
+    GROUP BY oc.doc_id ORDER BY dup_frac DESC, doc_id LIMIT 300
     """,
     duckdb_sql="""
     WITH sh AS (

@@ -105,7 +105,8 @@ def _x172_oracle() -> str:
     )
 
 
-@register("x172_pagerank", oracle=_x172_oracle(), headline=True, tags=("graph", "iterative"))
+@register("x172_pagerank",
+    headline=True, oracle=_x172_oracle(), tags=("graph", "iterative"))
 def x172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aetherium_trader_datapipeline_spark.operators.graph import pagerank_fixed
 

@@ -48,9 +48,9 @@ _X182_BODY = """
 
 register_sql(
     "x182_max_drawdown",
+    headline=True,
     spark_sql=_X182_BODY,
     duckdb_sql=_X182_BODY,
-    headline=True,
     tags=("finance", "window"),
 )
 

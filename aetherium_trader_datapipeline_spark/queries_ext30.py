@@ -72,21 +72,75 @@ _X191_FMT = """
     ORDER BY s.bucket
 """
 
-register_sql(
+# Spark side: one numpy matmul per bucket via applyInPandas (the q35
+# blocked-matmul tier) instead of a pair-join with interpreted
+# higher-order-function cosines — 9.1 s → sub-second at sf0.1. The output
+# is integer counts, so BLAS vs sequential-fold float ordering cannot
+# touch the hash (a pair would have to sit within ~1e-15 of the 0.35
+# threshold to flip). Each bucket must fit one task — SemDeDup's own
+# design assumption; at larger corpora raise the cluster count (x139's
+# k-means is the production clusterer, this sign-bit grid is the
+# deterministic stand-in).
+
+
+def _x191_run(spark, sf_dir):
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    v = t["embeddings"].selectExpr(
+        "vec_id",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS e",
+        "CAST(CASE WHEN embedding[0] >= 0 THEN 4 ELSE 0 END"
+        "   + CASE WHEN embedding[1] >= 0 THEN 2 ELSE 0 END"
+        "   + CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END AS INT) AS bucket",
+    )
+
+    def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        bucket = int(pdf["bucket"].iloc[0])
+        m = np.asarray(pdf["e"].to_list(), dtype=np.float64)
+        n_docs = len(pdf)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        u = m / np.where(nrm == 0, 1.0, nrm)
+        sim = u @ u.T
+        ii, jj = np.triu_indices(n_docs, k=1)
+        over = sim[ii, jj] > 0.35
+        n_pairs = int(over.sum())
+        n_removed = int(np.unique(jj[over]).size)  # ids sorted → j is higher id
+        return pd.DataFrame(
+            {
+                "bucket": [bucket],
+                "n_docs": [n_docs],
+                "n_dup_pairs": [n_pairs],
+                "n_removed": [n_removed],
+                "n_survivors": [n_docs - n_removed],
+            }
+        )
+
+    out = v.groupBy("bucket").applyInPandas(
+        per_bucket,
+        schema="bucket int, n_docs bigint, n_dup_pairs bigint, "
+               "n_removed bigint, n_survivors bigint",
+    )
+    return out.orderBy("bucket")
+
+
+from aetherium_trader_datapipeline_spark.queries import register  # noqa: E402
+
+register(
     "x191_semdedup",
-    spark_sql=_X191_FMT.format(
-        cast_vec="CAST(embedding AS ARRAY<DOUBLE>)",
-        d1="embedding[0]", d2="embedding[1]", d3="embedding[2]",
-        cos=_spark_cos("a.e", "b.e"),
-    ),
-    duckdb_sql=_X191_FMT.format(
+    oracle=_X191_FMT.format(
         cast_vec="CAST(embedding AS DOUBLE[])",
         d1="embedding[1]", d2="embedding[2]", d3="embedding[3]",
         cos=_duck_cos("a.e", "b.e"),
     ),
     headline=True,
     tags=("dedup", "similarity", "llm"),
-)
+)(_x191_run)
 
 _X192_FMT = """
     WITH v AS (SELECT vec_id, label, {cast_vec} AS e FROM embeddings),
