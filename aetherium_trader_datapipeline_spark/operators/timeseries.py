@@ -82,3 +82,70 @@ def ema(
 
     parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
     return parts.mapInPandas(fold_partition, schema=out_schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_cols: Sequence[str],
+    alpha: float = 0.5,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing, exact per key.
+
+    Two-variable recurrence (level l, trend t):
+        l_i = alpha*x_i + (1-alpha)*(l_{i-1} + t_{i-1})
+        t_i = beta*(l_i - l_{i-1}) + (1-beta)*t_{i-1}
+    initialized l_1 = x_1, t_1 = 0.  Like :func:`ema`, no fixed-frame window
+    expresses it, so the plan is the same single-shuffle sorted-partition
+    ``mapInPandas`` streaming fold with O(1) state per key.  The Python
+    float64 op order (``a*x + b*(l+t)``; ``g*(l_new-l) + h*t``) is written
+    to match the DuckDB recursive-CTE oracle term for term, so results are
+    bit-exact across engines.  Defaults alpha=0.5, beta=0.25 are exact
+    binary fractions (no decimal-literal re-rounding on either side).
+
+    Emits ``level``, ``trend`` and the one-step forecast ``fc = l + t``.
+    """
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    out = list(out_cols)
+    a = float(alpha)
+    b = 1.0 - a
+    g = float(beta)
+    h = 1.0 - g
+
+    schema_parts = [f"{c} {df.schema[c].dataType.simpleString()}" for c in out]
+    schema_parts += ["level double", "trend double", "fc double"]
+    out_schema = ", ".join(schema_parts)
+
+    def fold_partition(batches):
+        prev_key: tuple | None = None
+        lvl = 0.0
+        trd = 0.0
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy().tolist()
+            key_rows = list(zip(*(pdf[k].to_numpy().tolist() for k in keys)))
+            levels, trends, fcs = [], [], []
+            for kv, x in zip(key_rows, vals):
+                if kv != prev_key:
+                    prev_key = kv
+                    lvl = x
+                    trd = 0.0
+                else:
+                    l_new = a * x + b * (lvl + trd)
+                    trd = g * (l_new - lvl) + h * trd
+                    lvl = l_new
+                levels.append(lvl)
+                trends.append(trd)
+                fcs.append(lvl + trd)
+            res = pdf[out].copy()
+            res["level"] = levels
+            res["trend"] = trends
+            res["fc"] = fcs
+            yield res
+
+    parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
+    return parts.mapInPandas(fold_partition, schema=out_schema)

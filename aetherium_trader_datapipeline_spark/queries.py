@@ -784,6 +784,8 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext29  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext30  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext31  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext32  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext33  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -838,16 +840,18 @@ def _emission_order() -> list[str]:
         "x189_triangle_census", "x190_neighbor_jaccard",
         "x191_semdedup", "x192_knn_classify",
         "x193_scd2_history", "x194_cdc_snapshot", "x195_bloom_prune",
+        # the full TPC-H derivative family (r2 verdict: strongest code with
+        # no independent green row) — slots 25-37
+        "x80_tpch_q5", "x81_tpch_q6", "x82_tpch_q4", "x83_tpch_q10",
+        "x84_tpch_q14", "x85_tpch_q18", "x86_tpch_q17", "x87_tpch_q19",
+        "x88_tpch_q22", "x89_tpch_q15", "x90_tpch_q7", "x91_tpch_q13",
+        "x92_tpch_q16",
+        # most novel remaining round-3 keys — slots 38-50
         "x170_dup_span_removal", "x167_containment", "x171_stateful_anomaly",
         "x172_pagerank", "x173_audio_meta", "x174_python_udtf",
-        "x178_bm25", "x177_dau_wau", "x176_windowed_funnel",
-        "x165_event_transitions", "x164_retention_cohorts",
-        "x175_seasonal_profile", "x158_quality_model_score",
-        "x159_shard_assign", "x160_url_canonicalize",
+        "x178_bm25", "x156_bigram_lm_score", "x157_dup_span_fraction",
         "x179_map_in_arrow", "x180_pandas_iter_udf",
-        "x156_bigram_lm_score", "x157_dup_span_fraction", "x161_rolling_anomaly",
-        "x163_event_funnel", "x166_weighted_sample", "x162_gram_matrix",
-        "x168_dedup_keep_best",
+        "x168_dedup_keep_best", "x176_windowed_funnel",
     ]
     rank = {k: i for i, k in enumerate(front)}
 
