@@ -320,3 +320,46 @@ def extract_audio_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             yield out
 
     return df.mapInPandas(fn, out_schema)
+
+
+def perceptual_ahash(
+    df: DataFrame, id_col: str = "doc_id", n_px: int = 60
+) -> DataFrame:
+    """Average-hash (aHash) over decoded pixels: bit i set iff pixel i is
+    above the image mean; near-duplicate images then differ by small
+    Hamming distance on one BIGINT.
+
+    Pixels here come from ``_synth_pixels`` — a deterministic md5 stand-in
+    for the real grayscale decode+resize (the container has no imaging
+    libs; same stub pattern as fake_decode_meta). The hash algebra, the
+    integer-exact mean comparison (p*n_px > sum(p), no float division),
+    and the Arrow-batched mapInPandas plumbing are exactly what the real
+    path runs after decode. n_px <= 62 keeps the bitmap in a signed BIGINT.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def _synth_pixels(doc_id: int) -> list[int]:
+        return [
+            int(hashlib.md5(f"{doc_id}-{i}".encode()).hexdigest()[:2], 16)
+            for i in range(n_px)
+        ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, nbits = [], []
+            for did in pdf[id_col].tolist():
+                px = _synth_pixels(int(did))
+                tot = sum(px)
+                bits = [1 if p * n_px > tot else 0 for p in px]
+                hashes.append(sum(b << i for i, b in enumerate(bits)))
+                nbits.append(sum(bits))
+            out = pdf[[id_col]].copy()
+            out["ahash"] = hashes
+            out["n_bits"] = nbits
+            yield out
+
+    return df.select(id_col).mapInPandas(
+        fn, f"{id_col} bigint, ahash bigint, n_bits bigint"
+    )

@@ -786,6 +786,8 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext31  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext32  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext33  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext34  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext35  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
