@@ -1,0 +1,186 @@
+"""Thirty-sixth extension wave — customer analytics and graph peeling:
+
+x209 attribution      first-touch / last-touch channel attribution per
+                      converting user (conversion = purchase; channel =
+                      the event_type of the touch) in one window pass
+x210 rfm              RFM segmentation: recency/frequency/monetary
+                      quintiles per user via ntile, segment counts
+x211 log histogram    log2-bucketed value histogram with bucket-boundary
+                      p99 — the HDR-histogram pattern: fixed bucket count
+                      regardless of data size, mergeable counts
+x212 kcore            3-round k-core peeling (k=4) over the trade graph —
+                      each round drops nodes with residual degree < k;
+                      unrolled rounds keep both plans finite and identical
+
+Scale shapes: x209/x210 are one window/groupBy pass keyed by user. x211
+reduces the stream to <=64 bucket rows before any ordering — the sketch
+posture (exact, because bucket floors are integer log2 arithmetic).
+x212's rounds are degree-filter semi-joins: edges shrink monotonically,
+and 3 unrolled rounds bound the plan like x172's BSP loop.
+"""
+
+from __future__ import annotations
+
+from aetherium_trader_datapipeline_spark.queries import register_sql
+
+# -- x209: first/last-touch attribution -------------------------------------
+# Converting users = those with a purchase. Touches = events strictly
+# before the FIRST purchase. MIN_BY/MAX_BY pick the touch by (ts,
+# event_id) total order — deterministic under ties.
+
+_X209_BODY = """
+    WITH conv AS (
+      SELECT user_id, MIN(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN conv c ON e.user_id = c.user_id
+      WHERE e.ts < c.conv_ts
+    ),
+    att AS (
+      SELECT user_id,
+             MIN_BY(event_type, ts) AS first_touch,
+             MAX_BY(event_type, ts) AS last_touch
+      FROM touches GROUP BY user_id
+    )
+    SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM att GROUP BY first_touch, last_touch
+    ORDER BY n_users DESC, first_touch, last_touch
+"""
+
+_X209_DUCK = _X209_BODY.replace("MIN_BY(event_type, ts)", "arg_min(event_type, ts)").replace(
+    "MAX_BY(event_type, ts)", "arg_max(event_type, ts)"
+)
+
+register_sql(
+    "x209_attribution",
+    spark_sql=_X209_BODY,
+    duckdb_sql=_X209_DUCK,
+    tags=("analytics", "window"),
+)
+
+# -- x210: RFM segmentation --------------------------------------------------
+# Recency anchor is the in-data max ts (no wall clock — deterministic).
+# ntile over (metric, user_id) total order: engine-identical quintiles.
+
+_X210_BODY = """
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    rfm AS (
+      SELECT e.user_id,
+             CAST({daydiff} AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(ROUND(e.value, 2) AS DECIMAL(18,2))) AS monetary
+      FROM events e CROSS JOIN anchor a
+      GROUP BY e.user_id, a.mx
+    ),
+    scored AS (
+      SELECT user_id,
+             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+"""
+
+register_sql(
+    "x210_rfm",
+    spark_sql=_X210_BODY.format(daydiff="DATEDIFF(CAST(a.mx AS DATE), CAST(MAX(e.ts) AS DATE))"),
+    duckdb_sql=_X210_BODY.format(daydiff="datediff('day', CAST(MAX(e.ts) AS DATE), CAST(a.mx AS DATE))"),
+    tags=("analytics", "window"),
+)
+
+# -- x211: log2-bucketed histogram + bucket-boundary p99 --------------------
+# Bucket = floor(log2(1 + value_cents)): integer-exact on both engines
+# (log2 of an exact integer double is IEEE-identical; FLOOR is tie-free
+# because 1+cents is never an exact power of two boundary issue — and even
+# if it were, the double is bit-identical so FLOOR agrees). p99 is the
+# smallest bucket whose cumulative count covers 99% — pure integer
+# comparison over the <=64-row bucket relation.
+
+_X211_BODY = """
+    WITH v AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value >= 0
+    ),
+    b AS (
+      SELECT CAST(FLOOR(LOG2(1 + cents)) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, n,
+             SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n) OVER () AS total
+      FROM b
+    )
+    SELECT bucket,
+           CAST(POWER(2, bucket) - 1 AS BIGINT) AS lo_cents,
+           CAST(POWER(2, bucket + 1) - 2 AS BIGINT) AS hi_cents,
+           n,
+           CAST(cum AS BIGINT) AS cum_n,
+           CAST(CASE WHEN cum - n < CAST(CEIL(0.99 * total) AS BIGINT)
+                      AND cum >= CAST(CEIL(0.99 * total) AS BIGINT)
+                     THEN 1 ELSE 0 END AS INT) AS is_p99_bucket
+    FROM c ORDER BY bucket
+"""
+
+register_sql(
+    "x211_log_histogram",
+    spark_sql=_X211_BODY,
+    duckdb_sql=_X211_BODY,
+    tags=("sketch", "histogram"),
+)
+
+# -- x212: k-core peeling (k=4, 3 rounds) -----------------------------------
+# Same symmetrized customer-supplier trade graph as x172 (parity-disjoint
+# node ids). Each round keeps nodes whose degree among surviving nodes is
+# >= k; edges restricted to survivors on both ends. Three unrolled rounds
+# (the oracle unrolls identically); emits surviving node count and degree
+# sum per round for a compact, fully order-free result.
+
+_X212_BODY = """
+    WITH e1 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+    d0 AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    k1 AS (SELECT node FROM d0 WHERE deg >= 4),
+    e2 AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node
+    ),
+    d1 AS (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src),
+    k2 AS (SELECT node FROM d1 WHERE deg >= 4),
+    e3 AS (
+      SELECT e.src, e.dst FROM e2 e
+      JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node
+    ),
+    d2 AS (SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY src),
+    k3 AS (SELECT node FROM d2 WHERE deg >= 4),
+    e4 AS (
+      SELECT e.src, e.dst FROM e3 e
+      JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node
+    )
+    SELECT r, CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+    FROM (
+      SELECT 0 AS r, (SELECT COUNT(*) FROM d0) AS n_nodes, (SELECT COUNT(*) FROM edges) AS n_edges
+      UNION ALL
+      SELECT 1, (SELECT COUNT(*) FROM k1), (SELECT COUNT(*) FROM e2)
+      UNION ALL
+      SELECT 2, (SELECT COUNT(*) FROM k2), (SELECT COUNT(*) FROM e3)
+      UNION ALL
+      SELECT 3, (SELECT COUNT(*) FROM k3), (SELECT COUNT(*) FROM e4)
+    ) t ORDER BY r
+"""
+
+register_sql(
+    "x212_kcore",
+    spark_sql=_X212_BODY,
+    duckdb_sql=_X212_BODY,
+    tags=("graph", "iterative"),
+)

@@ -430,3 +430,47 @@ def test_minhash_pairs_max_bucket_caps_fanout(spark):
     assert uncapped >= 66 + 1  # C(12,2) hot cluster + the small pair
     assert (100, 101) in capped_pairs  # small cluster survives the cap
     assert not any(a < 100 for a, _ in capped_pairs)  # hot bucket skipped
+
+
+def test_holt_linear_exact_across_tiny_arrow_batches(spark):
+    """The two-state Holt fold must be invariant to Arrow batch chunking
+    (state spans batch boundaries) and bit-equal to a plain Python fold."""
+    from aetherium_trader_datapipeline_spark.operators.timeseries import holt_linear
+
+    rows = [
+        (k, i, float((k * 37 + i * 13) % 100) / 7.0)
+        for k in range(3)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k int, seq int, v double")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        out = (
+            holt_linear(df, ["k"], ["seq"], "v", out_cols=["k", "seq"])
+            .toPandas()
+            .sort_values(["k", "seq"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    a, b, g, h = 0.5, 0.5, 0.25, 0.75
+    exp = {}
+    for k in range(3):
+        lvl = trd = 0.0
+        for i in range(100):
+            x = float((k * 37 + i * 13) % 100) / 7.0
+            if i == 0:
+                lvl, trd = x, 0.0
+            else:
+                l_new = a * x + b * (lvl + trd)
+                trd = g * (l_new - lvl) + h * trd
+                lvl = l_new
+            exp[(k, i)] = (lvl, trd, lvl + trd)
+
+    assert len(out) == 300
+    for _, r in out.iterrows():
+        el, et, ef = exp[(r["k"], r["seq"])]
+        assert r["level"] == el and r["trend"] == et and r["fc"] == ef
