@@ -84,6 +84,71 @@ def ema(
     return parts.mapInPandas(fold_partition, schema=out_schema)
 
 
+def avg_cost_pnl(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    side_col: str = "side",
+    qty_col: str = "qty",
+    price_col: str = "p",
+) -> DataFrame:
+    """Average-cost position/PnL accounting — the trading-native recurrence.
+
+    Per key, in event order: a buy (side=+1) adds ``qty*price`` to the open
+    cost and ``qty`` to the position; a sell (side=-1) realizes
+    ``q_eff*(price - cost/pos)`` on ``q_eff = min(qty, pos)`` units at the
+    running average cost and reduces cost proportionally (sells against a
+    flat book are ignored — no shorting in the average-cost method).
+    Three-scalar state (pos, cost, realized): same single-shuffle sorted
+    mapInPandas fold as :func:`ema`/:func:`holt_linear`; the float op order
+    (``avg = cost/pos``; ``realized += qe*(p - avg)``; ``cost -= qe*avg``)
+    mirrors the DuckDB recursive-CTE oracle term for term.
+
+    Emits ONE row per key — the final book state: n_trades, pos,
+    cost, realized (floats; callers floor-scale for hashing).
+    """
+
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    key_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keys
+    )
+    out_schema = key_schema + ", n_trades bigint, pos bigint, cost double, realized double"
+
+    def fold_partition(batches):
+        state: dict[tuple, list] = {}  # key -> [n, pos, cost, realized]
+        key_order: list[tuple] = []
+        for pdf in batches:
+            key_rows = list(zip(*(pdf[k].to_numpy().tolist() for k in keys)))
+            sides = pdf[side_col].to_numpy().tolist()
+            qtys = pdf[qty_col].to_numpy().tolist()
+            prices = pdf[price_col].to_numpy().tolist()
+            for kv, side, q, p in zip(key_rows, sides, qtys, prices):
+                st = state.get(kv)
+                if st is None:
+                    st = [0, 0, 0.0, 0.0]
+                    state[kv] = st
+                    key_order.append(kv)
+                st[0] += 1
+                if side > 0:
+                    st[2] = st[2] + q * p
+                    st[1] += q
+                elif st[1] > 0:
+                    qe = q if q < st[1] else st[1]
+                    avg = st[2] / st[1]
+                    st[3] = st[3] + qe * (p - avg)
+                    st[2] = st[2] - qe * avg
+                    st[1] -= qe
+        import pandas as pd
+
+        rows = [list(kv) + state[kv] for kv in key_order]
+        yield pd.DataFrame(rows, columns=keys + ["n_trades", "pos", "cost", "realized"])
+
+    parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
+    return parts.mapInPandas(fold_partition, schema=out_schema)
+
+
 def holt_linear(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -474,3 +474,48 @@ def test_holt_linear_exact_across_tiny_arrow_batches(spark):
     for _, r in out.iterrows():
         el, et, ef = exp[(r["k"], r["seq"])]
         assert r["level"] == el and r["trend"] == et and r["fc"] == ef
+
+
+def test_avg_cost_pnl_exact_across_tiny_arrow_batches(spark):
+    """Keyed-dict fold state must span Arrow batch boundaries; result is
+    bit-equal to a plain Python replay of the same accounting."""
+    from aetherium_trader_datapipeline_spark.operators.timeseries import avg_cost_pnl
+
+    rows = []
+    for k in range(3):
+        for i in range(60):
+            side = 1 if (k + i) % 3 else -1
+            rows.append((k, i, side, 1 + i % 3, float((k * 31 + i * 7) % 50 + 1) / 3.0))
+    df = spark.createDataFrame(rows, "k int, seq int, side int, qty bigint, p double")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        out = (
+            avg_cost_pnl(df, ["k"], ["seq"])
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    for k in range(3):
+        pos, cost, realized, n = 0, 0.0, 0.0, 0
+        for i in range(60):
+            side = 1 if (k + i) % 3 else -1
+            q = 1 + i % 3
+            p = float((k * 31 + i * 7) % 50 + 1) / 3.0
+            n += 1
+            if side == 1:
+                cost = cost + q * p
+                pos += q
+            elif pos > 0:
+                qe = q if q < pos else pos
+                avg = cost / pos
+                realized = realized + qe * (p - avg)
+                cost = cost - qe * avg
+                pos -= qe
+        r = out[out["k"] == k].iloc[0]
+        assert (r["n_trades"], r["pos"]) == (n, pos)
+        assert r["cost"] == cost and r["realized"] == realized
