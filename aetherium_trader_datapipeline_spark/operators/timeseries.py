@@ -84,6 +84,27 @@ def ema(
     return parts.mapInPandas(fold_partition, schema=out_schema)
 
 
+def pnl_step(st: list, side: int, q: int, p: float) -> None:
+    """One average-cost accounting step on state ``[n, pos, cost, realized]``.
+
+    Shared verbatim by the batch fold (:func:`avg_cost_pnl`) and the
+    streaming form (streaming/pnl.stateful_pnl) so batch == stream is a
+    property of sharing one kernel, not of two implementations agreeing.
+    Float op order is the hash contract with the x213 recursive oracle —
+    do not reorder.
+    """
+    st[0] += 1
+    if side > 0:
+        st[2] = st[2] + q * p
+        st[1] += q
+    elif st[1] > 0:
+        qe = q if q < st[1] else st[1]
+        avg = st[2] / st[1]
+        st[3] = st[3] + qe * (p - avg)
+        st[2] = st[2] - qe * avg
+        st[1] -= qe
+
+
 def avg_cost_pnl(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -130,16 +151,7 @@ def avg_cost_pnl(
                     st = [0, 0, 0.0, 0.0]
                     state[kv] = st
                     key_order.append(kv)
-                st[0] += 1
-                if side > 0:
-                    st[2] = st[2] + q * p
-                    st[1] += q
-                elif st[1] > 0:
-                    qe = q if q < st[1] else st[1]
-                    avg = st[2] / st[1]
-                    st[3] = st[3] + qe * (p - avg)
-                    st[2] = st[2] - qe * avg
-                    st[1] -= qe
+                pnl_step(st, side, q, p)
         import pandas as pd
 
         rows = [list(kv) + state[kv] for kv in key_order]

@@ -701,3 +701,71 @@ def test_stateful_kernels_survive_chunked_groups(spark, tmp_path):
         assert (150, True) in expected  # the planted spike flags
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_stateful_pnl_stream_equals_batch(spark, tmp_path):
+    """Live PnL over micro-batches must converge to the batch book exactly
+    (shared pnl_step kernel; four-scalar GroupState carries)."""
+    import time as _time
+
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.operators.timeseries import avg_cost_pnl
+    from aetherium_trader_datapipeline_spark.streaming.pnl import stateful_pnl
+
+    rows = []
+    base = pd.Timestamp("2024-01-02 09:00:00")
+    eid = 0
+    for u in ("a", "b"):
+        for i in range(90):
+            side = 1 if (i + (0 if u == "a" else 1)) % 3 else -1
+            rows.append(
+                (u, base + pd.Timedelta(seconds=10 * i), eid, side,
+                 1 + i % 3, float((i * 13 + eid) % 40 + 1) / 3.0)
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["sym", "ts", "event_id", "side", "qty", "p"])
+    df = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "src")
+    bounds = ["2024-01-02 09:05:00", "2024-01-02 09:10:00", None]
+    lo = None
+    for i, hi in enumerate(bounds):
+        part = df
+        if lo is not None:
+            part = part.where(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.where(F.col("ts") < hi)
+        part.coalesce(1).write.parquet(f"{src}/c{i}")
+        _time.sleep(1.1)
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*")
+    )
+    out = stateful_pnl(stream, ["sym"], ["ts", "event_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pnl_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM pnl_state").collect()
+    # one emission per key per micro-batch that contained it; n_trades is
+    # cumulative, so the final book per key is its max-n_trades row
+    assert len(emitted) == 6
+    final = {}
+    for r in emitted:
+        if r.sym not in final or r.n_trades > final[r.sym].n_trades:
+            final[r.sym] = r
+
+    batch = {r.sym: r for r in avg_cost_pnl(df, ["sym"], ["ts", "event_id"]).collect()}
+    assert set(final) == {"a", "b"}
+    for k in final:
+        s, b = final[k], batch[k]
+        assert (s.n_trades, s.pos) == (b.n_trades, b.pos)
+        assert s.cost == b.cost and s.realized == b.realized
