@@ -84,6 +84,70 @@ def ema(
     return parts.mapInPandas(fold_partition, schema=out_schema)
 
 
+def cusum_flags(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_cols: Sequence[str],
+    k: int,
+    h: int,
+) -> DataFrame:
+    """Two-sided integer CUSUM changepoint alarms, exact per key.
+
+    Target is the key's FIRST value (in the sort order); state
+    ``s_hi = max(0, s_hi + (x - target - k))`` and symmetric ``s_lo``;
+    an alarm fires when a side exceeds ``h`` and resets that side to 0.
+    All arithmetic is int64 (values are pre-scaled cents), so the fold is
+    bit-exact against the recursive-CTE oracle — the reason to prefer the
+    integer formulation over the float textbook one. Same single-shuffle
+    sorted-partition plan as :func:`ema`.
+
+    Emits only alarm rows: ``out_cols`` + ``direction`` ('hi'/'lo').
+    """
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    out = list(out_cols)
+
+    schema_parts = [f"{c} {df.schema[c].dataType.simpleString()}" for c in out]
+    schema_parts.append("direction string")
+    out_schema = ", ".join(schema_parts)
+
+    def fold_partition(batches):
+        import pandas as pd
+
+        prev_key: tuple | None = None
+        target = 0
+        s_hi = s_lo = 0
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy().tolist()
+            key_rows = list(zip(*(pdf[kk].to_numpy().tolist() for kk in keys)))
+            keep: list[int] = []
+            dirs: list[str] = []
+            for i, (kv, x) in enumerate(zip(key_rows, vals)):
+                if kv != prev_key:
+                    prev_key = kv
+                    target = x
+                    s_hi = s_lo = 0
+                s_hi = max(0, s_hi + (x - target - k))
+                s_lo = max(0, s_lo + (target - x - k))
+                if s_hi > h:
+                    keep.append(i)
+                    dirs.append("hi")
+                    s_hi = 0
+                elif s_lo > h:
+                    keep.append(i)
+                    dirs.append("lo")
+                    s_lo = 0
+            res = pdf[out].iloc[keep].copy()
+            res["direction"] = dirs
+            yield res
+
+    parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
+    return parts.mapInPandas(fold_partition, schema=out_schema)
+
+
 def pnl_step(st: list, side: int, q: int, p: float) -> None:
     """One average-cost accounting step on state ``[n, pos, cost, realized]``.
 
