@@ -84,6 +84,26 @@ def ema(
     return parts.mapInPandas(fold_partition, schema=out_schema)
 
 
+def cusum_step(st: list, x: int, k: int, h: int) -> str | None:
+    """One two-sided integer CUSUM update on state ``[target, s_hi, s_lo]``.
+
+    Returns 'hi'/'lo' when that side alarms (and resets it), else None.
+    Hi takes precedence; the non-alarming side keeps its updated value.
+    Shared by the batch fold (:func:`cusum_flags`) and the streaming form
+    (streaming/cusum.stateful_cusum); also the contract with the x217
+    recursive oracle — do not reorder.
+    """
+    st[1] = max(0, st[1] + (x - st[0] - k))
+    st[2] = max(0, st[2] + (st[0] - x - k))
+    if st[1] > h:
+        st[1] = 0
+        return "hi"
+    if st[2] > h:
+        st[2] = 0
+        return "lo"
+    return None
+
+
 def cusum_flags(
     df: DataFrame,
     key_cols: Sequence[str],
@@ -118,8 +138,7 @@ def cusum_flags(
         import pandas as pd
 
         prev_key: tuple | None = None
-        target = 0
-        s_hi = s_lo = 0
+        st = [0, 0, 0]  # [target, s_hi, s_lo]
         for pdf in batches:
             vals = pdf[value_col].to_numpy().tolist()
             key_rows = list(zip(*(pdf[kk].to_numpy().tolist() for kk in keys)))
@@ -128,18 +147,11 @@ def cusum_flags(
             for i, (kv, x) in enumerate(zip(key_rows, vals)):
                 if kv != prev_key:
                     prev_key = kv
-                    target = x
-                    s_hi = s_lo = 0
-                s_hi = max(0, s_hi + (x - target - k))
-                s_lo = max(0, s_lo + (target - x - k))
-                if s_hi > h:
+                    st = [x, 0, 0]
+                d = cusum_step(st, x, k, h)
+                if d is not None:
                     keep.append(i)
-                    dirs.append("hi")
-                    s_hi = 0
-                elif s_lo > h:
-                    keep.append(i)
-                    dirs.append("lo")
-                    s_lo = 0
+                    dirs.append(d)
             res = pdf[out].iloc[keep].copy()
             res["direction"] = dirs
             yield res

@@ -769,3 +769,72 @@ def test_stateful_pnl_stream_equals_batch(spark, tmp_path):
         s, b = final[k], batch[k]
         assert (s.n_trades, s.pos) == (b.n_trades, b.pos)
         assert s.cost == b.cost and s.realized == b.realized
+
+
+def test_stateful_cusum_stream_equals_batch(spark, tmp_path):
+    """Streaming CUSUM alarms over micro-batches must equal the batch fold
+    (shared cusum_step kernel; target latch + side states carry)."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.operators.timeseries import cusum_flags
+    from aetherium_trader_datapipeline_spark.streaming.cusum import stateful_cusum
+
+    rng = np.random.default_rng(11)
+    rows = []
+    base = pd.Timestamp("2024-01-02 09:00:00")
+    eid = 0
+    for u in ("a", "b"):
+        level = 10000
+        for i in range(120):
+            if i == 60:
+                level += 900  # drift upward mid-stream: hi alarms expected
+            x = level + int(rng.integers(-200, 200))
+            rows.append((u, base + pd.Timedelta(seconds=10 * i), eid, x))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["sym", "ts", "event_id", "cents"])
+    df = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "src")
+    bounds = ["2024-01-02 09:07:00", "2024-01-02 09:14:00", None]
+    lo = None
+    for i, hi in enumerate(bounds):
+        part = df
+        if lo is not None:
+            part = part.where(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.where(F.col("ts") < hi)
+        part.coalesce(1).write.parquet(f"{src}/c{i}")
+        _time.sleep(1.1)
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*")
+    )
+    out = stateful_cusum(stream, ["sym"], ["ts", "event_id"], "cents", k=300, h=600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.sym, r.event_id, r.direction)
+        for r in spark.sql("SELECT * FROM cusum_state").collect()
+    }
+
+    batch = cusum_flags(
+        df, ["sym"], ["ts", "event_id"], "cents",
+        out_cols=["sym", "event_id"], k=300, h=600,
+    )
+    expected = {(r.sym, r.event_id, r.direction) for r in batch.collect()}
+    assert got == expected
+    # the planted level shift must produce at least one hi alarm per key
+    assert any(d == "hi" and s == "a" for (s, _, d) in expected)
+    assert any(d == "hi" and s == "b" for (s, _, d) in expected)
