@@ -69,6 +69,7 @@ _X213_ORACLE = """
 
 @register(
     "x213_avg_cost_pnl",
+    headline=True,
     oracle=_X213_ORACLE,
     tags=("finance", "pandas", "stateful"),
 )
