@@ -793,6 +793,9 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext38  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext39  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext40  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext41  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext42  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext43  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
