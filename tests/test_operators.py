@@ -519,3 +519,51 @@ def test_avg_cost_pnl_exact_across_tiny_arrow_batches(spark):
         r = out[out["k"] == k].iloc[0]
         assert (r["n_trades"], r["pos"]) == (n, pos)
         assert r["cost"] == cost and r["realized"] == realized
+
+
+def test_cusum_flags_exact_across_tiny_arrow_batches(spark):
+    """CUSUM target latch + side states must span Arrow batch boundaries;
+    alarms equal a plain Python replay of cusum_step."""
+    from aetherium_trader_datapipeline_spark.operators.timeseries import (
+        cusum_flags,
+        cusum_step,
+    )
+
+    rows = []
+    for k in range(2):
+        level = 1000
+        for i in range(80):
+            if i == 40:
+                level += 700
+            rows.append((k, i, level + ((i * 37 + k * 11) % 300) - 150))
+    df = spark.createDataFrame(rows, "k int, seq int, cents bigint")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        out = (
+            cusum_flags(df, ["k"], ["seq"], "cents", out_cols=["k", "seq"],
+                        k=200, h=400)
+            .toPandas()
+            .sort_values(["k", "seq"])
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    expected = []
+    for k in range(2):
+        level = 1000
+        st = None
+        for i in range(80):
+            if i == 40:
+                level += 700
+            x = level + ((i * 37 + k * 11) % 300) - 150
+            if st is None:
+                st = [x, 0, 0]
+            d = cusum_step(st, x, 200, 400)
+            if d is not None:
+                expected.append((k, i, d))
+
+    got = [tuple(r) for r in out[["k", "seq", "direction"]].itertuples(index=False)]
+    assert got == sorted(expected)
+    assert any(d == "hi" for (_, _, d) in expected)  # planted shift alarms
