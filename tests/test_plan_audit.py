@@ -54,6 +54,14 @@ def test_no_cartesian_product_anywhere(spark):
         # doc queries tokenize text; n_chars-only queries must not read text
         ("x159_shard_assign", "documents", "text"),
         ("x166_weighted_sample", "documents", "text"),
+        # x213 reads user_id/ts/event_id/event_type/value — never props
+        ("x213_avg_cost_pnl", "events", "props"),
+        # x221 scores on value/event_type only
+        ("x221_auc", "events", "props"),
+        # x230 projects the bipartite keys; lineitem's wide column stays out
+        ("x230_bipartite_projection", "lineitem", "l_comment"),
+        # x241 ranks by acctbal within nation; address/comment must prune
+        ("x241_rank_fns", "customer", "c_address"),
     ],
 )
 def test_column_pruning_reaches_scan(spark, key, table, must_be_absent):
