@@ -224,3 +224,91 @@ def test_domain_mix_monotone_in_weight(spark, w_lo, w_hi):
     lo, hi = kept(w_lo), kept(w_hi)
     # hash-threshold sampling is nested: raising the weight only adds rows
     assert lo <= hi
+
+
+@given(
+    trades=st.lists(
+        st.tuples(
+            st.sampled_from([1, -1]),
+            st.integers(min_value=1, max_value=5),
+            st.floats(min_value=0.01, max_value=1000, allow_nan=False, width=64),
+        ),
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pnl_step_invariants(trades):
+    """Average-cost accounting invariants under any trade stream: position
+    never negative, open cost non-negative up to one float ulp of the
+    subtraction identity, sells never exceed inventory."""
+    from aetherium_trader_datapipeline_spark.operators.timeseries import pnl_step
+
+    st_ = [0, 0, 0.0, 0.0]
+    for side, q, p in trades:
+        pos_before = st_[1]
+        pnl_step(st_, side, q, p)
+        assert st_[1] >= 0
+        if side < 0:
+            assert pos_before - st_[1] <= q  # sold at most q
+        assert st_[2] >= -1e-6  # cost - pos*(cost/pos) can round below 0
+    assert st_[0] == len(trades)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-(10**6), max_value=10**6), max_size=300),
+    k=st.integers(min_value=0, max_value=1000),
+    h=st.integers(min_value=1, max_value=5000),
+)
+@settings(max_examples=200, deadline=None)
+def test_cusum_step_invariants(xs, k, h):
+    """CUSUM side states stay in [0, h + max_jump]; an alarm always resets
+    the alarming side to 0; states are never negative."""
+    from aetherium_trader_datapipeline_spark.operators.timeseries import cusum_step
+
+    st_ = None
+    for x in xs:
+        if st_ is None:
+            st_ = [x, 0, 0]
+        before = list(st_)
+        d = cusum_step(st_, x, k, h)
+        assert st_[1] >= 0 and st_[2] >= 0
+        if d == "hi":
+            assert st_[1] == 0
+            assert before[1] + (x - st_[0] - k) > h
+        elif d == "lo":
+            assert st_[2] == 0
+        else:
+            assert st_[1] <= h and st_[2] <= h
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    chans=st.integers(min_value=1, max_value=2),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    n=st.integers(min_value=0, max_value=5000),
+)
+@settings(max_examples=100, deadline=None)
+def test_wav_encode_parse_roundtrip(rate, chans, bits, n):
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        encode_wav,
+        parse_wav_header,
+    )
+
+    blob = encode_wav(sample_rate=rate, n_channels=chans, bits=bits, n_samples=n)
+    assert parse_wav_header(blob) == (rate, chans, bits, n)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=60000),
+    h=st.integers(min_value=1, max_value=60000),
+)
+@settings(max_examples=100, deadline=None)
+def test_image_encode_parse_roundtrip(w, h):
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_png,
+        parse_image_header,
+    )
+
+    assert parse_image_header(encode_png(w, h)) == (w, h, "png")
+    assert parse_image_header(encode_jpeg(w, h)) == (w, h, "jpeg")
