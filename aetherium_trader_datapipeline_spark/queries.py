@@ -799,6 +799,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext44  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext45  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext46  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext47  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
