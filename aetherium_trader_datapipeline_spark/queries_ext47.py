@@ -19,24 +19,25 @@ from __future__ import annotations
 from aetherium_trader_datapipeline_spark.queries import register_sql
 
 # -- x242: keyed snapshot diff ----------------------------------------------
-# Versions are date-sliced order snapshots: A = orders before 1996, B =
-# orders before 1997 with totalprice "restated" for 1995 orders (a
-# deterministic in-data change: +1 for orderkeys divisible by 7) — so all
-# four diff statuses occur.
+# Versions are date-sliced order snapshots: A = orders before 1998; B =
+# orders before 1999 with totalprice "restated" for 1997 orders (+1 for
+# orderkeys divisible by 7) and a deterministic key deletion (pre-1996
+# orderkeys ≡ 3 mod 11 dropped) — so all four diff statuses occur.
 
 _X242_BODY = """
     WITH a AS (
       SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
-      FROM orders WHERE o_orderdate < DATE '1996-01-01'
+      FROM orders WHERE o_orderdate < DATE '1998-01-01'
     ),
     b AS (
       SELECT o_orderkey AS k,
              CAST(o_totalprice AS DECIMAL(18,2))
                + CASE WHEN o_orderkey % 7 = 0
-                       AND o_orderdate >= DATE '1995-01-01'
+                       AND o_orderdate >= DATE '1997-01-01'
                       THEN CAST(1.00 AS DECIMAL(18,2))
                       ELSE CAST(0.00 AS DECIMAL(18,2)) END AS v
-      FROM orders WHERE o_orderdate < DATE '1997-01-01'
+      FROM orders WHERE o_orderdate < DATE '1999-01-01'
+        AND NOT (o_orderkey % 11 = 3 AND o_orderdate < DATE '1996-01-01')
     ),
     d AS (
       SELECT COALESCE(a.k, b.k) AS k,
