@@ -1,0 +1,146 @@
+"""Forty-eighth extension wave — corporate actions, spectral iteration,
+and distribution matching:
+
+x244 split adjust     back-adjust price history for deterministic 2:1
+                      splits (divide by the cumulative future split
+                      factor) — exact decimal halving, no float drift
+x245 power iteration  top eigenvector direction of the 64×64 embedding
+                      gram matrix via 3 unrolled matvec rounds; vectors
+                      carried as nano-scaled BIGINTs (FLOOR-quantized
+                      after the max-abs normalization) so both engines
+                      iterate identically
+x246 quantile normalize map each event-type's value distribution onto the
+                      pooled distribution by rank position — the classic
+                      quantile-normalization feature transform, exact
+                      integer rank lookups
+
+Scale shapes: x244 is map-only. x245 reduces the data to a 4096-row gram
+relation in ONE pass (the only data-sized stage); the iteration then
+works on 64-row vectors. x246 is two rank windows + an integer-rank join.
+"""
+
+from __future__ import annotations
+
+from aetherium_trader_datapipeline_spark.queries import register_sql
+
+# -- x244: split back-adjustment --------------------------------------------
+# Splits (synthesized deterministically — events carry no corporate
+# actions): instruments ≡0 mod 3 split 2:1 at 2024-02-01; those ≡0 mod 6
+# split again at 2024-03-01. Rows strictly before a split divide by its
+# factor: cumulative divisor 2^k with k = future splits for that row.
+
+_X244_BODY = """
+    WITH px AS (
+      SELECT user_id, event_id, ts, CAST(ROUND(value, 4) AS DECIMAL(18,4)) AS p
+      FROM events WHERE value > 0
+    ),
+    adj AS (
+      SELECT user_id, event_id, p,
+             CAST(CASE WHEN user_id % 3 = 0 AND ts < TIMESTAMP '2024-02-01 00:00:00'
+                       THEN 1 ELSE 0 END AS INT)
+             + CAST(CASE WHEN user_id % 6 = 0 AND ts < TIMESTAMP '2024-03-01 00:00:00'
+                         THEN 1 ELSE 0 END AS INT) AS k
+      FROM px
+    )
+    SELECT user_id, event_id, p AS raw_px, k AS n_future_splits,
+           CAST(CASE k WHEN 0 THEN p
+                       WHEN 1 THEN p / 2
+                       ELSE p / 4 END AS DECIMAL(18,6)) AS adj_px
+    FROM adj ORDER BY user_id, event_id LIMIT 500
+"""
+
+register_sql(
+    "x244_split_adjust",
+    spark_sql=_X244_BODY,
+    duckdb_sql=_X244_BODY,
+    tags=("finance", "corporate-actions"),
+)
+
+# -- x245: power iteration on the embedding gram matrix ---------------------
+
+
+def _x245(dim_src: str) -> str:
+    rounds = []
+    prev = "v0"
+    for r in range(1, 4):
+        rounds.append(f"""
+    w{r} AS (
+      SELECT g.i, SUM(g.g * v.v) AS w
+      FROM gram g JOIN {prev} v ON g.j = v.i GROUP BY g.i
+    ),
+    m{r} AS (SELECT MAX(ABS(CAST(w AS DOUBLE))) AS m FROM w{r}),
+    v{r} AS (
+      SELECT w.i,
+             CAST(FLOOR(1e8 * (CAST(w.w AS DOUBLE) / m.m)) AS BIGINT) AS v
+      FROM w{r} w CROSS JOIN m{r} m
+    )""")
+        prev = f"v{r}"
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, d.pos AS p,
+             CAST(ROUND(CAST(d.x AS DOUBLE), 6) AS DECIMAL(12,6)) AS xq
+      FROM ({dim_src}) d
+    ),
+    gram AS (
+      SELECT a.p AS i, b.p AS j, SUM(a.xq * b.xq) AS g
+      FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+      GROUP BY a.p, b.p
+    ),
+    v0 AS (SELECT DISTINCT i, CAST(100000000 AS BIGINT) AS v FROM gram),{",".join(rounds)}
+    SELECT i AS dim_pos, v AS v_nano FROM v3 ORDER BY i
+"""
+
+
+register_sql(
+    "x245_power_iteration",
+    spark_sql=_x245(
+        "SELECT vec_id, posexplode(embedding) AS (pos, x) FROM embeddings"
+    ),
+    duckdb_sql=_x245(
+        "SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos, u.x FROM embeddings, "
+        "LATERAL (SELECT UNNEST(embedding) AS x, "
+        "GENERATE_SUBSCRIPTS(embedding, 1) AS i) u"
+    ),
+    tags=("embedding", "spectral", "iterative"),
+)
+
+# -- x246: quantile normalization -------------------------------------------
+# Each row's within-type rank maps to the pooled sorted values at the same
+# fractional position. All rank arithmetic is integer; the fractional
+# position uses one double product floored to an integer reference rank.
+
+_X246_BODY = """
+    WITH s AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_id, event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM s
+    ),
+    pooled AS (
+      SELECT cents AS ref_cents,
+             ROW_NUMBER() OVER (ORDER BY cents, event_id) AS prk
+      FROM s
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM s),
+    mapped AS (
+      SELECT g.event_id, g.event_type, g.cents,
+             1 + CAST(FLOOR((CAST(g.rk - 1 AS DOUBLE) / (g.n - 1))
+                            * (t.N - 1)) AS BIGINT) AS ref_rk
+      FROM g CROSS JOIN tot t WHERE g.n > 1
+    )
+    SELECT m.event_id, m.event_type, m.cents, p.ref_cents AS qnorm_cents
+    FROM mapped m JOIN pooled p ON m.ref_rk = p.prk
+    ORDER BY m.event_id LIMIT 400
+"""
+
+register_sql(
+    "x246_quantile_normalize",
+    spark_sql=_X246_BODY,
+    duckdb_sql=_X246_BODY,
+    tags=("ml", "window"),
+)
