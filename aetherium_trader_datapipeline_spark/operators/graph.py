@@ -201,6 +201,7 @@ def pagerank_fixed(
     iterations: int = 3,
     scale: int = 10**12,
     n_nodes: int | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-point integer PageRank (damping 0.85), ``iterations`` rounds.
 
@@ -261,8 +262,17 @@ def pagerank_fixed(
             .agg(F.sum("sh").alias("c"))
             .withColumnRenamed("dst", "node")
         )
-        p = nodes.join(_b(contrib), "node", "left").select(
-            "node",
-            (F.lit(tele) + F.expr("(85 * coalesce(c, 0L)) DIV 100")).alias("p"),
-        )
+        if symmetric:
+            # in a symmetrized graph every node has in-edges, so contrib
+            # already covers the full node set — the nodes left-join (and
+            # its broadcast) is redundant: 3 fewer joins over 3 rounds
+            p = contrib.select(
+                "node",
+                (F.lit(tele) + F.expr("(85 * c) DIV 100")).alias("p"),
+            )
+        else:
+            p = nodes.join(_b(contrib), "node", "left").select(
+                "node",
+                (F.lit(tele) + F.expr("(85 * coalesce(c, 0L)) DIV 100")).alias("p"),
+            )
     return p

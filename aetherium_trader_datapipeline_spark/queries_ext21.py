@@ -121,7 +121,7 @@ def x172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    pr = pagerank_fixed(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+    pr = pagerank_fixed(edges, iterations=_PR_ITERS, scale=_PR_SCALE, symmetric=True)
     return (
         pr.select("node", F.col("p").alias("pr"))
         .orderBy(F.desc("pr"), "node")
