@@ -299,8 +299,11 @@ def test_wav_encode_parse_roundtrip(rate, chans, bits, n):
 
 
 @given(
-    w=st.integers(min_value=1, max_value=60000),
-    h=st.integers(min_value=1, max_value=60000),
+    # encode_png materializes (1+3w)*h raw bytes before compressing — keep
+    # dimensions small enough that an adversarial draw stays in the KB
+    # range (header parsing is what's under test, not payload size)
+    w=st.integers(min_value=1, max_value=400),
+    h=st.integers(min_value=1, max_value=400),
 )
 @settings(max_examples=100, deadline=None)
 def test_image_encode_parse_roundtrip(w, h):
