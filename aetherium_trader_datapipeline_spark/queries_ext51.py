@@ -1,0 +1,76 @@
+"""Fifty-first extension wave — modern SQL definition surface:
+
+x253 sql udf         a scalar function defined IN SQL (CREATE TEMPORARY
+                     FUNCTION ... RETURN expr — the Spark 4 SQL UDF
+                     surface) used by a revenue aggregation; the oracle
+                     inlines the identical expression, proving the UDF is
+                     pure declaration (Catalyst inlines it — no black box,
+                     unlike Python UDFs)
+x254 lateral alias   lateral column aliases: later SELECT items reference
+                     earlier ones without a subquery
+
+Scale shapes: both compile to ordinary scans + aggregations; the SQL UDF
+inlines into whole-stage codegen (the reason to prefer it over a Python
+UDF for row-level business logic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
+
+# -- x253: SQL-defined scalar UDF -------------------------------------------
+
+_X253_ORACLE = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS net_rev
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "x253_sql_udf",
+    oracle=_X253_ORACLE,
+    tags=("sql", "udf"),
+)
+def x253_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(18,4)
+        RETURN CAST(p * (1 - d) AS DECIMAL(18,4))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(net_price(l_extendedprice, l_discount)) AS net_rev
+        FROM lineitem
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+# -- x254: lateral column aliases -------------------------------------------
+
+_X254_BODY = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2)) AS net,
+           CAST(ROUND(net * 0.07, 2) AS DECIMAL(18,2)) AS tax,
+           CAST(net + tax AS DECIMAL(18,2)) AS gross
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber LIMIT 300
+"""
+
+register_sql(
+    "x254_lateral_alias",
+    spark_sql=_X254_BODY,
+    duckdb_sql=_X254_BODY,
+    tags=("sql", "surface"),
+)
