@@ -59,11 +59,14 @@ def x253_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- x254: lateral column aliases -------------------------------------------
 
+# all-decimal chain after the one established double->DECIMAL(18,4) cast:
+# tax and gross are exact decimal products/sums, so no per-row ROUND (whose
+# tie-breaks differ across engines) appears anywhere
 _X254_BODY = """
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(l_extendedprice * (1 - l_discount), 2) AS DECIMAL(18,2)) AS net,
-           CAST(ROUND(net * 0.07, 2) AS DECIMAL(18,2)) AS tax,
-           CAST(net + tax AS DECIMAL(18,2)) AS gross
+           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net,
+           CAST(net * CAST(0.07 AS DECIMAL(4,2)) AS DECIMAL(18,6)) AS tax,
+           CAST(net + tax AS DECIMAL(18,6)) AS gross
     FROM lineitem
     ORDER BY l_orderkey, l_linenumber LIMIT 300
 """
