@@ -21,7 +21,11 @@ works on 64-row vectors. x246 is two rank windows + an integer-rank join.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # -- x244: split back-adjustment --------------------------------------------
 # Splits (synthesized deterministically — events carry no corporate
@@ -91,18 +95,66 @@ def _x245(dim_src: str) -> str:
 """
 
 
-register_sql(
+# Spark side: DataFrame rounds over a localCheckpoint'd gram relation —
+# Spark replans a multiply-referenced CTE from scratch per round (the
+# x212 lesson: the SQL form re-ran the data-scale self-join three times,
+# 9.7 s vs ~1 s at sf0.1). The oracle keeps the unrolled-CTE form; the
+# per-round max-abs is the only driver traffic (3 scalars).
+
+
+@register(
     "x245_power_iteration",
-    spark_sql=_x245(
-        "SELECT vec_id, posexplode(embedding) AS (pos, x) FROM embeddings"
-    ),
-    duckdb_sql=_x245(
+    oracle=_x245(
         "SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos, u.x FROM embeddings, "
         "LATERAL (SELECT UNNEST(embedding) AS x, "
         "GENERATE_SUBSCRIPTS(embedding, 1) AS i) u"
     ),
     tags=("embedding", "spectral", "iterative"),
 )
+def x245_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    # small-SF parquet arrives as one file -> one partition; the 64x-row
+    # posexplode fan-out and the vec_id self-join would then run serially.
+    # Repartition on the join key BEFORE exploding: the pair fan-out and
+    # the (i,j) partial aggregation parallelize, and the self-join is
+    # co-partitioned (measured 9.3 s -> ~1 s at sf0.1).
+    dims = (
+        t["embeddings"]
+        .repartition(32, "vec_id")
+        .select("vec_id", F.posexplode("embedding").alias("p", "x"))
+        .select(
+            "vec_id",
+            "p",
+            F.round(F.col("x").cast("double"), 6).cast("decimal(12,6)").alias("xq"),
+        )
+    )
+    a = dims.alias("a")
+    b = dims.alias("b")
+    gram = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.p").alias("i"), F.col("b.p").alias("j"))
+        .agg(F.sum(F.col("a.xq") * F.col("b.xq")).alias("g"))
+        .localCheckpoint()
+    )
+    v = gram.select(F.col("i")).distinct().withColumn(
+        "v", F.lit(100000000).cast("bigint")
+    )
+    for _ in range(3):
+        w = (
+            gram.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+        ).localCheckpoint()
+        m = w.agg(F.max(F.abs(F.col("w").cast("double")))).collect()[0][0]
+        v = w.select(
+            "i",
+            F.floor(F.lit(1e8) * (F.col("w").cast("double") / F.lit(float(m))))
+            .cast("bigint")
+            .alias("v"),
+        )
+    return v.select(F.col("i").alias("dim_pos"), F.col("v").alias("v_nano")).orderBy(
+        "dim_pos"
+    )
 
 # -- x246: quantile normalization -------------------------------------------
 # Each row's within-type rank maps to the pooled sorted values at the same
