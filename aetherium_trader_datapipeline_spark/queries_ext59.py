@@ -81,7 +81,7 @@ register_sql(
 _X272_BODY = """
     WITH px AS (
       SELECT l_partkey AS pk,
-             CAST(l_extendedprice / l_quantity AS DECIMAL(12,4)) AS unit_px
+             CAST(l_extendedprice / l_quantity AS DECIMAL(19,4)) AS unit_px
       FROM lineitem WHERE l_quantity > 0
     ),
     m AS (
