@@ -839,6 +839,24 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x42_language_id", "x43_quality_score", "x44_token_counts",
         "x45_fingerprint", "x46_ngram_jaccard", "x49_embedding_neardup",
         "x55_content_hash_dups",
+        # CORRECTNESS_r03.json — 49 green (the window's one red, x138, stays
+        # unlisted so it re-enters the r4 window after its oracle CAST fix).
+        "x135_decontaminate", "x136_repetition_filter", "x137_domain_mix",
+        "x139_kmeans_embeddings", "x129_minhash_portable",
+        "x130_simhash_portable", "x72_connected_components",
+        "x73_dup_clusters", "x77_ema", "x182_max_drawdown",
+        "x183_realized_vol", "x184_beta", "x185_lead_lag_corr",
+        "x186_bollinger", "x187_hll_portable", "x188_cms_topk",
+        "x189_triangle_census", "x190_neighbor_jaccard", "x191_semdedup",
+        "x192_knn_classify", "x193_scd2_history", "x194_cdc_snapshot",
+        "x195_bloom_prune", "x80_tpch_q5", "x81_tpch_q6", "x82_tpch_q4",
+        "x83_tpch_q10", "x84_tpch_q14", "x85_tpch_q18", "x86_tpch_q17",
+        "x87_tpch_q19", "x88_tpch_q22", "x89_tpch_q15", "x90_tpch_q7",
+        "x91_tpch_q13", "x92_tpch_q16", "x170_dup_span_removal",
+        "x167_containment", "x171_stateful_anomaly", "x172_pagerank",
+        "x173_audio_meta", "x174_python_udtf", "x178_bm25",
+        "x156_bigram_lm_score", "x157_dup_span_fraction", "x179_map_in_arrow",
+        "x180_pandas_iter_udf", "x168_dedup_keep_best", "x176_windowed_funnel",
     }
 )
 

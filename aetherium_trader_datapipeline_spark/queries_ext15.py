@@ -164,7 +164,8 @@ def x137_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN p.fill + d.tokens > 200 THEN d.tokens ELSE p.fill + d.tokens END
       FROM docs d JOIN packed p ON d.shard = p.shard AND d.rn = p.rn + 1
     )
-    SELECT shard, pack_id, COUNT(*) AS n_docs, SUM(tokens) AS sum_tokens
+    SELECT shard, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS sum_tokens
     FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id
     """,
     tags=("curation", "packing"),

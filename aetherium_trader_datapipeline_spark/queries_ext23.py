@@ -103,15 +103,22 @@ register_sql(
 register_sql(
     "x177_dau_wau",
     spark_sql="""
-    WITH dau AS (
-      SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS dau
-      FROM events GROUP BY CAST(ts AS DATE)),
-    spine AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    WITH ud AS (
+      -- collapse events to distinct user-days FIRST: user-days << events, so
+      -- the 7-way explode below fans out the small set, and the join back to
+      -- the spine is an equi-join (shuffle hash), never a nested-loop over
+      -- raw events (the r3 BNLJ hazard: Θ(|days|x|events|) predicate evals).
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+    spine AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      -- each user-day counts toward the trailing-7 window of days d..d+6
+      SELECT date_add(ud.d, k) AS d, ud.user_id
+      FROM ud LATERAL VIEW explode(sequence(0, 6)) t AS k),
     wau AS (
-      SELECT s.d, COUNT(DISTINCT e.user_id) AS wau
-      FROM spine s JOIN events e
-        ON datediff(s.d, CAST(e.ts AS DATE)) BETWEEN 0 AND 6
-      GROUP BY s.d)
+      SELECT c.d, COUNT(DISTINCT c.user_id) AS wau
+      FROM contrib c JOIN spine s ON c.d = s.d
+      GROUP BY c.d)
     SELECT dau.d AS day, dau.dau, wau.wau,
            ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
     FROM dau JOIN wau ON dau.d = wau.d

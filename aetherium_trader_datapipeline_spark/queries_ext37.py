@@ -150,8 +150,8 @@ _X215_FMT = """
     SELECT user_id, event_id, cents,
            LAG(cents, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1,
            LAG(cents, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag3,
-           SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll10_sum,
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll10_sum,
            CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll10_n,
            CAST({dow} AS BIGINT) AS dow

@@ -17,16 +17,29 @@ from aetherium_trader_datapipeline_spark.tables import TABLE_NAMES
 
 
 def duckdb_run(sql: str, sf_dir: str):
+    cols, rows, _ = duckdb_run_typed(sql, sf_dir)
+    return cols, rows
+
+
+def duckdb_run_typed(sql: str, sf_dir: str):
+    """Run the oracle and also return DuckDB's logical result types.
+
+    The driver's value hash is TYPE-SENSITIVE: a DuckDB HUGEINT (int128,
+    e.g. from SUM over BIGINT) hashes differently from Spark's BIGINT even
+    when every value is identical (the x138 r3 failure).  Returning the
+    types lets the local gate reject that class of bug before the driver
+    sees it."""
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    rows = rel.fetchall()
     con.close()
-    return cols, rows
+    return cols, rows, types
 
 
 def spark_run(df):
@@ -64,11 +77,84 @@ def canonical(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _duck_kind(t: str) -> str:
+    """Reduce a DuckDB logical type to the driver-hash-relevant KIND.
+
+    Empirically (CORRECTNESS_r03), the driver's value hash tolerates width
+    differences within a kind (x139: Spark INT vs DuckDB BIGINT green; x253:
+    decimal(28,4) vs decimal(38,4) green) but fails when the fetched value
+    REPR changes: DuckDB exports HUGEINT as float64 (x138's 165-row exact
+    match still hash-failed), and a decimal scale or int/float/decimal kind
+    flip changes the canonical string ('3' vs '3.0' vs '3.00')."""
+    t = t.strip()
+    u = t.upper()
+    if u in ("HUGEINT", "UHUGEINT", "UUID", "INTERVAL", "BIT"):
+        return f"!{u.lower()}"  # no repr-stable Spark counterpart: always flag
+    ints = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+    if u in ints:
+        return "int"
+    if u in ("FLOAT", "DOUBLE"):
+        return "float"
+    if u.startswith("DECIMAL"):
+        scale = u.rstrip(")").split(",")[-1].strip()
+        return f"decimal.s{scale}"
+    if u in ("VARCHAR", "JSON", "ENUM"):
+        return "string"  # all fetch as python str
+    if u == "BLOB":
+        return "binary"
+    if u == "BOOLEAN":
+        return "boolean"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP") or u.startswith("TIME"):
+        return "timestamp"
+    if u.endswith("[]"):
+        return f"array<{_duck_kind(t[:-2])}>"
+    return f"?{u.lower()}"
+
+
+def _spark_kind(dt) -> str:
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s.startswith("decimal"):
+        scale = s.rstrip(")").split(",")[-1].strip()
+        return f"decimal.s{scale}"
+    if s in ("timestamp", "timestamp_ntz"):
+        return "timestamp"
+    if s.startswith("array<"):
+        from pyspark.sql.types import ArrayType
+
+        if isinstance(dt, ArrayType):
+            return f"array<{_spark_kind(dt.elementType)}>"
+    return s
+
+
+def type_problems(spark_df, d_cols, d_types, key: str = "") -> list[str]:
+    """Per-column KIND check mirroring the driver's type-sensitive value
+    hash (see _duck_kind). Columns matched by NAME (driver sorts by name)."""
+    s_map = {f.name: _spark_kind(f.dataType) for f in spark_df.schema.fields}
+    d_map = {c: _duck_kind(t) for c, t in zip(d_cols, d_types)}
+    problems = []
+    for c in sorted(set(s_map) & set(d_map)):
+        if s_map[c] != d_map[c]:
+            problems.append(
+                f"{key}: TYPE-KIND mismatch on '{c}': spark={s_map[c]} duckdb={d_map[c]}"
+                " (driver hash is repr-sensitive: HUGEINT→float64, scale/kind"
+                " flips change the canonical value string)"
+            )
+    return problems
+
+
 def compare(spark_df, oracle_sql_text: str, sf_dir: str, key: str = "") -> list[str]:
     """Returns a list of mismatch descriptions (empty = pass)."""
     problems = []
     s_cols, s_rows = spark_run(spark_df)
-    d_cols, d_rows = duckdb_run(oracle_sql_text, sf_dir)
+    d_cols, d_rows, d_types = duckdb_run_typed(oracle_sql_text, sf_dir)
+    problems.extend(type_problems(spark_df, d_cols, d_types, key=key))
     sc, sr = canonical(s_cols, s_rows)
     dc, dr = canonical(d_cols, d_rows)
     if sc != dc:

@@ -77,6 +77,130 @@ def test_column_pruning_reaches_scan(spark, key, table, must_be_absent):
         )
 
 
+def _marker_col(line: str) -> int:
+    import re
+
+    m = re.search(r"[:+]- ", line)
+    return m.start() if m else -1
+
+
+def _direct_children(lines: list[str], idx: int) -> list[int]:
+    """Indices of the direct children of the tree node at lines[idx]."""
+    base = _marker_col(lines[idx])
+    kids, i = [], idx + 1
+    while i < len(lines):
+        c = _marker_col(lines[i])
+        if c == -1:
+            i += 1
+            continue
+        if c <= base:
+            break
+        kids.append(i)
+        j = i + 1
+        while j < len(lines):
+            cj = _marker_col(lines[j])
+            if cj != -1 and cj <= c:
+                break
+            j += 1
+        i = j
+    return kids
+
+
+def _subtree(lines: list[str], idx: int) -> str:
+    base = _marker_col(lines[idx])
+    out, j = [lines[idx]], idx + 1
+    while j < len(lines):
+        cj = _marker_col(lines[j])
+        if cj != -1 and cj <= base:
+            break
+        out.append(lines[j])
+        j += 1
+    return "\n".join(out)
+
+
+# Evidence in a build-side subtree that its row count is bounded regardless
+# of input scale: a scalar aggregate, a literal/local relation, a limit, or
+# a pushed point-equality filter (one key → O(1) rows).
+_BOUNDED_MARKERS = (
+    "HashAggregate(keys=[], ",
+    "SortAggregate(key=[], ",
+    "LocalTableScan",
+    "OneRowRelation",
+    "CollectLimit",
+    "GlobalLimit",
+    "TakeOrderedAndProject",
+    "EqualTo(",
+)
+
+# Keys whose BNLJ build side is data-proportional by DESIGN, with the reason
+# a reviewer should hold it to. Keep this list short and justified.
+_BNLJ_ALLOWED = {
+    # probe set = fixed modulus sample of embeddings (demo stand-in for a
+    # caller-supplied bounded probe table); labeled side is the broadcast.
+    "x192_knn_classify",
+}
+
+
+def test_no_large_side_bnlj(spark):
+    """A BroadcastNestedLoopJoin is only acceptable when its BUILD side is
+    provably bounded (scalar agg / literal / limit / point filter). A BNLJ
+    whose broadcast side grows with the data is the x177 r3 hazard:
+    Θ(|left|×|right|) predicate evaluations that detonate at 100 TB even
+    though the plan contains no CartesianProduct."""
+    queries()
+    offenders = []
+    for key in REGISTRY:
+        if key in _BNLJ_ALLOWED:
+            continue
+        plan = _spark_plan(spark, key)
+        if "BroadcastNestedLoopJoin" not in plan:
+            continue
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastNestedLoopJoin" not in ln:
+                continue
+            kids = _direct_children(lines, i)
+            if len(kids) < 2:
+                continue  # root-level formatting edge; covered by kids below
+            build_idx = kids[1] if "BuildRight" in ln else kids[0]
+            st = _subtree(lines, build_idx)
+            if not any(m in st for m in _BOUNDED_MARKERS):
+                offenders.append(f"{key}: unbounded BNLJ build side:\n{st[:400]}")
+    assert offenders == [], "\n\n".join(offenders)
+
+
+def test_bnlj_checker_flags_prefix_x177_shape(spark):
+    """Regression proof-case: x177's ORIGINAL r3 form (day spine joined to
+    raw events on a datediff BETWEEN inequality) must be flagged by the
+    BNLJ checker — it planned a BroadcastNestedLoopJoin whose build side
+    was the full events scan."""
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
+    df = spark.sql(
+        """
+        WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+        SELECT s.d, COUNT(DISTINCT e.user_id) AS wau
+        FROM spine s JOIN events e
+          ON datediff(s.d, CAST(e.ts AS DATE)) BETWEEN 0 AND 6
+        GROUP BY s.d
+        """
+    )
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, "shape changed; update proof-case"
+    lines = plan.splitlines()
+    flagged = False
+    for i, ln in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in ln:
+            continue
+        kids = _direct_children(lines, i)
+        build_idx = kids[1] if "BuildRight" in ln else kids[0]
+        st = _subtree(lines, build_idx)
+        if not any(m in st for m in _BOUNDED_MARKERS):
+            flagged = True
+    assert flagged, "checker failed to flag an events-sized BNLJ build side"
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """q02 filters on l_shipdate/l_returnflag — both must appear as
     PushedFilters on the parquet scan, not only as a post-scan Filter."""
