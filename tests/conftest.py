@@ -7,6 +7,13 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Make google.protobuf importable (vendored pure-Python shim) BEFORE any
+# SparkSession exists: transformWithStateInPandas workers import it, and the
+# worker daemon inherits PYTHONPATH from the JVM's environment at launch.
+from aetherium_trader_datapipeline_spark._vendor import protoshim  # noqa: E402
+
+protoshim.activate()
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
