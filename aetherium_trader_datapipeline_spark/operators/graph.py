@@ -158,6 +158,13 @@ def kcore_counts(
 ) -> list[tuple[int, int, int]]:
     """K-core peeling round summary: [(round, n_nodes, n_edges)].
 
+    PRECONDITION: ``edges`` must be a SYMMETRIZED edge list (every
+    undirected edge present in both directions, as x212 builds). Residual
+    degree is measured as out-degree (``groupBy(src)``) and survivors are
+    counted from the src side — correct exactly when src-degree ==
+    total-degree, i.e. on symmetric input. An asymmetric edge list gives
+    silently wrong k-cores: dst-only nodes never receive a degree.
+
     Each round keeps nodes with residual degree >= k and restricts edges
     to survivors on both ends. The edge list is localCheckpoint'ed once
     up front and after every round — the pagerank_fixed lesson: without
@@ -220,6 +227,12 @@ def pagerank_fixed(
     caller already knows it (same contract as similarity.py's ``n``).
     Fixed iteration count keeps the plan finite for Catalyst (the x139
     k-means posture); convergence-probe loops belong to the caller.
+
+    ``symmetric=True`` is a caller-asserted fast path: it requires EVERY
+    node to have at least one in-edge (true for symmetrized graphs, where
+    in-edges == out-edges). It skips the nodes left-join, so on a graph
+    with in-edge-less nodes it SHRINKS the output node set instead of
+    erroring — pass it only when the input is genuinely symmetrized.
     """
     # materialize the (possibly join-derived) edge list ONCE — every frame
     # below re-reads it, and three BSP rounds would otherwise recompute the

@@ -124,8 +124,20 @@ def cusum_flags(
     sorted-partition plan as :func:`ema`.
 
     Emits only alarm rows: ``out_cols`` + ``direction`` ('hi'/'lo').
+
+    Requires ``k >= 0`` and ``h > 0``: the fold applies :func:`cusum_step`
+    to the latch row itself, while the x217 recursive oracle seeds rn=1
+    with ``s_hi = s_lo = 0`` and no update. The two agree exactly because
+    on the latch row ``x == target`` so ``max(0, -k) = 0`` — true only for
+    non-negative ``k`` (and an alarm can't fire there only when ``h > 0``).
+    A negative slack would silently diverge from the oracle, so reject it.
     """
 
+    if k < 0 or h <= 0:
+        raise ValueError(
+            f"cusum_flags requires k >= 0 and h > 0 (got k={k}, h={h}): "
+            "latch-row semantics match the recursive oracle only then"
+        )
     keys = list(key_cols)
     order = list(order_cols)
     out = list(out_cols)

@@ -439,21 +439,70 @@ def x63_stateful_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "ts").limit(500)
 
 
-@register("x53_approx_count_distinct", oracle=None, tags=("approx",))
+@register(
+    "x53_approx_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS in_tol
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("approx",),
+)
 def x53_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct count — tolerance-tested vs exact in test_operators."""
+    """HLL++ distinct count, made hash-verifiable (the x187/x229 sketch
+    pattern): the approx estimate itself is engine-specific, so the output
+    carries the EXACT count plus a boolean asserting the estimate landed
+    within HLL++'s documented ±5% band. The oracle emits exact + TRUE — a
+    drifting sketch flips in_tol and fails the value hash."""
     t = load_tables(spark, sf_dir)
     return (
         t["orders"]
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey").alias("approx_custs"))
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("_approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_custs",
+            (
+                F.abs(F.col("_approx") - F.col("exact_custs"))
+                <= 0.05 * F.col("exact_custs")
+            ).alias("in_tol"),
+        )
         .orderBy("o_orderstatus")
     )
 
 
-@register("x54_percentile_approx", oracle=None, tags=("approx",))
+@register(
+    "x54_percentile_approx",
+    oracle="""
+    SELECT ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 2) AS p50_exact,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 2) AS p90_exact,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 2) AS p99_exact,
+           TRUE AS in_tol
+    FROM lineitem
+    """,
+    tags=("approx",),
+)
 def x54_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style approx percentiles next to the exact interpolated ones
+    (Spark `percentile` and DuckDB `quantile_cont` share R-type-7
+    interpolation). Hash-verified exact values + an in-tolerance flag over
+    the approx triple (±1% relative at accuracy=10000)."""
     t = load_tables(spark, sf_dir)
-    return t["lineitem"].agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    li = t["lineitem"].select(F.col("l_extendedprice").cast("double").alias("px"))
+    agg = li.agg(
+        F.expr("percentile(px, array(0.5, 0.9, 0.99))").alias("exact"),
+        F.percentile_approx("px", [0.5, 0.9, 0.99], 10000).alias("approx"),
+    )
+    within = F.expr(
+        "forall(zip_with(exact, approx, (e, a) -> abs(a - e) <= 0.01 * e), x -> x)"
+    )
+    return agg.select(
+        F.round(F.element_at("exact", 1), 2).alias("p50_exact"),
+        F.round(F.element_at("exact", 2), 2).alias("p90_exact"),
+        F.round(F.element_at("exact", 3), 2).alias("p99_exact"),
+        within.alias("in_tol"),
     )

@@ -45,8 +45,15 @@ def stateful_cusum(
     h: int,
 ) -> DataFrame:
     """One shuffle on ``key_cols``; emits alarm rows (keys + order cols +
-    direction) as they fire, append mode."""
+    direction) as they fire, append mode.
 
+    Same ``k >= 0 and h > 0`` precondition as the batch
+    :func:`~..operators.timeseries.cusum_flags` (latch-row == oracle seed)."""
+
+    if k < 0 or h <= 0:
+        raise ValueError(
+            f"stateful_cusum requires k >= 0 and h > 0 (got k={k}, h={h})"
+        )
     out_schema = StructType(
         [stream.schema[c] for c in key_cols + order_cols]
         + [StructField("direction", StringType())]
