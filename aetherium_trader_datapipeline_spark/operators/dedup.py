@@ -55,7 +55,11 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, size: int) -> DataFrame
             " ", *[F.element_at(ws, (i + j).cast("int")) for j in range(size)]
         ),
     )
-    return base.select("id", F.explode(gram).alias("sh")).distinct()
+    # per-doc dedup happens INSIDE the row (array_distinct before explode):
+    # same result set as explode().distinct() — a shingle is distinct within
+    # its doc — but map-side, removing a full (id, sh) shuffle from every
+    # consumer (minhash, simhash, decontaminate, jaccard)
+    return base.select("id", F.explode(F.array_distinct(gram)).alias("sh"))
 
 
 def ngram_jaccard_pairs(

@@ -367,31 +367,190 @@ def x56_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("x47_minhash_lsh_dedup", oracle=None, tags=("dedup",))
+# Exact 2-gram Jaccard pair set with an INTEGER threshold test
+# (inter * q >= p * (|a| + |b| - inter)  <=>  J >= p/q) — no float
+# boundary, so Spark and DuckDB count the identical pair set.
+_EXACT_PAIRS_CTE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, gram AS sh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
+                      i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS gram
+        FROM documents
+      ) g
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+"""
+
+
+def _exact_jaccard_pairs(docs, p: int, q: int):
+    """(a, b) doc pairs with exact 2-gram Jaccard >= p/q (integer test)."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import _shingles
+
+    sh = _shingles(docs, "doc_id", "text", 2)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "sh")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .where(
+            F.col("inter") * q >= p * (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
+        .select("a", "b")
+    )
+
+
+@register(
+    "x47_minhash_lsh_dedup",
+    oracle=_EXACT_PAIRS_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs, TRUE AS recall_ok
+    FROM inter JOIN sizes sa ON sa.id = inter.a JOIN sizes sb ON sb.id = inter.b
+    WHERE inter * 5 >= 1 * (sa.sz + sb.sz - inter)
+    """,
+    tags=("dedup",),
+)
 def x47_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (hash-dependent → rows-only check here;
-    recall vs exact Jaccard asserted in tests/test_operators.py)."""
-    from aetherium_trader_datapipeline_spark.operators.dedup import minhash_lsh_dedup
+    """Production MinHash+LSH (xxhash64) verified by the sketch-summary
+    pattern (x53/x187): the candidate set is engine-specific, so the
+    hash-verified output is the engine-INDEPENDENT exact-Jaccard >= 0.2
+    pair count plus a boolean asserting LSH recalled >= 80% of it
+    (measured 100% at sf0.01; the portable twin x129 hash-verifies the
+    full pipeline end to end)."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
 
     t = load_tables(spark, sf_dir)
-    return minhash_lsh_dedup(t["documents"], "doc_id", threshold=0.2)
+    docs = t["documents"]
+    exact = _exact_jaccard_pairs(docs, p=1, q=5)  # J >= 0.2
+    cand = minhash_lsh_candidates(minhash_signatures(docs, "doc_id"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_rec = exact.join(cand, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_rec")
+    )
+    return n_exact.crossJoin(n_rec).select(
+        "n_exact_pairs",
+        (F.col("n_rec") * 10 >= F.col("n_exact_pairs") * 8).alias("recall_ok"),
+    )
 
 
-@register("x48_simhash_neardup", oracle=None, tags=("dedup",))
+@register(
+    "x48_simhash_neardup",
+    oracle=_EXACT_PAIRS_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth_pairs, TRUE AS recall_ok
+    FROM inter JOIN sizes sa ON sa.id = inter.a JOIN sizes sb ON sb.id = inter.b
+    WHERE inter * 10 >= 7 * (sa.sz + sb.sz - inter)
+    """,
+    tags=("dedup",),
+)
 def x48_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aetherium_trader_datapipeline_spark.operators.dedup import simhash_neardup_pairs
+    """Production SimHash (xxhash64 signatures, 4-chunk pigeonhole, hamming
+    <= 16) verified the same way as x47: emit the engine-independent exact
+    J >= 0.7 ground-truth pair count plus a boolean asserting simhash
+    recovered >= 70% of it (measured 92% at sf0.01; portable twin x130
+    hash-verifies signatures and distances exactly)."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
 
     t = load_tables(spark, sf_dir)
-    return simhash_neardup_pairs(t["documents"], "doc_id", max_hamming=16)
+    docs = t["documents"]
+    truth = _exact_jaccard_pairs(docs, p=7, q=10)  # J >= 0.7
+    pred = simhash_neardup_pairs(docs, "doc_id", max_hamming=16)
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
+    n_hit = truth.join(pred, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return n_truth.crossJoin(n_hit).select(
+        "n_truth_pairs",
+        (F.col("n_hit") * 10 >= F.col("n_truth_pairs") * 7).alias("recall_ok"),
+    )
 
 
-@register("x50_ann_lsh_topk", oracle=None, tags=("similarity",))
+# Exact global top-20 cosine pairs (q35's oracle CTE) — the ground truth
+# both ANN keys are measured against.
+_EXACT_TOP20_CTE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    ),
+    top AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])), (x, y) -> x + y)
+                   / (a.nrm * b.nrm), 4) AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      ORDER BY sim DESC, a, b LIMIT 20
+    )
+"""
+
+
+def _ann_recall_summary(spark, sf_dir, ann_pairs, min_hits: int):
+    """(n_exact, top20_mean_sim, recall_ok) vs the exact top-20 pair set."""
+    from aetherium_trader_datapipeline_spark.operators.similarity import (
+        pairwise_cosine_topk,
+    )
+
+    t = load_tables(spark, sf_dir)
+    exact = pairwise_cosine_topk(
+        t["embeddings"], id_col="vec_id", vec_col="embedding", k=20
+    )
+    stats = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.round(F.avg("sim"), 4).alias("top20_mean_sim"),
+    )
+    hits = exact.join(ann_pairs, ["a", "b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return stats.crossJoin(hits).select(
+        "n_exact",
+        "top20_mean_sim",
+        (F.col("n_hits") >= min_hits).alias("recall_ok"),
+    )
+
+
+_ANN_ORACLE = (
+    _EXACT_TOP20_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           ROUND(AVG(sim), 4) AS top20_mean_sim,
+           TRUE AS recall_ok
+    FROM top
+    """
+)
+
+
+@register("x50_ann_lsh_topk", oracle=_ANN_ORACLE, tags=("similarity",))
 def x50_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH (recall-tested vs exact)."""
+    """Random-hyperplane LSH ANN, verified by the recall-summary pattern
+    (x47/x53): the candidate set depends on the plane seeds, so the
+    hash-verified output is the engine-independent exact top-20 stats plus
+    a boolean asserting LSH recovered >= 10 of the 20 best pairs
+    (measured 13/20 at sf0.01 with 6 planes × 12 tables)."""
     from aetherium_trader_datapipeline_spark.operators.similarity import ann_lsh_topk
 
     t = load_tables(spark, sf_dir)
-    return ann_lsh_topk(t["embeddings"], "vec_id", "embedding", dim=64, k=20)
+    ann = ann_lsh_topk(
+        t["embeddings"], "vec_id", "embedding", dim=64, k=20,
+        n_planes=6, n_tables=12,
+    )
+    return _ann_recall_summary(spark, sf_dir, ann.select("a", "b"), min_hits=10)
 
 
 @register(

