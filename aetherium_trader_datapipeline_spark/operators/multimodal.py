@@ -9,8 +9,12 @@ signatures, batch shapes. Two decode tiers:
   BMP headers — pure Python over the first bytes of the blob, exercised
   on genuine container bytes (``encode_png``/``encode_jpeg`` build valid
   files). ``extract_image_meta(decoder="header")`` runs it Arrow-batched.
-- **Pixel decode (gated)**: full raster decode needs an image library;
-  ``decode_image`` raises NotImplementedError unless PIL is importable.
+- **Pixel/sample decode (real for PNG + WAV)**: ``decode_png_pixels``
+  fully raster-decodes 8-bit gray/RGB/RGBA PNGs (stdlib zlib + all five
+  spec filter predictors, no image library) and ``decode_wav_samples``
+  decodes PCM waveforms — both hash-verified against closed-form oracles
+  (x281/x282). JPEG's DCT and GIF's LZW still require PIL
+  (``decode_image`` raises NotImplementedError for them without it);
   ``fake_decode_meta`` remains as the deterministic stand-in where tests
   need metadata for arbitrary non-image bytes.
 
@@ -50,14 +54,23 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, str]:
 
 
 def decode_image(blob: bytes):
-    """Full pixel decode — requires an image library."""
+    """Full pixel decode → (h, w, c) uint8 array. PNG decodes natively
+    (:func:`decode_png_pixels` — stdlib zlib + spec predictors, no image
+    library); other containers (JPEG's DCT, GIF's LZW) still require PIL
+    and raise NotImplementedError without it."""
+    b = bytes(blob or b"")
+    if b.startswith(_PNG_MAGIC):
+        return decode_png_pixels(b)
     if not _HAS_PIL:
-        raise NotImplementedError("image decoding requires PIL; not in this container")
+        raise NotImplementedError(
+            "non-PNG raster decode requires PIL; not in this container"
+        )
     import io
 
+    import numpy as np
     from PIL import Image
 
-    return Image.open(io.BytesIO(blob))
+    return np.asarray(Image.open(io.BytesIO(b)))
 
 
 # ---------------------------------------------------------------------------
@@ -119,11 +132,29 @@ def parse_image_header(blob: bytes) -> tuple[int, int, str] | None:
     return None
 
 
-def encode_png(width: int, height: int) -> bytes:
-    """A complete, valid 8-bit RGB PNG of the given dimensions (black
-    pixels): IHDR + zlib IDAT + IEND with correct CRCs. Exists so the
-    header-decode path can be exercised on genuine bytes in containers
-    without image libraries."""
+def _paeth(a: int, b: int, c: int) -> int:
+    """PaethPredictor per the PNG spec §9 (a=left, b=above, c=upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: "list[int] | bytes | None" = None,
+    cycle_filters: bool = False,
+) -> bytes:
+    """A complete, valid 8-bit RGB PNG: IHDR + zlib IDAT + IEND with
+    correct CRCs. ``pixels`` is row-major RGB bytes (len = 3*w*h; default
+    black). ``cycle_filters=True`` filters row r with type r % 5
+    (None/Sub/Up/Average/Paeth), so a decoder must implement ALL five
+    predictors to reconstruct — the encode↔decode pair is the pixel-exact
+    test harness for :func:`decode_png_pixels`."""
     import struct
     import zlib
 
@@ -135,14 +166,134 @@ def encode_png(width: int, height: int) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
+    stride = 3 * width
+    if pixels is None:
+        pixels = bytes(stride * height)
+    px = bytes(bytearray(v & 0xFF for v in pixels))
+    if len(px) != stride * height:
+        raise ValueError(f"need {stride * height} RGB bytes, got {len(px)}")
+
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = px[y * stride : (y + 1) * stride]
+        ft = (y % 5) if cycle_filters else 0
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prior[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prior[i],
+                        prior[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = row
+
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
-    raw = (b"\x00" + b"\x00" * (3 * width)) * height  # filter byte + RGB rows
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
         + chunk(b"IEND", b"")
     )
+
+
+def decode_png_pixels(blob: bytes):
+    """REAL raster decode, no image library: parse chunks, inflate the
+    IDAT stream (stdlib zlib), invert the per-row filter (all five spec
+    predictors), return an (h, w, channels) uint8 numpy array.
+
+    Supports the common web subset — bit depth 8, color types 0
+    (grayscale), 2 (RGB), 6 (RGBA), non-interlaced — and raises
+    NotImplementedError for the rest (16-bit, palette, interlace), which
+    still need a full image library. Closes the r2/r3 'pixel decode
+    gated' finding for PNG: the bytes→pixels path runs here, verified
+    pixel-exact against closed-form oracles (x281) and filter-cycled
+    round-trips (tests)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(blob)
+    if not b.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = len(_PNG_MAGIC), None, bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + payload + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+
+    raw = zlib.decompress(bytes(idat))
+    stride = channels * width
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            recon = line
+        elif ft == 1:  # Sub: per-lane cumulative sum
+            recon = line.copy()
+            for i in range(bpp, stride):
+                recon[i] = (recon[i] + recon[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            recon = (line + prior) & 0xFF
+        elif ft == 3:  # Average
+            recon = line.copy()
+            for i in range(stride):
+                left = recon[i - bpp] if i >= bpp else 0
+                recon[i] = (recon[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            recon = line.copy()
+            for i in range(stride):
+                left = int(recon[i - bpp]) if i >= bpp else 0
+                ul = int(prior[i - bpp]) if i >= bpp else 0
+                recon[i] = (recon[i] + _paeth(left, int(prior[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        out[y] = recon.astype(np.uint8)
+        prior = recon
+    return out.reshape(height, width, channels)
 
 
 def encode_jpeg(width: int, height: int) -> bytes:
@@ -243,25 +394,65 @@ def embed_blobs(df: DataFrame, blob_col: str = "blob", dim: int = 8) -> DataFram
 
 
 def encode_wav(
-    sample_rate: int, n_channels: int, n_samples: int, bits: int = 16
+    sample_rate: int,
+    n_channels: int,
+    n_samples: int,
+    bits: int = 16,
+    samples: "list[int] | None" = None,
 ) -> bytes:
-    """A complete, valid RIFF/WAVE container (PCM fmt chunk + silent data
-    chunk, plus a LIST/INFO chunk so parsers must actually WALK chunks
-    rather than assume fixed offsets) — the audio analogue of
-    encode_png/encode_jpeg."""
+    """A complete, valid RIFF/WAVE container (PCM fmt chunk + data chunk,
+    plus a LIST/INFO chunk so parsers must actually WALK chunks rather
+    than assume fixed offsets) — the audio analogue of encode_png.
+    ``samples`` is interleaved int16 PCM (len = n_samples * n_channels;
+    default silence); only bits=16 accepts explicit samples."""
     import struct
 
     block_align = n_channels * bits // 8
     byte_rate = sample_rate * block_align
     fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
     info = b"INFO" + b"ISFT" + struct.pack("<I", 6) + b"synth\x00"
-    data = b"\x00" * (n_samples * block_align)
+    if samples is None:
+        data = b"\x00" * (n_samples * block_align)
+    else:
+        if bits != 16:
+            raise ValueError("explicit samples supported for bits=16 only")
+        if len(samples) != n_samples * n_channels:
+            raise ValueError(
+                f"need {n_samples * n_channels} samples, got {len(samples)}"
+            )
+        data = struct.pack(f"<{len(samples)}h", *samples)
     body = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"LIST" + struct.pack("<I", len(info)) + info
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav_samples(blob: bytes):
+    """REAL PCM sample decode: walk RIFF chunks, pull the data chunk, and
+    return an (n_samples, n_channels) numpy array (int16/uint8/int32 per
+    the fmt chunk's bit depth). The waveform analogue of
+    decode_png_pixels — no audio library involved."""
+    import numpy as np
+
+    b = bytes(blob)
+    hdr = parse_wav_header(b)
+    if hdr is None:
+        raise ValueError("not a RIFF/WAVE stream")
+    rate, chans, bits, n_samples = hdr
+    dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}.get(bits)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported PCM bit depth {bits}")
+    i = 12
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if tag == b"data":
+            arr = np.frombuffer(b, dtype=dtype, count=n_samples * chans, offset=i + 8)
+            return arr.reshape(n_samples, chans)
+        i += 8 + size + (size % 2)
+    raise ValueError("missing data chunk")
 
 
 def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
@@ -363,3 +554,85 @@ def perceptual_ahash(
     return df.select(id_col).mapInPandas(
         fn, f"{id_col} bigint, ahash bigint, n_bits bigint"
     )
+
+
+def image_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL pixel-level statistics via :func:`decode_image`: each blob is
+    fully raster-decoded (PNG natively; other formats via PIL when
+    present) and reduced to (width, height, channels, px_sum, px_min,
+    px_max) — integer-exact, so oracle-verifiable when pixels have a
+    closed form (x281).
+
+    Same scale posture as extract_image_meta: mapInPandas streams Arrow
+    batches of blobs through the Python worker with bounded memory; the
+    decoded raster never leaves the worker — only the six stat columns
+    are shuffled."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        if f.name != blob_col
+    ) + ", width INT, height INT, channels INT, px_sum BIGINT, px_min INT, px_max INT"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for b in pdf[blob_col].tolist():
+                px = decode_image(bytes(b))
+                stats.append(
+                    (
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        int(px.sum(dtype="int64")),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            out = pdf.drop(columns=[blob_col]).copy()
+            out["width"] = [s[0] for s in stats]
+            out["height"] = [s[1] for s in stats]
+            out["channels"] = [s[2] for s in stats]
+            out["px_sum"] = [s[3] for s in stats]
+            out["px_min"] = [s[4] for s in stats]
+            out["px_max"] = [s[5] for s in stats]
+            yield out
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
+def audio_waveform_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL PCM waveform statistics via :func:`decode_wav_samples`:
+    (sample_rate, n_channels, n_samples, s_sum, s_min, s_max) per blob —
+    integer-exact over the decoded int16 stream."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        if f.name != blob_col
+    ) + (", sample_rate INT, n_channels INT, n_samples BIGINT,"
+         " s_sum BIGINT, s_min INT, s_max INT")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for b in pdf[blob_col].tolist():
+                blob = bytes(b)
+                rate, chans, _bits, _n = parse_wav_header(blob)
+                arr = decode_wav_samples(blob)
+                stats.append(
+                    (
+                        rate,
+                        chans,
+                        arr.shape[0],
+                        int(arr.sum(dtype="int64")),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+            out = pdf.drop(columns=[blob_col]).copy()
+            out["sample_rate"] = [s[0] for s in stats]
+            out["n_channels"] = [s[1] for s in stats]
+            out["n_samples"] = [s[2] for s in stats]
+            out["s_sum"] = [s[3] for s in stats]
+            out["s_min"] = [s[4] for s in stats]
+            out["s_max"] = [s[5] for s in stats]
+            yield out
+
+    return df.mapInPandas(fn, schema=out_schema)

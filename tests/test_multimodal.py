@@ -147,3 +147,81 @@ def test_wav_roundtrip_and_chunk_walk():
     assert parse_wav_header(b"RIFFxxxxWAVE") is None  # no chunks at all
     assert parse_wav_header(b"\x89PNG\r\n\x1a\n") is None
     assert parse_wav_header(b"") is None
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """encode(cycle_filters=True) filters row r with type r%5, so a
+    successful pixel-exact roundtrip requires every spec predictor
+    (None/Sub/Up/Average/Paeth) to be inverted correctly."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    w, h = 9, 11  # >= 5 rows → all filter types appear
+    px = rng.randint(0, 256, size=3 * w * h, dtype=np.uint8).tobytes()
+    out = decode_png_pixels(encode_png(w, h, pixels=px, cycle_filters=True))
+    assert out.shape == (h, w, 3)
+    assert out.tobytes() == px
+    # plain filter-0 path too
+    out0 = decode_png_pixels(encode_png(w, h, pixels=px))
+    assert out0.tobytes() == px
+
+
+def test_png_decoder_rejects_unsupported():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_png_pixels,
+    )
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth → explicit NotImplementedError, not silent garbage
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob = _PNG_MAGIC + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError):
+        decode_png_pixels(blob)
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"GIF89a\x01\x00\x01\x00")
+
+
+def test_paeth_predictor_spec_cases():
+    """Hand-checked PaethPredictor cases from the spec definition (nearest
+    of left/above/upper-left to p = a + b - c, ties a > b > c)."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import _paeth
+
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 20, 30) == 10   # p=0: |p-a|=10 |p-b|=20 |p-c|=30 → a
+    assert _paeth(30, 20, 10) == 30   # p=40: pa=10 pb=20 pc=30 → a
+    assert _paeth(5, 40, 5) == 40     # p=40: pa=35 pb=0 pc=35 → b
+    assert _paeth(100, 100, 0) == 100  # p=200: pa=pb=100 → tie → a
+    assert _paeth(0, 100, 100) == 0   # p=0: pa=0 → a
+
+
+def test_wav_sample_decode_roundtrip():
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    samples = [((i * 911) % 65536) - 32768 for i in range(30 * 2)]
+    arr = decode_wav_samples(encode_wav(16000, 2, 30, samples=samples))
+    assert arr.shape == (30, 2)
+    assert arr.flatten().tolist() == samples
+    # silence defaults, 8-bit path
+    arr8 = decode_wav_samples(encode_wav(8000, 1, 5, bits=8))
+    assert arr8.shape == (5, 1) and arr8.dtype == np.uint8
