@@ -369,9 +369,14 @@ def x56_udaf_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Exact 2-gram Jaccard pair set with an INTEGER threshold test
 # (inter * q >= p * (|a| + |b| - inter)  <=>  J >= p/q) — no float
-# boundary, so Spark and DuckDB count the identical pair set.
+# boundary, so Spark and DuckDB count the identical pair set. Shingles
+# with document frequency > 100 are dropped BEFORE the pair join (x46's
+# quadratic-blowup guard: a shingle in f docs yields C(f,2) join rows;
+# the uncapped form hit the JVM GC wall on the duplicate-heavy 10×
+# replica). Sizes are measured on the same capped set so the Jaccard
+# stays internally consistent between engines.
 _EXACT_PAIRS_CTE = """
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT DISTINCT doc_id AS id, gram AS sh FROM (
         SELECT doc_id,
                unnest(list_transform(range(1, greatest(len(string_split(lower(text), ' ')), 1)),
@@ -379,6 +384,8 @@ _EXACT_PAIRS_CTE = """
         FROM documents
       ) g
     ),
+    freq AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh),
+    sh AS (SELECT id, sh0.sh FROM sh0 JOIN freq USING (sh) WHERE freq.df <= 100),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
@@ -388,11 +395,18 @@ _EXACT_PAIRS_CTE = """
 """
 
 
-def _exact_jaccard_pairs(docs, p: int, q: int):
-    """(a, b) doc pairs with exact 2-gram Jaccard >= p/q (integer test)."""
+def _exact_jaccard_pairs(docs, p: int, q: int, max_freq: int = 100):
+    """(a, b) doc pairs with exact 2-gram Jaccard >= p/q (integer test),
+    over shingles with document frequency <= ``max_freq`` (see CTE note)."""
     from aetherium_trader_datapipeline_spark.operators.dedup import _shingles
 
-    sh = _shingles(docs, "doc_id", "text", 2)
+    sh0 = _shingles(docs, "doc_id", "text", 2)
+    freq = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sh = (
+        sh0.join(freq.where(F.col("df") <= max_freq), "sh")
+        .select("id", "sh")
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("x")

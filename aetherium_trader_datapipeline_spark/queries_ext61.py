@@ -86,29 +86,13 @@ register_sql(
 # "How much NEW content does each doc add?" — the incremental-dedup
 # diagnostic for growing corpora: fraction of a doc's distinct 2-gram
 # shingles whose FIRST appearance (min doc_id, doc_id as ingestion order)
-# is this doc. Plan: map-side per-doc distinct shingles → one groupBy(sh)
-# min → join back → one groupBy(id). Linear; the shingle shuffle is the
-# same one every dedup consumer pays.
-
-_X277_SPARK = """
-    WITH sh AS (
-      SELECT DISTINCT doc_id AS id, gram AS sh FROM (
-        SELECT doc_id,
-               explode(transform(sequence(1, greatest(size(split(lower(text), ' ')) - 1, 0)),
-                       i -> concat_ws(' ', element_at(split(lower(text), ' '), i),
-                                           element_at(split(lower(text), ' '), i + 1)))) AS gram
-        FROM documents
-      ) g
-    ),
-    first_seen AS (SELECT sh, MIN(id) AS first_id FROM sh GROUP BY sh)
-    SELECT s.id AS doc_id,
-           COUNT(*) AS n_shingles,
-           COUNT(CASE WHEN f.first_id = s.id THEN 1 END) AS n_novel,
-           ROUND(COUNT(CASE WHEN f.first_id = s.id THEN 1 END) / CAST(COUNT(*) AS DOUBLE), 4)
-             AS novelty
-    FROM sh s JOIN first_seen f ON s.sh = f.sh
-    GROUP BY s.id ORDER BY s.id LIMIT 300
-"""
+# is this doc. Plan: per-doc distinct shingles once (localCheckpoint —
+# both aggregations below consume it), then groupBy(sh).min → re-aggregate
+# the min-holders by doc, and a small id-keyed join. The naive form (join
+# the full shingle stream back to first_seen on the STRING shingle key)
+# measured 8.3 s at sf0.1 — hot shingles make that join shuffle-heavy;
+# this form touches the wide stream twice but only shuffles doc-keyed
+# aggregates.
 
 _X277_DUCK = """
     WITH sh AS (
@@ -129,12 +113,34 @@ _X277_DUCK = """
     GROUP BY s.id ORDER BY s.id LIMIT 300
 """
 
-register_sql(
-    "x277_ngram_novelty",
-    spark_sql=_X277_SPARK,
-    duckdb_sql=_X277_DUCK,
-    tags=("dedup", "curation"),
-)
+@register("x277_ngram_novelty", oracle=_X277_DUCK, tags=("dedup", "curation"))
+def x277_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.dedup import _shingles
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = _shingles(docs, "doc_id", "text", 2).localCheckpoint(eager=False)
+    n_per_id = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    novel_per_id = (
+        sh.groupBy("sh")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        n_per_id.join(novel_per_id, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
 
 # -- x278: int8 embedding quantization --------------------------------------
 # Symmetric per-vector int8 quantization (scale = max|x|, q = round(127
@@ -257,21 +263,26 @@ def x280_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = _portable_band_explode(
         docs, "doc_id", "text", 2, _NP, _NB
     ).localCheckpoint(eager=False)
-    lhs = exploded.select(F.col("id").alias("a"), "band", "bk")
-    rhs = exploded.select(F.col("id").alias("b"), "band", "bk")
-    cand = (
-        lhs.join(rhs, ["band", "bk"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", "band")
-        .distinct()
+    # Never enumerate candidate PAIRS (quadratic in bucket size — the
+    # all-pairs form measured 87 s on the duplicate-heavy 10× replica).
+    # Only truth pairs matter for recall, so probe bucket co-membership
+    # FROM the truth set: truth ⋈ bands(a) ⋈ bands(b) is |truth|×bands
+    # rows, linear regardless of bucket skew. min(band) per pair then
+    # answers every prefix-length L at once.
+    ea = exploded.select(F.col("id").alias("a"), "band", "bk")
+    eb = exploded.select(F.col("id").alias("b"), "band", "bk")
+    first_shared = (
+        truth.join(ea, "a")
+        .join(eb, ["b", "band", "bk"])
+        .groupBy("a", "b")
+        .agg(F.min("band").alias("mb"))
         .localCheckpoint(eager=False)
     )
     out = None
     for L in range(1, _NB + 1):
         n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-        n_rec = (
-            truth.join(cand.where(F.col("band") < L), ["a", "b"], "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_recalled"))
+        n_rec = first_shared.where(F.col("mb") < L).agg(
+            F.count(F.lit(1)).alias("n_recalled")
         )
         row = n_truth.crossJoin(n_rec).select(
             F.lit(L).cast("bigint").alias("bands_used"), "n_truth", "n_recalled"
