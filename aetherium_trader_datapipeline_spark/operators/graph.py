@@ -242,13 +242,20 @@ def pagerank_fixed(
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    if symmetric:
+        # symmetrized graph: every node appears as a src, so the node set
+        # IS the degree frame's key set — skip the union+distinct+
+        # checkpoint the general case needs (one shuffle + one
+        # materialization saved; deg is checkpointed below anyway)
+        nodes = outdeg.select(F.col("src").alias("node"))
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
     n = n_nodes if n_nodes is not None else nodes.count()  # bounded scalar
     base = scale // n
     tele = (15 * base) // 100
@@ -262,7 +269,10 @@ def pagerank_fixed(
     # name-based equi-joins throughout: every frame below re-derives from
     # ``e``, and attribute-based conditions trip Spark's ambiguous-self-join
     # check on shared lineage
-    deg = outdeg.withColumnRenamed("src", "node")
+    # deg is joined once per round (plus the p init in the symmetric case);
+    # a lazy checkpoint computes the aggregation once instead of per
+    # reference
+    deg = outdeg.withColumnRenamed("src", "node").localCheckpoint(eager=False)
     e_s = e.withColumnRenamed("src", "s")
     p = nodes.withColumn("p", F.lit(base))
     for _ in range(iterations):
