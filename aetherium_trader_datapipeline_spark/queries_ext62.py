@@ -49,7 +49,12 @@ _X281_ORACLE = """
 """
 
 
-@register("x281_png_pixel_stats", oracle=_X281_ORACLE, tags=("multimodal", "decode"))
+@register(
+    "x281_png_pixel_stats",
+    headline=True,
+    oracle=_X281_ORACLE,
+    tags=("multimodal", "decode"),
+)
 def x281_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PNG raster decode, hash-verified: synthesize closed-form RGB
     pixels per doc, encode them into genuine PNGs with CYCLED filter types
@@ -108,7 +113,12 @@ _X282_ORACLE = """
 """
 
 
-@register("x282_wav_waveform_stats", oracle=_X282_ORACLE, tags=("multimodal", "decode"))
+@register(
+    "x282_wav_waveform_stats",
+    headline=True,
+    oracle=_X282_ORACLE,
+    tags=("multimodal", "decode"),
+)
 def x282_wav_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real PCM sample decode, hash-verified: closed-form int16 stereo
     samples → genuine RIFF/WAVE bytes (fmt + LIST + data chunk walk) →
