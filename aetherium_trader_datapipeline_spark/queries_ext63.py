@@ -1,0 +1,237 @@
+"""Wave 63 (x283–x285): weighted sampling, gap interpolation, and sketch
+accuracy — three primitives a training-data pipeline reaches for between
+dedup and packing.
+
+x283 is sequential Poisson sampling (Ohlsson): inclusion probability
+proportional to weight via the key u/w over a uniform integer u — here
+integer-exact (u DIV w on a 48-bit md5 prefix) so both engines rank the
+identical sample. x284 extends x78's forward-fill spine to LINEAR
+interpolation between known points. x285 closes the MinHash story with the
+estimator itself: per candidate pair, signature agreement (the J estimate's
+numerator) next to the exact intersection/sizes — every column an integer,
+every value engine-identical under the portable hash family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.queries_ext14 import _NB, _NP, _X129_CTES
+from aetherium_trader_datapipeline_spark.tables import load_tables
+
+# -- x283: weighted reservoir (sequential Poisson sampling) ------------------
+# key(d) = u(d) DIV w(d): u = 48-bit md5 prefix (uniform, portable), w =
+# doc length in chars. Bottom-10 keys per language stratum = a
+# weight-biased sample (long docs ~proportionally likelier), reproducible
+# on any cluster layout and identical in both engines (integer division,
+# doc_id tiebreak).
+
+_X283_FMT = """
+    WITH keyed AS (
+      SELECT lang, doc_id, length(text) AS w,
+             {u} AS u
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT lang, doc_id, CAST(w AS BIGINT) AS w, rk FROM (
+      SELECT lang, doc_id, w,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY u // w, doc_id
+             ) AS BIGINT) AS rk
+      FROM keyed
+    ) t WHERE rk <= 10
+    ORDER BY lang, rk
+"""
+
+register_sql(
+    "x283_weighted_reservoir",
+    spark_sql=_X283_FMT.format(
+        u="CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    ).replace("u // w", "u DIV w"),
+    duckdb_sql=_X283_FMT.format(
+        u="('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
+    ),
+    tags=("sampling", "curation"),
+)
+
+# -- x284: spine resample with LINEAR interpolation ---------------------------
+# x78's hourly spine, but gaps are lerped between the previous and next
+# known points (ends fall back to nearest known). prev/next carry (h, v)
+# as a struct through IGNORE NULLS window frames — one window pass each
+# direction, no self-join. ALL arithmetic in integer micro-units with a
+# single floor division (pv*(t1-t) + nv*(t-t0)) DIV (t1-t0): the float
+# form tied at the 4th decimal and the two engines' double-rounding split
+# (Spark BigDecimal HALF_UP vs DuckDB scaled-double) — integers cannot.
+
+_X284_FMT = """
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN({ts})) AS h0,
+             date_trunc('hour', MAX({ts})) AS h1
+      FROM events GROUP BY user_id),
+    spine AS (
+      SELECT user_id, {explode} AS h FROM bounds),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', {ts}) AS h,
+             SUM(CAST(ROUND(value * 10000) AS BIGINT)) {div} COUNT(*) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', {ts})),
+    joined AS (
+      SELECT s.user_id, s.h, hr.v FROM spine s
+      LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h),
+    ctx AS (
+      SELECT user_id, h, v,
+             {last_pv} OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             {first_nv} OVER (PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM joined)
+    SELECT user_id, h,
+           CAST(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv.v
+             WHEN nv IS NULL THEN pv.v
+             ELSE (pv.v * (({epoch_nv}) - ({epoch_h}))
+                   + nv.v * (({epoch_h}) - ({epoch_pv})))
+                  {div} (({epoch_nv}) - ({epoch_pv}))
+           END AS BIGINT) AS v_lerp_micro
+    FROM ctx ORDER BY user_id, h LIMIT 500
+"""
+
+register_sql(
+    "x284_resample_linear",
+    spark_sql=_X284_FMT.format(
+        ts="ts",
+        div="DIV",
+        explode="explode(sequence(h0, h1, interval 1 hour))",
+        last_pv="LAST(CASE WHEN v IS NOT NULL THEN named_struct('h', h, 'v', v) END, TRUE)",
+        first_nv="FIRST(CASE WHEN v IS NOT NULL THEN named_struct('h', h, 'v', v) END, TRUE)",
+        epoch_h="unix_seconds(h)",
+        epoch_pv="unix_seconds(pv.h)",
+        epoch_nv="unix_seconds(nv.h)",
+    ),
+    duckdb_sql=_X284_FMT.format(
+        ts="CAST(ts AS TIMESTAMP)",
+        div="//",
+        explode="unnest(generate_series(h0, h1, INTERVAL 1 HOUR))",
+        last_pv="LAST_VALUE(CASE WHEN v IS NOT NULL THEN {'h': h, 'v': v} END IGNORE NULLS)",
+        first_nv="FIRST_VALUE(CASE WHEN v IS NOT NULL THEN {'h': h, 'v': v} END IGNORE NULLS)",
+        epoch_h="CAST(FLOOR(epoch(h)) AS BIGINT)",
+        epoch_pv="CAST(FLOOR(epoch(pv.h)) AS BIGINT)",
+        epoch_nv="CAST(FLOOR(epoch(nv.h)) AS BIGINT)",
+    ),
+    tags=("timeseries", "gapfill"),
+)
+
+# -- x285: MinHash Jaccard ESTIMATOR accuracy ---------------------------------
+# For the top candidate pairs, put the estimator's numerator (signature
+# agreement over 16 perms) NEXT TO the exact intersection and set sizes —
+# all integers, all engine-identical under the portable hash family, so
+# the sketch's accuracy itself is hash-verified (the analytic complement
+# of x280's recall curve).
+
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(_NP)
+)
+
+_X285_ORACLE = (
+    _X129_CTES
+    + f""",
+    pairs AS (
+      SELECT x.id AS pa, y.id AS pb
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.id < y.id
+      GROUP BY x.id, y.id
+      ORDER BY COUNT(*) DESC, pa, pb LIMIT 100
+    ),
+    agree AS (
+      SELECT p.pa, p.pb,
+             CAST({_AGREE_SQL} AS BIGINT) AS n_agree
+      FROM pairs p JOIN sig a ON a.id = p.pa JOIN sig b ON b.id = p.pb
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS pa, b.id AS pb, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT g.pa AS a, g.pb AS b, g.n_agree,
+           COALESCE(i.inter, 0) AS inter,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b
+    FROM agree g
+    LEFT JOIN inter i ON i.pa = g.pa AND i.pb = g.pb
+    JOIN sizes sa ON sa.id = g.pa JOIN sizes sb ON sb.id = g.pb
+    ORDER BY a, b
+"""
+)
+
+
+@register("x285_minhash_estimate", oracle=_X285_ORACLE, tags=("dedup", "lsh"))
+def x285_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        _portable_band_explode,
+        _shingles,
+        minhash_portable_candidates,
+        portable_perm_consts,
+    )
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        PORTABLE_MINHASH_P,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = (
+        minhash_portable_candidates(docs, "doc_id", num_perm=_NP, bands=_NB)
+        .orderBy(F.desc("n_bands"), "a", "b")
+        .limit(100)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    # portable signatures (same construction as the oracle's sig CTE)
+    sh = _shingles(docs, "doc_id", "text", 2)
+    A, B = portable_perm_consts(_NP)
+    hashed = sh.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    sig = hashed.groupBy("id").agg(
+        *[
+            F.min((F.lit(A[i]) * F.col("h") + F.lit(B[i])) % PORTABLE_MINHASH_P).alias(
+                f"mh{i}"
+            )
+            for i in range(_NP)
+        ]
+    ).localCheckpoint(eager=False)
+    agree_expr = sum(
+        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+        for i in range(_NP)
+    )
+    agree = (
+        pairs.join(sig.alias("sa"), F.col("a") == F.col("sa.id"))
+        .join(sig.alias("sb"), F.col("b") == F.col("sb.id"))
+        .select("a", "b", agree_expr.cast("bigint").alias("n_agree"))
+    )
+    shc = sh.localCheckpoint(eager=False)
+    sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # intersections probed FROM the 100 candidate pairs (|pairs| × shingles
+    # rows), never via the quadratic all-pairs self-join (x280's lesson)
+    inter = (
+        pairs.join(shc.select(F.col("id").alias("a"), "sh"), "a")
+        .join(shc.select(F.col("id").alias("b"), "sh"), ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        agree.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_agree",
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+            "sz_a",
+            "sz_b",
+        )
+        .orderBy("a", "b")
+    )
