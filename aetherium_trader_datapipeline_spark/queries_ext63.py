@@ -137,11 +137,14 @@ _AGREE_SQL = " + ".join(
 _X285_ORACLE = (
     _X129_CTES
     + f""",
+    bucket_min AS (
+      SELECT band, bk, MIN(id) AS rep FROM bands GROUP BY band, bk
+    ),
     pairs AS (
-      SELECT x.id AS pa, y.id AS pb
-      FROM bands x JOIN bands y ON x.band = y.band AND x.bk = y.bk AND x.id < y.id
-      GROUP BY x.id, y.id
-      ORDER BY COUNT(*) DESC, pa, pb LIMIT 100
+      SELECT DISTINCT m.rep AS pa, e.id AS pb
+      FROM bands e JOIN bucket_min m ON e.band = m.band AND e.bk = m.bk
+      WHERE m.rep < e.id
+      ORDER BY pa, pb LIMIT 100
     ),
     agree AS (
       SELECT p.pa, p.pb,
@@ -168,9 +171,8 @@ _X285_ORACLE = (
 @register("x285_minhash_estimate", oracle=_X285_ORACLE, tags=("dedup", "lsh"))
 def x285_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aetherium_trader_datapipeline_spark.operators.dedup import (
-        _portable_band_explode,
         _shingles,
-        minhash_portable_candidates,
+        minhash_portable_assignments,
         portable_perm_consts,
     )
     from aetherium_trader_datapipeline_spark.operators.dedup import (
@@ -178,11 +180,14 @@ def x285_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # candidate pairs = the LINEAR assignment edges (member → bucket-min),
+    # not the all-pairs bucket enumeration: the pair form went quadratic
+    # on the dup-heavy 10× replica (26.7 s; this form is flat)
     pairs = (
-        minhash_portable_candidates(docs, "doc_id", num_perm=_NP, bands=_NB)
-        .orderBy(F.desc("n_bands"), "a", "b")
+        minhash_portable_assignments(docs, "doc_id", num_perm=_NP, bands=_NB)
+        .select(F.col("rep").alias("a"), F.col("id").alias("b"))
+        .orderBy("a", "b")
         .limit(100)
-        .select("a", "b")
         .localCheckpoint(eager=False)
     )
     # portable signatures (same construction as the oracle's sig CTE)
