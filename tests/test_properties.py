@@ -315,3 +315,92 @@ def test_image_encode_parse_roundtrip(w, h):
 
     assert parse_image_header(encode_png(w, h)) == (w, h, "png")
     assert parse_image_header(encode_jpeg(w, h)) == (w, h, "jpeg")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 kernels: pure-Python properties (no Spark job per example, so
+# examples can be generous)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    px=st.binary(min_size=0, max_size=3 * 8 * 7),
+    w=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(px, w):
+    """encode→decode is the identity for ANY pixel content, with every
+    filter type in play (h >= 5 rows cycles all five predictors)."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    stride = 3 * w
+    h = max(1, len(px) // stride)
+    px = (px + bytes(stride * h))[: stride * h]
+    for cycle in (False, True):
+        out = decode_png_pixels(encode_png(w, h, pixels=px, cycle_filters=cycle))
+        assert out.tobytes() == px
+
+
+@given(
+    ts=st.lists(st.integers(min_value=0, max_value=10**6), max_size=40),
+    window=st.integers(min_value=1, max_value=10**5),
+    splits=st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=80, deadline=None)
+def test_admit_kernel_batch_split_invariance(ts, window, splits):
+    """Folding a sorted arrival sequence through admit_indices in ONE call
+    equals folding it in ANY contiguous split (carrying `last` across) —
+    the property that makes stream == batch for dup_suppress."""
+    from aetherium_trader_datapipeline_spark.streaming.dedup_tws import admit_indices
+
+    ts = sorted(ts)
+    keep_once, _ = admit_indices(ts, None, window)
+    admitted_once = [ts[i] for i in keep_once]
+
+    # split into up to 4 contiguous chunks at arbitrary cut points
+    cuts = sorted({min(len(ts), (i + 1) * len(ts) // (splits + 1)) for i in range(splits)})
+    chunks, prev = [], 0
+    for c in cuts + [len(ts)]:
+        chunks.append(ts[prev:c])
+        prev = c
+    admitted_split, last = [], None
+    for ch in chunks:
+        keep, last = admit_indices(ch, last, window)
+        admitted_split.extend(ch[i] for i in keep)
+    assert admitted_split == admitted_once
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=200, deadline=None)
+def test_wire_varint_roundtrip_property(v):
+    from aetherium_trader_datapipeline_spark._vendor.protoshim.google.protobuf import (
+        wire,
+    )
+
+    data = wire.encode_varint(v)
+    got, pos = wire.decode_varint(data, 0)
+    assert pos == len(data)
+    assert got == (v & (1 << 64) - 1 if v < 0 else v)
+    assert wire.zigzag_decode(wire.zigzag_encode(v)) == v
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=2, max_size=64
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples):
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    if len(samples) % 2:
+        samples = samples + [0]
+    n = len(samples) // 2
+    arr = decode_wav_samples(encode_wav(8000, 2, n, samples=samples))
+    assert arr.flatten().tolist() == samples
