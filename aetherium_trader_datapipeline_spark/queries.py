@@ -816,6 +816,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext61  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext62  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext63  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext64  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
