@@ -65,12 +65,44 @@ _X287_FMT = f"""
     FROM z ORDER BY zval, o_orderkey LIMIT 300
 """
 
-register_sql(
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from aetherium_trader_datapipeline_spark.queries import register  # noqa: E402
+from aetherium_trader_datapipeline_spark.tables import load_tables  # noqa: E402
+
+
+@register(
     "x287_zorder_keys",
-    spark_sql=_X287_FMT.format(div="DIV"),
-    duckdb_sql=_X287_FMT.format(div="//"),
+    oracle=_X287_FMT.format(div="//"),
     tags=("ops", "layout"),
 )
+def x287_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises operators/layout.py's bit-interleave (the same expression
+    write_zordered sorts files by) on modular grid coordinates, verified
+    against the closed-form Morton arithmetic in DuckDB."""
+    from aetherium_trader_datapipeline_spark.operators.layout import _interleave
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("a"),
+        (F.col("o_orderkey") % 256).alias("b"),
+    )
+    z = k.withColumn(
+        "zval", _interleave([F.col("a"), F.col("b")], bits=8).cast("bigint")
+    )
+    return (
+        z.select(
+            "o_orderkey",
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            "zval",
+            F.expr("zval DIV 256").alias("zone_id"),
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(300)
+    )
 
 # -- x288: portable Bloom filter + exact false-positive rate -------------------
 # Build: custkeys of 'F'-status orders, two md5-derived hash positions
