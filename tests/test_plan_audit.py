@@ -62,6 +62,14 @@ def test_no_cartesian_product_anywhere(spark):
         ("x230_bipartite_projection", "lineitem", "l_comment"),
         # x241 ranks by acctbal within nation; address/comment must prune
         ("x241_rank_fns", "customer", "c_address"),
+        # x275 samples on (lang, doc_id) — the wide text column must prune
+        ("x275_reservoir_sample", "documents", "text"),
+        # x286 buckets user_id only
+        ("x286_partition_skew_report", "events", "props"),
+        # x287 interleaves two key columns; comments must prune
+        ("x287_zorder_keys", "orders", "o_comment"),
+        # x288 probes custkeys; address/comment must prune on both sides
+        ("x288_portable_bloom", "customer", "c_address"),
     ],
 )
 def test_column_pruning_reaches_scan(spark, key, table, must_be_absent):
