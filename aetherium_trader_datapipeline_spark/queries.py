@@ -845,6 +845,9 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x55_content_hash_dups",
         # CORRECTNESS_r03.json — 49 green (the window's one red, x138, stays
         # unlisted so it re-enters the r4 window after its oracle CAST fix).
+        # ROUND-5 TODO: absorb CORRECTNESS_r04's greens here (expected
+        # window: x138 then x51, x52, x56, x47, x48, x50, x63, x53, x54,
+        # x57... in registration order) so the r5 window rotates onward.
         "x135_decontaminate", "x136_repetition_filter", "x137_domain_mix",
         "x139_kmeans_embeddings", "x129_minhash_portable",
         "x130_simhash_portable", "x72_connected_components",
