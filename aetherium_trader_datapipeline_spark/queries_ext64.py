@@ -139,14 +139,16 @@ _X288_FMT = """
       FROM customer
     ),
     checked AS (
-      SELECT k, is_member,
-             COALESCE((SELECT (b.bits {div} {shift_pb1}) % 2 FROM bloom b
-                       WHERE b.lane = p1 {div} 62), 0) = 1
-             AND
-             COALESCE((SELECT (b.bits {div} {shift_pb2}) % 2 FROM bloom b
-                       WHERE b.lane = p2 {div} 62), 0) = 1
+      -- straight equi-joins to the <=32-row bloom (broadcast hash), not
+      -- correlated scalar subqueries: Spark decorrelates those into a
+      -- probe-keyed aggregate + join that reads as an unbounded build side
+      SELECT p.k, p.is_member,
+             COALESCE((b1.bits {div} {shift_pb1}) % 2, 0) = 1
+             AND COALESCE((b2.bits {div} {shift_pb2}) % 2, 0) = 1
              AS bloom_hit
-      FROM probes
+      FROM probes p
+      LEFT JOIN bloom b1 ON b1.lane = p.p1 {div} 62
+      LEFT JOIN bloom b2 ON b2.lane = p.p2 {div} 62
     )
     SELECT CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
            CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
