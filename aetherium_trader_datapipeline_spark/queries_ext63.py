@@ -190,8 +190,11 @@ def x285_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .localCheckpoint(eager=False)
     )
-    # portable signatures (same construction as the oracle's sig CTE)
-    sh = _shingles(docs, "doc_id", "text", 2)
+    # portable signatures (same construction as the oracle's sig CTE).
+    # ONE checkpointed shingle frame feeds signatures, sizes, and the
+    # intersection probe — without the cut each consumer re-derives the
+    # tokenize→gram pipeline (measured 58.6 s vs ~20 s at 100×)
+    sh = _shingles(docs, "doc_id", "text", 2).localCheckpoint(eager=False)
     A, B = portable_perm_consts(_NP)
     hashed = sh.select(
         "id",
@@ -216,13 +219,12 @@ def x285_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sig.alias("sb"), F.col("b") == F.col("sb.id"))
         .select("a", "b", agree_expr.cast("bigint").alias("n_agree"))
     )
-    shc = sh.localCheckpoint(eager=False)
-    sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # intersections probed FROM the 100 candidate pairs (|pairs| × shingles
     # rows), never via the quadratic all-pairs self-join (x280's lesson)
     inter = (
-        pairs.join(shc.select(F.col("id").alias("a"), "sh"), "a")
-        .join(shc.select(F.col("id").alias("b"), "sh"), ["b", "sh"])
+        pairs.join(sh.select(F.col("id").alias("a"), "sh"), "a")
+        .join(sh.select(F.col("id").alias("b"), "sh"), ["b", "sh"])
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
