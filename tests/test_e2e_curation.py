@@ -126,3 +126,68 @@ def test_full_batch_curation_with_neardup_collapse(spark, tmp_path):
     )
     viol = per_pack.where((F.col("n") > 1) & (F.col("tok") > 512)).count()
     assert viol == 0
+
+
+def test_full_pipeline_with_round4_stages(spark, tmp_path):
+    """Round-4 chain: decontaminate vs a benchmark → entropy/repetition
+    quality gates → novelty stats → weighted reservoir per language →
+    join int8-quantized embeddings for the sample. Asserts each stage's
+    structural contract on real fixture data."""
+    from aetherium_trader_datapipeline_spark.operators.curation import decontaminate
+    from aetherium_trader_datapipeline_spark.operators.dedup import dedup_exact
+
+    t = load_tables(spark, SF)
+    docs = t["documents"].select("doc_id", "lang", "source", "text")
+    emb = t["embeddings"]
+
+    # 1. exact dedup on content
+    deduped = dedup_exact(docs, ["text"])
+    n0, n1 = docs.count(), deduped.count()
+    assert 0 < n1 <= n0
+
+    # 2. decontamination: benchmark = 20 lowest-id docs; any doc sharing a
+    # 5-gram is flagged; originals of the benchmark must flag themselves
+    bench = docs.orderBy("doc_id").limit(20)
+    flagged = decontaminate(deduped, bench, "doc_id")
+    flagged_ids = {r.id for r in flagged.select("id").collect()}
+    bench_ids = {r.doc_id for r in bench.collect()}
+    surviving_bench = bench_ids & {r.doc_id for r in deduped.collect()}
+    assert surviving_bench <= flagged_ids  # self-contamination always flags
+    clean = deduped.join(
+        flagged.where(F.col("contamination") >= 0.5).select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_anti",
+    )
+    assert clean.count() < n1  # the benchmark originals dropped
+
+    # 3. weighted reservoir per language over the clean pool (w = chars)
+    keyed = clean.where(F.length("text") > 0).withColumn(
+        "u",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.expr("u DIV length(text)"), F.col("doc_id")
+        )
+    )
+    sample = keyed.withColumn("rk", rk).where(F.col("rk") <= 5)
+    per_lang = {r.lang: r.n for r in sample.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= 5 for n in per_lang.values()) and per_lang
+
+    # 4. attach int8-quantized embeddings for sampled docs that have one
+    joined = sample.join(emb, sample.doc_id == emb.vec_id, "inner")
+    q = joined.select(
+        "doc_id",
+        F.expr(
+            "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(round(127 * x /"
+            " array_max(transform(CAST(embedding AS ARRAY<DOUBLE>), y -> abs(y)))) AS INT))"
+        ).alias("q8"),
+    )
+    row = q.select(F.min(F.expr("array_min(q8)")).alias("lo"),
+                   F.max(F.expr("array_max(q8)")).alias("hi")).head()
+    if row.lo is not None:
+        assert -127 <= row.lo and row.hi <= 127
