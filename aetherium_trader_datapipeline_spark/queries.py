@@ -831,9 +831,13 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q01_scan_agg", "q02_filter_project", "q03_case_predicates", "q04_join_agg",
         "q05_tpch_q3", "q06_left_join", "q07_semi_join", "q08_anti_join",
         "q09_theta_join", "q10_asof_join", "q11_tpch_q1", "q12_distinct_agg",
-        "q13_rollup", "q13b_cube_gsets", "q14_having", "q15_rank_windows",
+        "q13_rollup", "q14_having", "q15_rank_windows",
         "q16_lag", "q17_rows_frame", "q18_analytic", "q19_topk_per_group",
-        "q20_sort_limit_offset", "q21_union", "q22_intersect_except",
+        "q20_sort_limit_offset",
+        # q13b_cube_gsets / q21_union / q22_intersect_except deliberately NOT
+        # listed: their r2 green rows were earned under pre-consolidation names
+        # (q13b_cube, q21b_union_all, q22_intersect, ...), so the current keys
+        # have no driver row — they lead the r5 window instead.
         "q23_string_fns", "q24_date_fns", "q25_math_fns", "q26_array_fns",
         "q26b_array_explode", "q27_map_fns", "q27b_map_keys", "q28_json_fns",
         "q29_tumbling_window", "q30_sliding_window", "q31_session_window",
@@ -843,11 +847,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x42_language_id", "x43_quality_score", "x44_token_counts",
         "x45_fingerprint", "x46_ngram_jaccard", "x49_embedding_neardup",
         "x55_content_hash_dups",
-        # CORRECTNESS_r03.json — 49 green (the window's one red, x138, stays
-        # unlisted so it re-enters the r4 window after its oracle CAST fix).
-        # ROUND-5 TODO: absorb CORRECTNESS_r04's greens here (expected
-        # window: x138 then x51, x52, x56, x47, x48, x50, x63, x53, x54,
-        # x57... in registration order) so the r5 window rotates onward.
+        # CORRECTNESS_r03.json — 49 green (the window's one red, x138, was
+        # fixed and re-verified green in r4).
         "x135_decontaminate", "x136_repetition_filter", "x137_domain_mix",
         "x139_kmeans_embeddings", "x129_minhash_portable",
         "x130_simhash_portable", "x72_connected_components",
@@ -864,6 +865,23 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x173_audio_meta", "x174_python_udtf", "x178_bm25",
         "x156_bigram_lm_score", "x157_dup_span_fraction", "x179_map_in_arrow",
         "x180_pandas_iter_udf", "x168_dedup_keep_best", "x176_windowed_funnel",
+        # CORRECTNESS_r04.json — all 50 green (x138 was r3's red, re-verified).
+        "x138_sequence_packing", "x51_ratelimit_flags", "x52_backfill_plan",
+        "x56_udaf_sumsq", "x47_minhash_lsh_dedup", "x48_simhash_neardup",
+        "x50_ann_lsh_topk", "x63_stateful_ratelimit", "x53_approx_count_distinct",
+        "x54_percentile_approx", "x57_multimodal_meta", "x58_frame_sample",
+        "x59_stats_aggs", "x60_pivot", "x61_regex_fns", "x62_conditional_agg",
+        "x64_full_outer_join", "x65_exact_percentiles", "x66_edit_distance",
+        "x67_unpivot", "x68_epoch_fns", "x69_null_fns", "x70_string_agg",
+        "x71_ignore_nulls_window", "x74_ann_ivf_topk", "x75_bitwise",
+        "x76_date_arith", "x78_resample_ffill", "x79_twap",
+        "x93_higher_order_arrays", "x94_zip_with_dot",
+        "x95_json_struct_roundtrip", "x96_calendar_fns", "x97_histogram",
+        "x98_knn_query", "x99_normalize_quantize", "x100_deterministic_sample",
+        "x101_linreg", "x102_numeric_range_frame", "x103_median",
+        "x104_tpch_q2", "x105_tpch_q8", "x106_tpch_q9", "x107_tpch_q11",
+        "x108_tpch_q12", "x109_tpch_q20", "x110_tpch_q21", "x111_filter_agg",
+        "x112_lateral_topper", "x113_group_by_all",
     }
 )
 
@@ -876,34 +894,20 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Strongest never-verified code first: curation pipeline, portable
-    # dedup, graph clustering, k-means — these anchor the LLM-data-pipeline
-    # story and have only repo-local verification so far.
+    # Round-5 window priorities (VERDICT r4 asks #2): the three renamed
+    # consolidation keys whose green rows were earned under pre-rename names,
+    # then waves 61-64 (x275-x288, built in r4, never driver-checked).  The
+    # remaining ~33 window slots fill with never-verified keys in registration
+    # order (x114 onward) via the tier sort below.
     front = [
-        "x135_decontaminate", "x136_repetition_filter", "x137_domain_mix",
-        "x138_sequence_packing", "x139_kmeans_embeddings",
-        "x129_minhash_portable", "x130_simhash_portable",
-        "x72_connected_components", "x73_dup_clusters", "x77_ema",
-        # round-3 late additions: the most novel unverified keys join the
-        # window ahead of plain function-coverage keys
-        "x182_max_drawdown", "x183_realized_vol", "x184_beta",
-        "x185_lead_lag_corr", "x186_bollinger",
-        "x187_hll_portable", "x188_cms_topk",
-        "x189_triangle_census", "x190_neighbor_jaccard",
-        "x191_semdedup", "x192_knn_classify",
-        "x193_scd2_history", "x194_cdc_snapshot", "x195_bloom_prune",
-        # the full TPC-H derivative family (r2 verdict: strongest code with
-        # no independent green row) — slots 25-37
-        "x80_tpch_q5", "x81_tpch_q6", "x82_tpch_q4", "x83_tpch_q10",
-        "x84_tpch_q14", "x85_tpch_q18", "x86_tpch_q17", "x87_tpch_q19",
-        "x88_tpch_q22", "x89_tpch_q15", "x90_tpch_q7", "x91_tpch_q13",
-        "x92_tpch_q16",
-        # most novel remaining round-3 keys — slots 38-50
-        "x170_dup_span_removal", "x167_containment", "x171_stateful_anomaly",
-        "x172_pagerank", "x173_audio_meta", "x174_python_udtf",
-        "x178_bm25", "x156_bigram_lm_score", "x157_dup_span_fraction",
-        "x179_map_in_arrow", "x180_pandas_iter_udf",
-        "x168_dedup_keep_best", "x176_windowed_funnel",
+        "q13b_cube_gsets", "q21_union", "q22_intersect_except",
+        "x275_reservoir_sample", "x276_char_entropy", "x277_ngram_novelty",
+        "x278_embedding_quantize_int8", "x279_token_budget_histogram",
+        "x280_minhash_recall_curve", "x281_png_pixel_stats",
+        "x282_wav_waveform_stats", "x283_weighted_reservoir",
+        "x284_resample_linear", "x285_minhash_estimate",
+        "x286_partition_skew_report", "x287_zorder_keys",
+        "x288_portable_bloom",
     ]
     rank = {k: i for i, k in enumerate(front)}
 
