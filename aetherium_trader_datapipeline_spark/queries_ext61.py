@@ -56,7 +56,11 @@ register_sql(
 def _x276_sql(substr_seq: str) -> str:
     return f"""
     WITH chars AS (
-      SELECT doc_id, {substr_seq} AS ch FROM documents WHERE doc_id <= 300
+      -- length(text) > 0 guards Spark's sequence(1, 0) = [1, 0] DESCENDING
+      -- hazard on empty text (DuckDB's range(1, 1) is empty); both engines
+      -- now agree that empty docs emit no entropy row.
+      SELECT doc_id, {substr_seq} AS ch FROM documents
+      WHERE doc_id <= 300 AND length(text) > 0
     ),
     freq AS (
       SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
@@ -224,10 +228,12 @@ from aetherium_trader_datapipeline_spark.queries_ext14 import (  # noqa: E402
 _X280_ORACLE = (
     _X129_CTES
     + """,
-    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    freq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+    shc AS (SELECT id, sh.sh FROM sh JOIN freq USING (sh) WHERE freq.df <= 100),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
     inter AS (
       SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
       GROUP BY a.id, b.id
     ),
     truth AS (
@@ -259,6 +265,14 @@ def x280_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
+    # Truth semantics this key asserts: exact Jaccard >= 1/2 over shingles
+    # with document frequency <= 100 — the same rare-shingle cap x47/x48 use
+    # (a hot boilerplate shingle shared by thousands of docs carries no
+    # near-dup signal but makes the exact self-join quadratic).  The oracle's
+    # `shc` CTE applies the identical df cap so both truth sets agree at any
+    # duplicate density, not just while max df happens to stay under the cap.
+    # The LSH bands stay UNCAPPED in both engines: recall is "of the capped
+    # truth pairs, how many does full-shingle LSH surface".
     truth = _exact_jaccard_pairs(docs, p=1, q=2).localCheckpoint(eager=False)
     exploded = _portable_band_explode(
         docs, "doc_id", "text", 2, _NP, _NB

@@ -71,7 +71,15 @@ class DupSuppressProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
         last = self._last.get()[0] if self._last.exists() else None
-        for pdf in rows:
+        # Concatenate the key's Arrow chunks BEFORE sorting: Spark may split
+        # one micro-batch's rows for a key across several chunks in arbitrary
+        # order, and the greedy admit kernel is order-sensitive — per-chunk
+        # sorting would only be locally ordered and could diverge from
+        # dup_suppress_batch (which sorts the whole group). One global sort
+        # per key per micro-batch keeps stream == batch unconditionally.
+        chunks = [c for c in rows if len(c)]
+        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
+        if pdf is not None:
             pdf = pdf.sort_values(["ts", "event_id"])
             ts_ms = pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
             keep, last = admit_indices(ts_ms.tolist(), last, self._window_ms)

@@ -54,6 +54,8 @@ class ActivityLedgerProcessor(StatefulProcessor):
         batch = (self._batch.get()[0] if self._batch.exists() else 0) + 1
         self._batch.update((batch,))
         for pdf in rows:
+            if not len(pdf):  # tws may deliver empty Arrow chunks
+                continue
             pdf = pdf.sort_values("event_id")
             ids = [(int(e),) for e in pdf["event_id"].tolist()]
             self._ids.appendValue(ids[0])
