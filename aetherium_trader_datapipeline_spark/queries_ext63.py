@@ -98,19 +98,27 @@ _X284_FMT = """
     FROM ctx ORDER BY user_id, h LIMIT 500
 """
 
-register_sql(
-    "x284_resample_linear",
-    spark_sql=_X284_FMT.format(
-        ts="ts",
-        div="DIV",
-        explode="explode(sequence(h0, h1, interval 1 hour))",
-        last_pv="LAST(CASE WHEN v IS NOT NULL THEN named_struct('h', h, 'v', v) END, TRUE)",
-        first_nv="FIRST(CASE WHEN v IS NOT NULL THEN named_struct('h', h, 'v', v) END, TRUE)",
-        epoch_h="unix_seconds(h)",
-        epoch_pv="unix_seconds(pv.h)",
-        epoch_nv="unix_seconds(nv.h)",
-    ),
-    duckdb_sql=_X284_FMT.format(
+_X284_SPARK_FMT = _X284_FMT.format(
+    ts="ts",
+    div="DIV",
+    # {{parts}} survives this .format pass; the runner below fills it with a
+    # spine-derived width (see x284_resample_linear).
+    explode="explode(sequence(h0, h1, interval 1 hour))",
+    last_pv="LAST(CASE WHEN v IS NOT NULL THEN named_struct('h', h, 'v', v) END, TRUE)",
+    first_nv="FIRST(CASE WHEN v IS NOT NULL THEN named_struct('h', h, 'v', v) END, TRUE)",
+    epoch_h="unix_seconds(h)",
+    epoch_pv="unix_seconds(pv.h)",
+    epoch_nv="unix_seconds(nv.h)",
+).replace(
+    "SELECT user_id, explode(sequence(h0, h1, interval 1 hour)) AS h FROM bounds",
+    "SELECT /*+ REPARTITION({parts}) */ user_id,"
+    " explode(sequence(h0, h1, interval 1 hour)) AS h FROM bounds",
+).replace(
+    "SELECT s.user_id, s.h, hr.v FROM spine s",
+    "SELECT /*+ REPARTITION({parts}, s.user_id) */ s.user_id, s.h, hr.v FROM spine s",
+)
+
+_X284_ORACLE = _X284_FMT.format(
         ts="CAST(ts AS TIMESTAMP)",
         div="//",
         explode="unnest(generate_series(h0, h1, INTERVAL 1 HOUR))",
@@ -119,9 +127,32 @@ register_sql(
         epoch_h="CAST(FLOOR(epoch(h)) AS BIGINT)",
         epoch_pv="CAST(FLOOR(epoch(pv.h)) AS BIGINT)",
         epoch_nv="CAST(FLOOR(epoch(nv.h)) AS BIGINT)",
-    ),
-    tags=("timeseries", "gapfill"),
 )
+
+
+@register("x284_resample_linear", oracle=_X284_ORACLE, tags=("timeseries", "gapfill"))
+def x284_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-sizing spine: the gap-fill GENERATES users × hours rows, so the
+    right shuffle width depends on data the optimizer can't see before the
+    explode (32 default partitions hit a GC wall on the ~74 M-row spine the
+    100× replica generates; AQE coalesces down but never splits up). The
+    spine row count is one bounded scalar over `bounds` (|users| input
+    rows), and both data-proportional exchanges — the exploded spine and the
+    pre-window join output — get a REPARTITION hint derived from it
+    (~1.5 M spine rows per partition, floored at the session default)."""
+    load_tables(spark, sf_dir)  # registers the temp views spark.sql reads
+    n_spine = spark.sql(
+        """
+        SELECT SUM(hours) FROM (
+          SELECT CAST((unix_seconds(date_trunc('hour', MAX(ts)))
+                       - unix_seconds(date_trunc('hour', MIN(ts)))) / 3600 AS BIGINT) + 1
+                 AS hours
+          FROM events GROUP BY user_id)
+        """
+    ).collect()[0][0] or 0
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = min(4096, max(default_parts, -(-int(n_spine) // 1_500_000)))
+    return spark.sql(_X284_SPARK_FMT.format(parts=parts))
 
 # -- x285: MinHash Jaccard ESTIMATOR accuracy ---------------------------------
 # For the top candidate pairs, put the estimator's numerator (signature
@@ -202,13 +233,17 @@ def x285_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("h"),
     )
+    # sz rides the SAME groupBy("id") that builds the signature — shingles
+    # are distinct per doc, so COUNT(*) here IS the set size, and the
+    # separate sizes aggregation (one more pass over sh) disappears.
     sig = hashed.groupBy("id").agg(
         *[
             F.min((F.lit(A[i]) * F.col("h") + F.lit(B[i])) % PORTABLE_MINHASH_P).alias(
                 f"mh{i}"
             )
             for i in range(_NP)
-        ]
+        ],
+        F.count(F.lit(1)).alias("sz"),
     ).localCheckpoint(eager=False)
     agree_expr = sum(
         F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
@@ -217,9 +252,14 @@ def x285_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree = (
         pairs.join(sig.alias("sa"), F.col("a") == F.col("sa.id"))
         .join(sig.alias("sb"), F.col("b") == F.col("sb.id"))
-        .select("a", "b", agree_expr.cast("bigint").alias("n_agree"))
+        .select(
+            "a",
+            "b",
+            agree_expr.cast("bigint").alias("n_agree"),
+            F.col("sa.sz").alias("sz_a"),
+            F.col("sb.sz").alias("sz_b"),
+        )
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # intersections probed FROM the 100 candidate pairs (|pairs| × shingles
     # rows), never via the quadratic all-pairs self-join (x280's lesson)
     inter = (
@@ -230,8 +270,6 @@ def x285_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         agree.join(inter, ["a", "b"], "left")
-        .join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sz_a")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sz_b")), "b")
         .select(
             "a",
             "b",
