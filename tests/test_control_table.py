@@ -165,3 +165,81 @@ def test_backfill_collects_failed_days(spark, tmp_path, control):
     )
     assert r.failed_days == ["2024-01-03"]
     assert control.get("ingest:job:NQ:2024-01-02").status == "FAILED"
+
+
+def test_live_stream_zombie_writer_fenced(spark, tmp_path, control):
+    """Two LIVE foreachBatch writers on one control-table key with a stale
+    takeover mid-stream (reference state/redis.rs:198-230, IDD.md:215-219):
+    after the takeover, every mutation the still-running zombie query
+    attempts must be fenced — the Delta analogue of its conditional MERGE
+    matching 0 rows — while the new owner's stream keeps committing.
+
+    Unlike the batch-sequential fencing tests above, both writers are real
+    Structured Streaming queries whose micro-batches interleave with the
+    takeover in wall-clock time."""
+    import time
+
+    from aetherium_trader_datapipeline_spark.plans.control_table import (
+        StaleInstanceError,
+    )
+
+    key = "ingest:job:NQ:2024-01-02"
+    st_a = control.initialize_job(key, DAY0, DAY0 + 86400000, now=1000.0)
+    a_id = st_a.job_instance_id
+    a_applied, a_fenced, b_applied = [], [], []
+
+    # Writer A (becomes the zombie): advances the cursor each micro-batch.
+    # A-era cursors live in DAY0+1xxx; B-era in DAY0+1_000_xxx, so the final
+    # high-water mark proves which instance's writes landed.
+    def write_a(df, batch_id):
+        try:
+            control.update_cursor(key, a_id, DAY0 + 1000 + batch_id)
+            a_applied.append(batch_id)
+        except StaleInstanceError:
+            a_fenced.append(batch_id)
+
+    def start(fn, name):
+        return (
+            spark.readStream.format("rate").option("rowsPerSecond", 5).load()
+            .writeStream.foreachBatch(fn)
+            .trigger(processingTime="200 milliseconds")
+            .option("checkpointLocation", str(tmp_path / name))
+            .start()
+        )
+
+    qa = start(write_a, "ckpt_a")
+    deadline = time.monotonic() + 60
+    while len(a_applied) < 2 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert len(a_applied) >= 2, "writer A never got going"
+
+    # Stale takeover MID-STREAM: A's heartbeat (t=1000) is >300 s old at
+    # t=2000, so a new instance fences it while A's query is still running.
+    st_b = control.initialize_job(key, DAY0, DAY0 + 86400000, now=2000.0)
+    b_id = st_b.job_instance_id
+    assert b_id != a_id
+    applied_at_takeover = len(a_applied)
+    cursor_at_takeover = control.get(key).cursor
+
+    def write_b(df, batch_id):
+        control.update_cursor(key, b_id, DAY0 + 1_000_000 + batch_id)
+        b_applied.append(batch_id)
+
+    qb = start(write_b, "ckpt_b")
+    deadline = time.monotonic() + 60
+    while (len(a_fenced) < 2 or len(b_applied) < 2) and time.monotonic() < deadline:
+        time.sleep(0.05)
+    qa.stop()
+    qb.stop()
+
+    # The zombie kept FIRING (its query was live) but every post-takeover
+    # write was rejected: nothing applied after the takeover point…
+    assert len(a_fenced) >= 2, "zombie was never fenced while live"
+    assert len(a_applied) == applied_at_takeover
+    final = control.get(key)
+    # …the owner's writes all landed, and the high-water mark is B-era:
+    assert final.job_instance_id == b_id
+    assert len(b_applied) >= 2
+    assert final.cursor >= DAY0 + 1_000_000
+    # cursor never regressed through the handover
+    assert final.cursor >= cursor_at_takeover
