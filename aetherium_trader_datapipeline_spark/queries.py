@@ -817,6 +817,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext62  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext63  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext64  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext65  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -908,6 +909,8 @@ def _emission_order() -> list[str]:
         "x284_resample_linear", "x285_minhash_estimate",
         "x286_partition_skew_report", "x287_zorder_keys",
         "x288_portable_bloom",
+        # round-5 addition: baseline-JPEG entropy decode, built this round
+        "x289_jpeg_pixel_stats",
     ]
     rank = {k: i for i, k in enumerate(front)}
 

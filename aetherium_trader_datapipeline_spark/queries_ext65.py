@@ -1,0 +1,102 @@
+"""Wave 65 (x289): ORACLE-VERIFIED baseline-JPEG raster decode.
+
+Closes the r4 verdict's last stubbed decode tier ("JPEG/GIF entropy-coded
+raster still gated on PIL"): x289 builds real baseline JFIF files with the
+repo's own DCT/Huffman encoder, entropy-decodes them with
+``decode_jpeg_pixels`` (canonical Huffman tables rebuilt from each file's
+DHT, dequantize, IDCT), and emits integer pixel statistics.
+
+Exactness design: JPEG is lossy in general, but a block-constant image
+survives the full pipeline bit-exact — a constant 8x8 block has only a DC
+coefficient (8*(v-128) under the orthonormal FDCT), and with the flat
+quantization step 16 and EVEN pixel values that DC quantizes without
+remainder, so dequant + IDCT reproduces v exactly (AC terms are ~1e-13
+float noise that rounds away). The fixture therefore makes each 8x8 tile
+constant with value ((d*37 + bx*23 + by*41) % 128) * 2, and DuckDB
+verifies the ENTIRE encode→Huffman→decode→reduce path arithmetically.
+Edge replication keeps partial edge tiles constant too, so non-multiple-
+of-8 dimensions round-trip exactly as well. Lossy-content behavior is
+tolerance-tested in tests/test_multimodal.py, not here.
+
+Scale posture: same as x281 — synthesis + decode inside one mapInPandas
+pass, only fixed-width stats leave the worker; doc_id <= 200 bounds the
+pure-Python per-block loops at test SFs (the Arrow plumbing is what
+scales, and a production swap-in point would be a vectorized or JVM
+decoder behind the same mapInPandas schema).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aetherium_trader_datapipeline_spark.queries import register
+from aetherium_trader_datapipeline_spark.tables import load_tables
+
+# w = 8*(1 + d%3) + d%5 ; h = 8*(1 + d%2) + d%3 (non-multiples of 8 included)
+# pixel(d, x, y) = ((d*37 + (x//8)*23 + (y//8)*41) % 128) * 2
+_X289_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             8 * (1 + doc_id % 3) + doc_id % 5 AS w,
+             8 * (1 + doc_id % 2) + doc_id % 3 AS h
+      FROM documents WHERE doc_id <= 200
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             list_transform(range(0, w * h),
+               i -> ((doc_id * 37 + ((i % w) // 8) * 23
+                      + ((i // w) // 8) * 41) % 128) * 2) AS v
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(list_sum(v) AS BIGINT) AS px_sum,
+           CAST(list_min(v) AS INTEGER) AS px_min,
+           CAST(list_max(v) AS INTEGER) AS px_max
+    FROM px ORDER BY doc_id
+"""
+
+
+@register(
+    "x289_jpeg_pixel_stats",
+    headline=True,
+    oracle=_X289_ORACLE,
+    tags=("multimodal", "decode"),
+)
+def x289_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG entropy decode, hash-verified: synthesize
+    block-constant grayscale tiles per doc, run them through the full
+    FDCT/quantize/Huffman encoder into genuine JFIF bytes, decode with
+    operators.multimodal.decode_jpeg_pixels, reduce to integer stats."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        encode_jpeg_baseline,
+        image_pixel_stats,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
+
+    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"].tolist():
+                d = int(d)
+                w = 8 * (1 + d % 3) + d % 5
+                h = 8 * (1 + d % 2) + d % 3
+                px = bytes(
+                    ((d * 37 + (x // 8) * 23 + (y // 8) * 41) % 128) * 2
+                    for y in range(h)
+                    for x in range(w)
+                )
+                blobs.append(encode_jpeg_baseline(w, h, px))
+            out = pdf.copy()
+            out["blob"] = blobs
+            yield out
+
+    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
+    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")

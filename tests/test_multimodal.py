@@ -225,3 +225,91 @@ def test_wav_sample_decode_roundtrip():
     # silence defaults, 8-bit path
     arr8 = decode_wav_samples(encode_wav(8000, 1, 5, bits=8))
     assert arr8.shape == (5, 1) and arr8.dtype == np.uint8
+
+
+def test_jpeg_baseline_roundtrip_block_constant_exact():
+    """Block-constant even-valued tiles survive the full FDCT→quantize→
+    Huffman→decode pipeline bit-exact (DC divides the flat-16 step; AC is
+    float noise that rounds away) — including partial edge blocks."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    for d in (0, 7, 42, 123):
+        w = 8 * (1 + d % 3) + d % 5  # non-multiples of 8 included
+        h = 8 * (1 + d % 2) + d % 3
+        px = np.fromfunction(
+            lambda y, x: ((d * 37 + (x // 8) * 23 + (y // 8) * 41) % 128) * 2,
+            (h, w),
+        ).astype(np.uint8)
+        out = decode_jpeg_pixels(encode_jpeg_baseline(w, h, px))
+        assert out.shape == (h, w)
+        assert (out == px).all()
+
+
+def test_jpeg_baseline_lossy_content_bounded_error():
+    """General content is lossy but bounded: with a flat quantization step
+    of 16 the per-coefficient error is <=8, so reconstructed pixels stay
+    within a small band of the original (and DC/mean is near-exact)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    h, w = 24, 40
+    grad = np.fromfunction(lambda y, x: (2 * x + 3 * y) % 256, (h, w)).astype(np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_baseline(w, h, grad))
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 8
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    out = decode_jpeg_pixels(encode_jpeg_baseline(16, 16, noise))
+    assert int(np.abs(out.astype(int) - noise.astype(int)).max()) <= 48
+    assert abs(float(out.mean()) - float(noise.mean())) < 4
+
+
+def test_jpeg_decoder_rejects_unsupported():
+    """Progressive frames, multi-component scans, and restart intervals
+    are out of scope and must fail loudly, not decode garbage."""
+    import struct
+
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    blob = bytearray(encode_jpeg_baseline(8, 8, bytes(64)))
+    sof = blob.index(b"\xff\xc0")
+    progressive = bytes(blob[:sof+1]) + b"\xc2" + bytes(blob[sof+2:])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(progressive)
+
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
+    with_dri = bytes(blob[:sof]) + dri + bytes(blob[sof:])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(with_dri)
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\x89PNG not a jpeg")
+
+
+def test_decode_image_routes_baseline_jpeg():
+    """decode_image dispatches JPEG magic to the native baseline decoder."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg_baseline,
+    )
+
+    px = np.full((8, 16), 100, dtype=np.uint8)  # even constant
+    out = decode_image(encode_jpeg_baseline(16, 8, px))
+    assert out.shape == (8, 16)
+    assert (out == px).all()
