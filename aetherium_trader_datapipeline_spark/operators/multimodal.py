@@ -9,15 +9,16 @@ signatures, batch shapes. Two decode tiers:
   BMP headers — pure Python over the first bytes of the blob, exercised
   on genuine container bytes (``encode_png``/``encode_jpeg`` build valid
   files). ``extract_image_meta(decoder="header")`` runs it Arrow-batched.
-- **Pixel/sample decode (real for PNG + baseline JPEG + WAV)**:
+- **Pixel/sample decode (real for PNG + baseline JPEG + GIF + WAV)**:
   ``decode_png_pixels`` fully raster-decodes 8-bit gray/RGB/RGBA PNGs
   (stdlib zlib + all five spec filter predictors, no image library),
   ``decode_jpeg_pixels`` entropy-decodes baseline grayscale JFIF (DHT
   canonical Huffman + dequant + IDCT, tables rebuilt from the file's own
-  segments), and ``decode_wav_samples`` decodes PCM waveforms — all
-  hash-verified against closed-form oracles (x281/x289/x282).
-  Progressive/color JPEG and GIF's LZW still require PIL
-  (``decode_image`` raises NotImplementedError for them without it);
+  segments), ``decode_gif_pixels`` LZW-decodes non-interlaced GIFs
+  (variable-width codes, dictionary resets, palette mapping), and
+  ``decode_wav_samples`` decodes PCM waveforms — all hash-verified
+  against closed-form oracles (x281/x289/x290/x282). The PIL gate now
+  covers only progressive/color JPEG and interlaced GIF;
   ``fake_decode_meta`` remains as the deterministic stand-in where tests
   need metadata for arbitrary non-image bytes.
 
@@ -58,10 +59,12 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, str]:
 
 def decode_image(blob: bytes):
     """Full pixel decode → (h, w[, c]) uint8 array. PNG decodes natively
-    (:func:`decode_png_pixels` — stdlib zlib + spec predictors) and
-    baseline grayscale JPEG natively (:func:`decode_jpeg_pixels` — DHT
-    Huffman + IDCT); remaining containers (progressive/color JPEG, GIF's
-    LZW) still require PIL and raise NotImplementedError without it."""
+    (:func:`decode_png_pixels` — stdlib zlib + spec predictors), baseline
+    grayscale JPEG natively (:func:`decode_jpeg_pixels` — DHT Huffman +
+    IDCT), and non-interlaced GIF natively (:func:`decode_gif_pixels` —
+    variable-width LZW + palette); the remaining tiers (progressive/color
+    JPEG, interlaced GIF, everything else) require PIL and raise
+    NotImplementedError without it."""
     b = bytes(blob or b"")
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
@@ -71,9 +74,16 @@ def decode_image(blob: bytes):
         except NotImplementedError:
             if not _HAS_PIL:
                 raise
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return decode_gif_pixels(b)
+        except NotImplementedError:
+            if not _HAS_PIL:
+                raise
     if not _HAS_PIL:
         raise NotImplementedError(
-            "non-PNG/baseline-JPEG raster decode requires PIL; not in this container"
+            "raster decode beyond PNG/baseline-JPEG/GIF requires PIL; "
+            "not in this container"
         )
     import io
 
@@ -677,6 +687,208 @@ def decode_jpeg_pixels(blob: bytes):
                 np.rint(block), 0, 255
             ).astype(np.uint8)
     return out[:height, :width]
+
+
+# -- GIF LZW codec (entropy-coded raster, no image library) -----------------
+# GIF's compression is variable-width LZW over palette indices, packed
+# LSB-first (the opposite bit order of JPEG's scan) in <=255-byte
+# sub-blocks. LZW is LOSSLESS, so unlike JPEG no fixture trickery is
+# needed for exactness — any index image round-trips bit-identical, and
+# x290's oracle is simply the closed-form index function. The dictionary
+# reset path (code 4096 overflow -> CLEAR) is exercised by high-entropy
+# fixtures in tests.
+
+
+def encode_gif(width: int, height: int, indices, palette=None) -> bytes:
+    """Encode row-major 8-bit palette ``indices`` (len = w*h) as a real
+    GIF89a: logical screen descriptor, 256-entry global color table
+    (default grayscale identity, palette[i] = (i,i,i)), image descriptor,
+    variable-width LZW-compressed data in sub-blocks, trailer."""
+    idx = bytes(bytearray(v & 0xFF for v in indices))
+    if len(idx) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(idx)}")
+    if palette is None:
+        palette = [(i, i, i) for i in range(256)]
+    if len(palette) != 256:
+        raise ValueError("palette must have 256 entries")
+
+    min_code_size = 8
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    out_bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += size
+        while nbits >= 8:
+            out_bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, code_size = eoi + 1, min_code_size + 1
+    emit(clear, code_size)
+    cur = b""
+    for byte in idx:
+        probe = cur + bytes([byte])
+        if probe in table:
+            cur = probe
+            continue
+        emit(table[cur], code_size)
+        table[probe] = next_code
+        next_code += 1
+        # width grows one step behind the decoder's table (its length is
+        # always next_code - 1: the first code after CLEAR appends nothing),
+        # so both sides widen before the same emitted code
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # dictionary full: reset
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, code_size = eoi + 1, min_code_size + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out_bits.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for i in range(0, len(out_bits), 255):
+        chunk = out_bits[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+
+    gct = bytes(c for rgb in palette for c in rgb)
+    screen = (
+        width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + bytes([0xF7, 0, 0])  # GCT present, 8-bit, 256 entries
+    )
+    img_desc = (
+        b"\x2c"
+        + bytes(4)  # left, top
+        + width.to_bytes(2, "little")
+        + height.to_bytes(2, "little")
+        + b"\x00"  # no local table, not interlaced
+    )
+    return (
+        b"GIF89a" + screen + gct + img_desc
+        + bytes([min_code_size]) + bytes(blocks) + b"\x3b"
+    )
+
+
+def decode_gif_pixels(blob: bytes):
+    """REAL GIF raster decode, no image library: parse the logical screen
+    descriptor and color tables, walk extension blocks, LZW-decode the
+    first image's index stream (variable-width codes, LSB-first,
+    dictionary resets), map through the palette, return an (h, w, 3)
+    uint8 RGB array.
+
+    Supports non-interlaced images (87a/89a, global or local color
+    table); raises NotImplementedError for interlaced images. Together
+    with decode_jpeg_pixels this retires the multimodal PIL gate for the
+    formats the repo synthesizes: every container byte stream the surface
+    emits is decoded by repo code."""
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = b[10]  # screen dims at 6:10 — the image descriptor's govern
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x3B:
+            raise ValueError("no image data before trailer")
+        elif block == 0x2C:
+            break
+        else:
+            raise ValueError(f"unknown block 0x{block:02x}")
+    if pos >= len(b) or b[pos] != 0x2C:
+        raise ValueError("missing image descriptor")
+    w = int.from_bytes(b[pos + 5 : pos + 7], "little")
+    h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+    iflags = b[pos + 9]
+    pos += 10
+    if iflags & 0x40:
+        raise NotImplementedError("interlaced GIF")
+    pal = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        pal = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    if pal is None:
+        raise ValueError("no color table")
+    min_code_size = b[pos]
+    pos += 1
+    data = bytearray()
+    while b[pos] != 0:
+        ln = b[pos]
+        data += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    acc = nbits = bit_pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal acc, nbits, bit_pos
+        while nbits < code_size:
+            if bit_pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            acc |= data[bit_pos] << nbits
+            bit_pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        return code
+
+    while True:
+        code = read_code()
+        if code == clear:
+            table = table[: eoi + 1]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) != w * h:
+        raise ValueError(f"LZW produced {len(out)} of {w * h} indices")
+    idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+    return pal[idx]
 
 
 def extract_image_meta(

@@ -909,8 +909,8 @@ def _emission_order() -> list[str]:
         "x284_resample_linear", "x285_minhash_estimate",
         "x286_partition_skew_report", "x287_zorder_keys",
         "x288_portable_bloom",
-        # round-5 addition: baseline-JPEG entropy decode, built this round
-        "x289_jpeg_pixel_stats",
+        # round-5 additions: JPEG/GIF entropy decode, built this round
+        "x289_jpeg_pixel_stats", "x290_gif_pixel_stats",
     ]
     rank = {k: i for i, k in enumerate(front)}
 

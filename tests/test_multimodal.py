@@ -313,3 +313,78 @@ def test_decode_image_routes_baseline_jpeg():
     out = decode_image(encode_jpeg_baseline(16, 8, px))
     assert out.shape == (8, 16)
     assert (out == px).all()
+
+
+def test_gif_lzw_roundtrip_exact():
+    """LZW is lossless: arbitrary index images round-trip bit-exact,
+    including sizes whose bit stream crosses sub-block and code-width
+    boundaries."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    for d in (0, 7, 42, 199):
+        w, h = 5 + d % 9, 4 + d % 7
+        idx = bytes((d * 31 + x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+        rgb = decode_gif_pixels(encode_gif(w, h, idx))
+        want = np.frombuffer(idx, dtype=np.uint8).reshape(h, w)
+        assert rgb.shape == (h, w, 3)
+        assert (rgb == want[:, :, None]).all()
+
+
+def test_gif_lzw_dictionary_reset_path():
+    """A 200x200 high-entropy image overflows the 4096-entry LZW table,
+    forcing mid-stream CLEAR codes — the reset path must stay in lockstep
+    between encoder and decoder."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 256, 200 * 200, dtype=np.uint8).tobytes()
+    rgb = decode_gif_pixels(encode_gif(200, 200, idx))
+    want = np.frombuffer(idx, dtype=np.uint8).reshape(200, 200)
+    assert (rgb == want[:, :, None]).all()
+
+
+def test_gif_custom_palette_and_rejects():
+    import numpy as np
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    pal = [((i * 3) % 256, (i * 5) % 256, (i * 7) % 256) for i in range(256)]
+    rgb = decode_gif_pixels(encode_gif(16, 16, bytes(range(256)), palette=pal))
+    assert all(tuple(rgb[i // 16, i % 16]) == pal[i] for i in range(256))
+
+    blob = bytearray(encode_gif(4, 4, bytes(16)))
+    desc = 13 + 768  # header+screen descriptor, then the 256-entry GCT
+    assert blob[desc] == 0x2C
+    interlaced = bytes(blob[: desc + 9]) + b"\x40" + bytes(blob[desc + 10 :])
+    with _pytest.raises(NotImplementedError):
+        decode_gif_pixels(interlaced)
+    with _pytest.raises(ValueError):
+        decode_gif_pixels(b"\xff\xd8 not a gif")
+
+
+def test_decode_image_routes_gif():
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_gif,
+    )
+
+    idx = bytes([9] * 12)
+    out = decode_image(encode_gif(4, 3, idx))
+    assert out.shape == (3, 4, 3)
+    assert (out == 9).all()
