@@ -818,6 +818,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext63  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext64  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext65  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext66  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -911,6 +912,10 @@ def _emission_order() -> list[str]:
         "x288_portable_bloom",
         # round-5 additions: JPEG/GIF entropy decode, built this round
         "x289_jpeg_pixel_stats", "x290_gif_pixel_stats",
+        # wave 66: corpus-construction algorithms, built this round
+        "x291_winnowing_fingerprints", "x292_bpe_merge_rounds",
+        "x293_domain_cap", "x294_zone_map_prune",
+        "x295_random_projection", "x296_perplexity_buckets",
     ]
     rank = {k: i for i, k in enumerate(front)}
 

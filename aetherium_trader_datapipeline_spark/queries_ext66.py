@@ -1,0 +1,451 @@
+"""Wave 66 (x291–x296): corpus-construction algorithms a 100 TB training-data
+pipeline runs between crawl and tokenizer — each oracle-paired and exact.
+
+x291 is robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+fingerprinting scheme): per-position k-gram hashes, a w-window minimum with
+the RIGHTMOST tie-break, and document-pair overlap counted on the selected
+fingerprints only.  Unlike MinHash (x129) this is position-aware — it
+guarantees any shared run of length >= w + k - 1 is detected — so it is the
+family used for plagiarism/contamination span detection rather than
+whole-document similarity.
+
+x292 is byte-pair-encoding tokenizer training, the first two merge rounds,
+run distributed: weighted adjacent-pair counts over the word table, argmax
+pair, then the greedy left-to-right merge applied with the overlap parity
+rule (in a run of overlapping matches — possible only when s1 = s2 — the
+1st, 3rd, ... merge and the even ones are consumed), expressed as
+gaps-and-islands window SQL identical in both engines.
+
+x293 is the sublinear per-domain cap (crawl curation's "no domain may
+dominate"): cap(domain) = 4 * ceil(sqrt(n_docs)), keep the best docs by
+(n_chars, doc_id) under the cap, report kept/dropped per domain.
+
+x294 is the zone-map pruning simulator: lay lineitem out three ways
+(shipdate-sorted, orderkey-sorted, Z-ordered on NTILE(256) ranks of both),
+cut 1000-row "files", compute per-file min/max zone maps, and count how
+many files each of a date predicate and a key predicate must scan.  The
+numeric answer to "why Z-order" (x287 computes the keys; this measures the
+payoff).  The global-ORDER-BY windows are the simulator's point (a layout
+IS a total order); production writes use a range partitioner to the same
+effect.
+
+x295 is Johnson–Lindenstrauss random projection of the 64-d embeddings to
+k = 16 with a deterministic ±1 sign matrix derived from md5(i*16+j) —
+norms quantized to integers (floor(v*1000)) so both engines agree bit-for-
+bit, with the norm-preservation ratio reported in basis points.
+
+x296 is CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score
+every doc with the corpus-trained bigram LM (x156's exact convention —
+per-term DECIMAL(18,9) log-probs so the sum is order-independent), then
+NTILE(3) head/middle/tail terciles with per-bucket stats — the standard
+"keep head+middle, drop tail" curation gate.
+"""
+
+from __future__ import annotations
+
+from aetherium_trader_datapipeline_spark.queries import register_sql
+
+# ---------------------------------------------------------------------------
+# engine fragments
+# ---------------------------------------------------------------------------
+
+
+def _md5i_spark(expr: str, a: int, n: int) -> str:
+    return f"CAST(conv(substring(md5(CAST({expr} AS STRING)), {a}, {n}), 16, 10) AS BIGINT)"
+
+
+def _md5i_duck(expr: str, a: int, n: int) -> str:
+    return f"(('0x' || substring(md5(CAST({expr} AS VARCHAR)), {a}, {n}))::BIGINT)"
+
+
+# -- x291: robust winnowing fingerprints -------------------------------------
+# k = 5 (char 5-grams), w = 4.  Selection is the paper's: for every full
+# window of w consecutive k-gram hashes record the minimum, breaking ties by
+# the RIGHTMOST position; the fingerprint set is the distinct (pos, hash)
+# pairs selected.  Window minima via a bounded band self-join (b.i in
+# [a.i, a.i+3]) — 4 rows per position, linear, not quadratic; at 100 TB this
+# is a map-side operation after a doc_id repartition (both sides share the
+# doc_id key, one exchange).  Pair overlap then joins the SELECTED
+# fingerprints only (the ~2/(w+1) density that makes winnowing cheap).
+
+
+def _x291_sql(pos_gen: str, md5i) -> str:
+    h = md5i("substr(d.text, g.i, 5)", 1, 12)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS text, length(text) - 4 AS npos
+      FROM documents WHERE doc_id <= 300 AND length(text) >= 5
+    ),
+    g AS (
+      SELECT d.doc_id, g.i, d.npos, {h} AS h
+      FROM d {pos_gen}
+    ),
+    win AS (
+      SELECT a.doc_id, a.i AS s, b.i AS j, b.h
+      FROM g a JOIN g b
+        ON a.doc_id = b.doc_id AND b.i >= a.i AND b.i <= a.i + 3
+      WHERE a.i + 3 <= a.npos
+    ),
+    sel AS (
+      SELECT doc_id, s, mh, MAX(j) AS fp_pos
+      FROM (
+        SELECT w.*, MIN(h) OVER (PARTITION BY doc_id, s) AS mh FROM win w
+      ) z
+      WHERE h = mh GROUP BY doc_id, s, mh
+    ),
+    fp AS (SELECT DISTINCT doc_id, mh AS fp_hash FROM sel),
+    nfp AS (SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.d1, p.d2, CAST(p.shared AS BIGINT) AS shared_fps,
+           CAST(na.n AS BIGINT) AS n_fp1, CAST(nb.n AS BIGINT) AS n_fp2,
+           CAST(p.shared * 10000 {{div}} (na.n + nb.n - p.shared) AS BIGINT)
+             AS overlap_bp
+    FROM pairs p
+    JOIN nfp na ON na.doc_id = p.d1
+    JOIN nfp nb ON nb.doc_id = p.d2
+    WHERE p.shared >= 3
+    ORDER BY overlap_bp DESC, p.d1, p.d2 LIMIT 100
+"""
+
+
+register_sql(
+    "x291_winnowing_fingerprints",
+    spark_sql=_x291_sql(
+        "LATERAL VIEW explode(sequence(1, d.npos)) g AS i", _md5i_spark
+    ).format(div="DIV"),
+    duckdb_sql=_x291_sql(
+        ", LATERAL (SELECT unnest(range(1, d.npos + 1)) AS i) g", _md5i_duck
+    ).format(div="//"),
+    tags=("dedup", "text", "fingerprint"),
+)
+
+# -- x292: BPE tokenizer training, two merge rounds --------------------------
+# The merge round is the interesting SQL: mark match positions (sym_p,
+# sym_{p+1}) = (s1, s2); overlapping matches form runs ONLY when s1 = s2,
+# and greedy left-to-right admits the odd-ranked members of each run
+# (gaps-and-islands: run id = p - ROW_NUMBER() within matches); merged
+# positions absorb their right neighbor, whose row is dropped, and
+# positions renumber.  Every window partitions by word — at 100 TB the
+# word table is the deduplicated vocabulary (Zipf-bounded, ~sqrt of corpus
+# token count), so rounds are cheap; the corpus-sized work is only the
+# initial word count.
+
+
+def _bpe_round(r: int) -> str:
+    p, q = r - 1, r
+    return f"""
+    pc{q} AS (
+      SELECT t.s1, t.s2, SUM(w.f) AS cnt
+      FROM (
+        SELECT word, p, sym AS s1,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY p) AS s2
+        FROM seq{p}
+      ) t JOIN wf w ON t.word = w.word
+      WHERE t.s2 IS NOT NULL GROUP BY t.s1, t.s2
+    ),
+    best{q} AS (
+      SELECT s1, s2 FROM pc{q} ORDER BY cnt DESC, s1, s2 LIMIT 1
+    ),
+    m{q} AS (
+      SELECT s.word, s.p, s.sym,
+             CASE WHEN s.sym = b.s1
+                   AND LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.p) = b.s2
+                  THEN 1 ELSE 0 END AS cand
+      FROM seq{p} s CROSS JOIN best{q} b
+    ),
+    r{q} AS (
+      SELECT *, p - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY p) AS grp
+      FROM m{q}
+    ),
+    mm{q} AS (
+      SELECT *,
+             CASE WHEN cand = 1
+                   AND ROW_NUMBER() OVER (PARTITION BY word, cand, grp ORDER BY p) % 2 = 1
+                  THEN 1 ELSE 0 END AS do_merge
+      FROM r{q}
+    ),
+    n{q} AS (
+      SELECT word, p,
+             CASE WHEN do_merge = 1 THEN sym || next_sym ELSE sym END AS sym,
+             LAG(do_merge) OVER (PARTITION BY word ORDER BY p) AS consumed
+      FROM (
+        SELECT *, LEAD(sym) OVER (PARTITION BY word ORDER BY p) AS next_sym
+        FROM mm{q}
+      ) z
+    ),
+    seq{q} AS (
+      SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS p, sym
+      FROM n{q} WHERE consumed IS NULL OR consumed = 0
+    )"""
+
+
+def _x292_sql(tok_gen: str, chr_gen: str) -> str:
+    top = """
+      SELECT CAST({r} AS BIGINT) AS round, rk, s1, s2, pair_count FROM (
+        SELECT s1, s2, CAST(cnt AS BIGINT) AS pair_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS BIGINT) AS rk
+        FROM pc{r}
+      ) t{r} WHERE rk <= 10"""
+    return f"""
+    WITH w0 AS ({tok_gen}),
+    wf AS (SELECT word, COUNT(*) AS f FROM w0 WHERE length(word) > 0 GROUP BY word),
+    seq0 AS ({chr_gen}),
+    {_bpe_round(1)},
+    {_bpe_round(2)},
+    pc3 AS (
+      SELECT t.s1, t.s2, SUM(w.f) AS cnt
+      FROM (
+        SELECT word, p, sym AS s1,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY p) AS s2
+        FROM seq2
+      ) t JOIN wf w ON t.word = w.word
+      WHERE t.s2 IS NOT NULL GROUP BY t.s1, t.s2
+    )
+    SELECT * FROM ({top.format(r=1)}) a
+    UNION ALL SELECT * FROM ({top.format(r=2)}) b
+    UNION ALL SELECT * FROM ({top.format(r=3)}) c
+    ORDER BY round, rk
+"""
+
+
+_X292_TOK_SPARK = """
+      SELECT w AS word FROM documents
+      LATERAL VIEW explode(split(lower(text), ' ')) t AS w
+      WHERE doc_id <= 300
+"""
+_X292_TOK_DUCK = """
+      SELECT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents WHERE doc_id <= 300
+"""
+_X292_CHR_SPARK = """
+      SELECT word, p, substr(word, p, 1) AS sym
+      FROM wf LATERAL VIEW explode(sequence(1, length(word))) t AS p
+"""
+
+register_sql(
+    "x292_bpe_merge_rounds",
+    spark_sql=_x292_sql(_X292_TOK_SPARK, _X292_CHR_SPARK),
+    duckdb_sql=_x292_sql(
+        _X292_TOK_DUCK,
+        """
+      SELECT word, p, substr(word, p, 1) AS sym FROM (
+        SELECT word, unnest(range(1, length(word) + 1)) AS p FROM wf
+      ) z
+""",
+    ),
+    tags=("text", "llm", "tokenizer"),
+)
+
+# -- x293: sublinear per-domain cap ------------------------------------------
+# cap(domain) = 4 * ceil(sqrt(n_docs)) — large domains keep relatively
+# less; ranking is (n_chars DESC, doc_id) so "best" is deterministic.  One
+# window per domain plus a tiny per-domain cap join: at 100 TB the cap
+# table is |domains| rows (broadcast), and the rank window is the only
+# shuffle.
+
+_X293 = """
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    ),
+    caps AS (
+      SELECT source, CAST(4 * CEIL(SQRT(COUNT(*))) AS BIGINT) AS cap
+      FROM documents GROUP BY source
+    )
+    SELECT r.source, c.cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r.rk <= c.cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.rk > c.cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN r.rk <= c.cap THEN r.n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked r JOIN caps c ON r.source = c.source
+    GROUP BY r.source, c.cap ORDER BY r.source
+"""
+
+register_sql(
+    "x293_domain_cap",
+    spark_sql=_X293,
+    duckdb_sql=_X293,
+    tags=("curation", "sampling"),
+)
+
+# -- x294: zone-map pruning simulator ----------------------------------------
+# Morton bits on NTILE(256) ranks (rank, not raw value, so both columns
+# spread uniformly over the 8-bit grid regardless of distribution).
+
+_ZBITS294 = " + ".join(
+    f"(((a {{div}} {1 << i}) % 2) * {1 << (2 * i)})"
+    f" + (((b {{div}} {1 << i}) % 2) * {1 << (2 * i + 1)})"
+    for i in range(8)
+)
+
+
+def _x294_layout(name: str, order: str) -> str:
+    return f"""
+    f_{name} AS (
+      SELECT (rn - 1) {{div}} 1000 AS fid,
+             MIN(l_shipdate) AS dlo, MAX(l_shipdate) AS dhi,
+             MIN(l_orderkey) AS klo, MAX(l_orderkey) AS khi
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY {order}) AS rn FROM lz) t
+      GROUP BY (rn - 1) {{div}} 1000
+    ),
+    s_{name} AS (
+      SELECT '{name}' AS layout,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN dhi >= DATE '1995-06-01'
+                            AND dlo <= DATE '1995-06-30' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS files_date_pred,
+             CAST(SUM(CASE WHEN khi >= 100000 AND klo <= 150000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS files_key_pred
+      FROM f_{name}
+    )"""
+
+
+_X294 = f"""
+    WITH l AS (SELECT l_orderkey, l_shipdate FROM lineitem),
+    lz AS (
+      SELECT l_orderkey, l_shipdate,
+             CAST({_ZBITS294} AS BIGINT) AS zval
+      FROM (
+        SELECT l_orderkey, l_shipdate,
+               NTILE(256) OVER (ORDER BY l_shipdate, l_orderkey) - 1 AS a,
+               NTILE(256) OVER (ORDER BY l_orderkey, l_shipdate) - 1 AS b
+        FROM l
+      ) r
+    ),
+    {_x294_layout("date_sorted", "l_shipdate, l_orderkey")},
+    {_x294_layout("key_sorted", "l_orderkey, l_shipdate")},
+    {_x294_layout("z_order", "zval, l_orderkey, l_shipdate")}
+    SELECT * FROM s_date_sorted
+    UNION ALL SELECT * FROM s_key_sorted
+    UNION ALL SELECT * FROM s_z_order
+    ORDER BY layout
+"""
+
+register_sql(
+    "x294_zone_map_prune",
+    spark_sql=_X294.format(div="DIV"),
+    duckdb_sql=_X294.format(div="//"),
+    tags=("ops", "layout"),
+)
+
+# -- x295: Johnson–Lindenstrauss ±1 random projection ------------------------
+# Values quantize to floor(v*1000) BIGINT before any aggregation, so both
+# the projection and both norms are exact integer arithmetic; the sign
+# matrix is md5-derived from the (input_dim, output_dim) cell index.  Plan:
+# one posexplode, a 16-row broadcast cross join, one (vec_id, j) groupBy —
+# linear in n*d*k with no driver traffic.
+
+
+def _x295_sql(q_cte: str, dims_gen: str, md5i) -> str:
+    sgn = md5i("q.i * 16 + d.j", 1, 8)
+    return f"""
+    WITH q AS ({q_cte}),
+    dims AS ({dims_gen}),
+    proj AS (
+      SELECT q.vec_id, d.j,
+             SUM(q.qv * (CASE WHEN {sgn} % 2 = 0 THEN 1 ELSE -1 END)) AS pj
+      FROM q CROSS JOIN dims d
+      GROUP BY q.vec_id, d.j
+    ),
+    np AS (SELECT vec_id, SUM(pj * pj) AS norm2_proj FROM proj GROUP BY vec_id),
+    no AS (SELECT vec_id, SUM(qv * qv) AS norm2_orig FROM q GROUP BY vec_id)
+    SELECT no.vec_id,
+           CAST(no.norm2_orig AS BIGINT) AS norm2_orig,
+           CAST(np.norm2_proj AS BIGINT) AS norm2_proj,
+           CAST(np.norm2_proj * 10000 {{div}} (16 * no.norm2_orig) AS BIGINT)
+             AS ratio_bp,
+           np.norm2_proj * 4 > 16 * no.norm2_orig
+             AND np.norm2_proj < 4 * 16 * no.norm2_orig AS within_4x
+    FROM no JOIN np ON no.vec_id = np.vec_id
+    WHERE no.norm2_orig > 0
+    ORDER BY no.vec_id
+"""
+
+
+register_sql(
+    "x295_random_projection",
+    spark_sql=_x295_sql(
+        """
+      SELECT vec_id, pos AS i,
+             CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qv
+      FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, x""",
+        "SELECT explode(sequence(0, 15)) AS j",
+        _md5i_spark,
+    ).format(div="DIV"),
+    duckdb_sql=_x295_sql(
+        """
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+      FROM embeddings""",
+        "SELECT unnest(range(0, 16)) AS j",
+        _md5i_duck,
+    ).format(div="//"),
+    tags=("embedding", "sketch"),
+)
+
+# -- x296: CCNet-style perplexity terciles ------------------------------------
+# Per-doc score is x156's exact bigram-LM convention (per-term
+# DECIMAL(18,9) log2 probs; order-independent sum); buckets are NTILE(3)
+# over (score, doc_id).  At 100 TB the tercile boundary comes from an
+# approx-quantile pass instead of a global NTILE; the per-bucket stats and
+# the keep-head/middle gate are unchanged.
+
+
+def _x296_sql(toks: str) -> str:
+    return f"""
+    WITH toks AS ({toks}),
+    occ AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM occ GROUP BY w1, w2),
+    uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+    scored AS (
+      SELECT occ.doc_id,
+             CAST(log2(CAST(bc.c + 1 AS DOUBLE) / (uni.c + vocab.v))
+                  AS DECIMAL(18,9)) AS lp
+      FROM occ
+      JOIN bc ON occ.w1 = bc.w1 AND occ.w2 = bc.w2
+      JOIN uni ON occ.w1 = uni.w
+      CROSS JOIN vocab),
+    docscore AS (
+      SELECT doc_id,
+             CAST(ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4)
+                  AS DECIMAL(18,6)) AS nll
+      FROM scored GROUP BY doc_id),
+    bucketed AS (
+      SELECT doc_id, nll,
+             NTILE(3) OVER (ORDER BY nll, doc_id) AS bucket
+      FROM docscore)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(nll) AS DOUBLE) AS min_nll,
+           CAST(MAX(nll) AS DOUBLE) AS max_nll,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+    FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+register_sql(
+    "x296_perplexity_buckets",
+    spark_sql=_x296_sql(
+        """
+      SELECT doc_id, idx, w FROM documents
+      LATERAL VIEW posexplode(split(lower(text), ' ')) t AS idx, w"""
+    ),
+    duckdb_sql=_x296_sql(
+        """
+      SELECT doc_id, i AS idx, ws[i] AS w FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        LATERAL unnest(generate_series(1, len(ws))) AS t(i)"""
+    ),
+    tags=("text", "llm", "curation"),
+)
