@@ -388,6 +388,43 @@ def minhash_portable_assignments(
     )
 
 
+def minhash_incremental_assignments(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 2,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental (daily-batch) LSH dedup: match NEW docs against the
+    EXISTING corpus only — never corpus × corpus.
+
+    This is the production shape for a growing 100 TB corpus: the old
+    side's band explode is computed once per batch (in a real deployment
+    it is a stored signature table that only ever appends), reduced to one
+    bucket-min representative per (band, bk), and the new batch — usually
+    orders of magnitude smaller — probes it with an equi join.  Work per
+    batch is O(|new| + |old buckets touched|); re-running the full
+    corpus-wide ``minhash_portable_assignments`` every day would be
+    O(|corpus|) per batch.
+
+    Returns DISTINCT (id, rep) rows: per NEW doc, the min OLD id of each
+    band bucket it shares with the corpus.  New docs absent from the
+    result hit no corpus bucket — they are novel (the caller left-joins
+    to flag them).  Same portable hash family as
+    ``minhash_portable_assignments``, so results are oracle-verifiable.
+    """
+    new_b = _portable_band_explode(
+        new_df, id_col, text_col, shingle_size, num_perm, bands
+    )
+    old_b = _portable_band_explode(
+        old_df, id_col, text_col, shingle_size, num_perm, bands
+    )
+    old_min = old_b.groupBy("band", "bk").agg(F.min("id").alias("rep"))
+    return new_b.join(old_min, ["band", "bk"]).select("id", "rep").distinct()
+
+
 def simhash_portable_pairs(
     df: DataFrame,
     id_col: str,

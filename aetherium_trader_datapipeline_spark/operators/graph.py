@@ -299,3 +299,51 @@ def pagerank_fixed(
                 (F.lit(tele) + F.expr("(85 * coalesce(c, 0L)) DIV 100")).alias("p"),
             )
     return p
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous frequency-based label propagation (Raghavan et al. 2007),
+    a fixed number of rounds: labels start as own node id; each round every
+    node adopts its neighbors' MOST FREQUENT current label, ties broken by
+    the smallest label.  A fixed round count + deterministic tie-break make
+    the result engine-reproducible (async LPA's random visit order is what
+    makes the classic formulation nondeterministic — unusable under a value
+    hash).  Distinct from connected components: frequency voting splits a
+    connected graph into dense communities instead of flooding the min id.
+
+    ``edges`` must already be symmetric (pass both directions).  Per round:
+    one join (neighbor labels), one (node, label) count aggregate, one
+    rank-1 window — all key-partitioned, no driver traffic; the per-round
+    localCheckpoint cut stops Catalyst re-deriving the full lineage each
+    iteration (same convention as pagerank_fixed).
+
+    Returns (node, lab) — community = shared ``lab`` value.
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .where(F.col("node").isNotNull() & F.col("nbr").isNotNull())
+        .distinct()
+    )
+    labels = e.select("node").distinct().withColumn("lab", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(rounds):
+        nbr_labs = labels.withColumnRenamed("node", "nbr")
+        cnt = (
+            e.join(nbr_labs, "nbr")
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lab")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -1174,6 +1174,68 @@ def image_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.mapInPandas(fn, schema=out_schema)
 
 
+def box_downsample(px, factor: int = 2):
+    """Integer box-filter downsample of an (h, w, c) uint8 raster: each
+    output pixel is the floor mean of its factor×factor block; trailing
+    rows/columns that do not fill a block are truncated (out dims =
+    h // factor, w // factor).  Pure integer arithmetic — exact, so the
+    whole decode→resize path stays oracle-verifiable (x299)."""
+    import numpy as np
+
+    a = np.asarray(px)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    oh, ow = h // factor, w // factor
+    if oh == 0 or ow == 0:
+        return np.zeros((0, 0, c), dtype=np.uint8)
+    a = a[: oh * factor, : ow * factor, :].astype(np.int64)
+    blocks = a.reshape(oh, factor, ow, factor, c)
+    return (blocks.sum(axis=(1, 3)) // (factor * factor)).astype(np.uint8)
+
+
+def image_resize_stats(
+    df: DataFrame, blob_col: str = "blob", factor: int = 2
+) -> DataFrame:
+    """Decode each image blob and box-downsample it by ``factor``
+    (:func:`box_downsample`), emitting integer stats of the RESIZED
+    raster — the resize stage of a multimodal ingest pipeline (the task's
+    decode / feature-extract / resize / frame-sample set).  Same scale
+    posture as image_pixel_stats: mapInPandas streams Arrow batches; the
+    rasters never leave the worker, only fixed-width stats shuffle."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        if f.name != blob_col
+    ) + ", out_width INT, out_height INT, channels INT, px_sum BIGINT, px_min INT, px_max INT"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for b in pdf[blob_col].tolist():
+                px = box_downsample(decode_image(bytes(b)), factor)
+                empty = px.size == 0
+                stats.append(
+                    (
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        0 if empty else int(px.sum(dtype="int64")),
+                        0 if empty else int(px.min()),
+                        0 if empty else int(px.max()),
+                    )
+                )
+            out = pdf.drop(columns=[blob_col]).copy()
+            out["out_width"] = [s[0] for s in stats]
+            out["out_height"] = [s[1] for s in stats]
+            out["channels"] = [s[2] for s in stats]
+            out["px_sum"] = [s[3] for s in stats]
+            out["px_min"] = [s[4] for s in stats]
+            out["px_max"] = [s[5] for s in stats]
+            yield out
+
+    return df.mapInPandas(fn, schema=out_schema)
+
+
 def audio_waveform_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """REAL PCM waveform statistics via :func:`decode_wav_samples`:
     (sample_rate, n_channels, n_samples, s_sum, s_min, s_max) per blob —

@@ -819,6 +819,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext64  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext65  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext66  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext67  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -916,6 +917,10 @@ def _emission_order() -> list[str]:
         "x291_winnowing_fingerprints", "x292_bpe_merge_rounds",
         "x293_domain_cap", "x294_zone_map_prune",
         "x295_random_projection", "x296_perplexity_buckets",
+        # wave 67: operator-backed additions, built this round
+        "x297_label_propagation", "x298_incremental_minhash",
+        "x299_image_resize_box", "x300_bpe_compression",
+        "x301_join_size_estimate",
     ]
     rank = {k: i for i, k in enumerate(front)}
 

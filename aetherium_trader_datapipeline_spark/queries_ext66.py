@@ -225,18 +225,16 @@ _X292_CHR_SPARK = """
       SELECT word, p, substr(word, p, 1) AS sym
       FROM wf LATERAL VIEW explode(sequence(1, length(word))) t AS p
 """
+_X292_CHR_DUCK = """
+      SELECT word, p, substr(word, p, 1) AS sym FROM (
+        SELECT word, unnest(range(1, length(word) + 1)) AS p FROM wf
+      ) z
+"""
 
 register_sql(
     "x292_bpe_merge_rounds",
     spark_sql=_x292_sql(_X292_TOK_SPARK, _X292_CHR_SPARK),
-    duckdb_sql=_x292_sql(
-        _X292_TOK_DUCK,
-        """
-      SELECT word, p, substr(word, p, 1) AS sym FROM (
-        SELECT word, unnest(range(1, length(word) + 1)) AS p FROM wf
-      ) z
-""",
-    ),
+    duckdb_sql=_x292_sql(_X292_TOK_DUCK, _X292_CHR_DUCK),
     tags=("text", "llm", "tokenizer"),
 )
 

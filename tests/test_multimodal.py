@@ -388,3 +388,56 @@ def test_decode_image_routes_gif():
     out = decode_image(encode_gif(4, 3, idx))
     assert out.shape == (3, 4, 3)
     assert (out == 9).all()
+
+
+def test_box_downsample_exact_floor_means():
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import box_downsample
+
+    # 4x3 RGB with known values; 2x2 blocks truncate the odd bottom row
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    out = box_downsample(px, 2)
+    assert out.shape == (1, 2, 3)
+    for ox in range(2):
+        for c in range(3):
+            want = (
+                int(px[0, 2 * ox, c]) + int(px[0, 2 * ox + 1, c])
+                + int(px[1, 2 * ox, c]) + int(px[1, 2 * ox + 1, c])
+            ) // 4
+            assert out[0, ox, c] == want
+
+
+def test_box_downsample_grayscale_and_degenerate():
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import box_downsample
+
+    g = np.array([[10, 20], [30, 41]], dtype=np.uint8)
+    out = box_downsample(g, 2)
+    assert out.shape == (1, 1, 1)
+    assert out[0, 0, 0] == (10 + 20 + 30 + 41) // 4  # floor, not round
+    tiny = np.ones((1, 1), dtype=np.uint8)
+    assert box_downsample(tiny, 2).size == 0
+
+
+def test_image_resize_stats_via_png_roundtrip(spark):
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        box_downsample,
+        decode_png_pixels,
+        encode_png,
+        image_resize_stats,
+    )
+
+    w, h = 5, 4
+    px = bytes((x * 11 + y * 29 + c * 3) % 256 for y in range(h) for x in range(w) for c in range(3))
+    blob = encode_png(w, h, pixels=px, cycle_filters=True)
+    expected = box_downsample(decode_png_pixels(blob), 2)
+    df = spark.createDataFrame(pd.DataFrame({"img_id": [1], "blob": [blob]}))
+    row = image_resize_stats(df, "blob", factor=2).collect()[0]
+    assert (row.out_width, row.out_height, row.channels) == (2, 2, 3)
+    assert row.px_sum == int(expected.sum())
+    assert row.px_min == int(expected.min())
+    assert row.px_max == int(expected.max())

@@ -567,3 +567,55 @@ def test_cusum_flags_exact_across_tiny_arrow_batches(spark):
     got = [tuple(r) for r in out[["k", "seq", "direction"]].itertuples(index=False)]
     assert got == sorted(expected)
     assert any(d == "hi" for (_, _, d) in expected)  # planted shift alarms
+
+
+def test_label_propagation_two_cliques_bridge(spark):
+    # Two 4-cliques joined by one bridge edge: frequency voting keeps the
+    # communities separate where min-id flooding (CC) would merge them.
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    c1, c2 = [0, 1, 2, 3], [10, 11, 12, 13]
+    edges = [(a, b) for a, b in itertools.permutations(c1, 2)]
+    edges += [(a, b) for a, b in itertools.permutations(c2, 2)]
+    edges += [(3, 10), (10, 3)]  # bridge
+    e = spark.createDataFrame(edges, "src long, dst long")
+    labs = {r.node: r.lab for r in label_propagation(e, rounds=2).collect()}
+    assert len({labs[n] for n in c1}) == 1
+    assert len({labs[n] for n in c2}) == 1
+    assert labs[0] != labs[11]  # communities stay distinct...
+    cc = {r[0]: r[1] for r in connected_components(e).collect()}
+    assert len({cc[n] for n in c1 + c2}) == 1  # ...where CC merges them
+
+
+def test_minhash_incremental_matches_full_assignment_semantics(spark):
+    # A new doc identical to an old one must match it; a novel new doc
+    # must be absent from the assignment output.
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_incremental_assignments,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [base, "completely different words entirely here now"]})
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100, 101], "text": [base, "xq zv qpl mmw ools ppr unseen tokens only"]})
+    )
+    got = {
+        (r.id, r.rep)
+        for r in minhash_incremental_assignments(new, old, "doc_id").collect()
+    }
+    assert (100, 1) in got
+    assert all(i != 101 for i, _ in got)  # novel doc matches nothing
+    assert all(i >= 100 for i, _ in got)  # old corpus never re-deduped
