@@ -820,6 +820,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext65  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext66  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext67  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext68  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -921,6 +922,8 @@ def _emission_order() -> list[str]:
         "x297_label_propagation", "x298_incremental_minhash",
         "x299_image_resize_box", "x300_bpe_compression",
         "x301_join_size_estimate",
+        # wave 68: release audits, built this round
+        "x302_split_leakage", "x303_dataset_card",
     ]
     rank = {k: i for i, k in enumerate(front)}
 
