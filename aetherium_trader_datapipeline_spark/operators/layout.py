@@ -95,3 +95,92 @@ def file_skipping_stats(
         .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
         .orderBy("file")
     )
+
+
+def hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    out_col: str = "__hkey",
+) -> DataFrame:
+    """Append a Hilbert-curve distance column for grid coordinates
+    (x_col, y_col) in [0, 2^bits) — the standard iterative xy2d transform
+    (Wikipedia's public-domain formulation).
+
+    Implementation note: the fold CANNOT be one nested Column expression —
+    each level's rotated x references the previous level's x AND y inside
+    CASE branches, so a naive fold grows a 3^bits expression tree and
+    OOMs the analyzer at bits = 8 (measured).  Instead each level is its
+    own projection over NAMED intermediate columns; Catalyst keeps the
+    per-level trees linear (CollapseProject declines to inline non-cheap
+    multiply-referenced expressions), and the whole chain still runs
+    inside whole-stage codegen with no UDF.
+
+    Versus Morton (z-order), Hilbert never makes the long diagonal jumps
+    between quadrants, so consecutive key ranges are tighter rectangles —
+    measurably fewer files scanned per zone-map predicate (x304 reports
+    the comparison; Delta/Iceberg expose the same layout choice).
+    """
+    n = 1 << bits
+    out = df.withColumns(
+        {
+            "__hx": F.col(x_col).cast("bigint"),
+            "__hy": F.col(y_col).cast("bigint"),
+            "__hd": F.lit(0).cast("bigint"),
+        }
+    )
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx = F.shiftright(F.col("__hx"), k).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("__hy"), k).bitwiseAND(F.lit(1))
+        out = out.withColumns({"__rx": rx, "__ry": ry})
+        quad = (
+            F.when((F.col("__rx") == 1) & (F.col("__ry") == 1), 2)
+            .when(F.col("__rx") == 1, 3)
+            .when(F.col("__ry") == 1, 1)
+            .otherwise(0)
+        )
+        out = out.withColumns(
+            {
+                "__hd": F.col("__hd") + F.lit(s * s).cast("bigint") * quad,
+                "__hx2": (
+                    F.when(
+                        (F.col("__ry") == 0) & (F.col("__rx") == 1),
+                        F.lit(n - 1) - F.col("__hy"),
+                    )
+                    .when(F.col("__ry") == 0, F.col("__hy"))
+                    .otherwise(F.col("__hx"))
+                ),
+                "__hy2": (
+                    F.when(
+                        (F.col("__ry") == 0) & (F.col("__rx") == 1),
+                        F.lit(n - 1) - F.col("__hx"),
+                    )
+                    .when(F.col("__ry") == 0, F.col("__hx"))
+                    .otherwise(F.col("__hy"))
+                ),
+            }
+        )
+        out = out.withColumns(
+            {"__hx": F.col("__hx2"), "__hy": F.col("__hy2")}
+        ).drop("__hx2", "__hy2", "__rx", "__ry")
+    return out.withColumn(out_col, F.col("__hd")).drop("__hx", "__hy", "__hd")
+
+
+def hilbert_xy2d(x: int, y: int, bits: int = 8) -> int:
+    """Pure-Python reference for :func:`hilbert_d_expr` (tests pin the
+    Column fold against this loop)."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d

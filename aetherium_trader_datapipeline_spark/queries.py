@@ -821,6 +821,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext66  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext67  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext68  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext69  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -924,6 +925,8 @@ def _emission_order() -> list[str]:
         "x301_join_size_estimate",
         # wave 68: release audits, built this round
         "x302_split_leakage", "x303_dataset_card",
+        # wave 69: Hilbert locality comparison, built this round
+        "x304_hilbert_vs_zorder",
     ]
     rank = {k: i for i, k in enumerate(front)}
 

@@ -300,7 +300,7 @@ def _x294_layout(name: str, order: str) -> str:
              CAST(SUM(CASE WHEN dhi >= DATE '1995-06-01'
                             AND dlo <= DATE '1995-06-30' THEN 1 ELSE 0 END)
                   AS BIGINT) AS files_date_pred,
-             CAST(SUM(CASE WHEN khi >= 100000 AND klo <= 150000 THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN khi >= 1000 AND klo <= 5000 THEN 1 ELSE 0 END)
                   AS BIGINT) AS files_key_pred
       FROM f_{name}
     )"""

@@ -1,0 +1,165 @@
+"""Wave 69 (x304): Hilbert-curve layout vs Morton — the locality upgrade.
+
+x294 measures WHY multi-dimensional clustering pays (zone maps prune on
+both columns); x304 measures WHICH curve to use.  Morton (bit interleave)
+makes long diagonal jumps between quadrants, so consecutive key ranges
+straddle wide rectangles; the Hilbert curve visits every cell of a
+quadrant before leaving it, so the same 1000-row "files" get tighter
+min/max boxes.  `operators/layout.hilbert_key` runs the standard xy2d
+transform (quadrant digit (3·rx)⊕ry · s², reflect-and-swap rotation) as a
+chain of per-level projections — no UDF, whole-stage codegen, and NOT one
+nested Column fold (that tree is 3^bits and OOMs the analyzer; see the
+operator docstring) — pinned against a pure-Python reference loop in
+pytest and replayed step-for-step by the DuckDB oracle's chained CTEs.
+
+Output per layout: file count, files scanned by a date predicate and a
+key predicate, and the total key/date spans of the per-file boxes (the
+locality metric — lower span = tighter zone maps = better pruning for
+ANY future predicate, not just the two probed here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aetherium_trader_datapipeline_spark.queries import register
+from aetherium_trader_datapipeline_spark.queries_ext66 import _ZBITS294
+from aetherium_trader_datapipeline_spark.tables import load_tables
+
+
+def _hilbert_cte_chain(bits: int = 8) -> str:
+    """DuckDB CTE chain replaying hilbert_d_expr level by level."""
+    n = 1 << bits
+    steps = []
+    prev = "h_base"
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        cur = f"h{k}"
+        steps.append(f"""
+    {cur} AS (
+      SELECT l_orderkey, l_shipdate, a, b,
+             CASE WHEN ry = 0 AND rx = 1 THEN {n - 1} - hy
+                  WHEN ry = 0 THEN hy ELSE hx END AS hx,
+             CASE WHEN ry = 0 AND rx = 1 THEN {n - 1} - hx
+                  WHEN ry = 0 THEN hx ELSE hy END AS hy,
+             hd + {s * s} * CASE WHEN rx = 1 AND ry = 1 THEN 2
+                                 WHEN rx = 1 THEN 3
+                                 WHEN ry = 1 THEN 1 ELSE 0 END AS hd
+      FROM (SELECT *, (hx // {s}) % 2 AS rx, (hy // {s}) % 2 AS ry FROM {prev}) t
+    )""")
+        prev = cur
+    return ",\n".join(steps), prev
+
+
+_H_STEPS, _H_LAST = _hilbert_cte_chain(8)
+
+
+def _duck_layout(name: str, order: str) -> str:
+    return f"""
+    f_{name} AS (
+      SELECT (rn - 1) // 1000 AS fid,
+             MIN(l_shipdate) AS dlo, MAX(l_shipdate) AS dhi,
+             MIN(l_orderkey) AS klo, MAX(l_orderkey) AS khi
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY {order}) AS rn FROM keyed) t
+      GROUP BY (rn - 1) // 1000
+    ),
+    s_{name} AS (
+      SELECT '{name}' AS layout,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN dhi >= DATE '1995-06-01'
+                            AND dlo <= DATE '1995-06-30' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS files_date_pred,
+             CAST(SUM(CASE WHEN khi >= 1000 AND klo <= 5000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS files_key_pred,
+             CAST(SUM(khi - klo) AS BIGINT) AS key_span_total,
+             CAST(SUM(date_diff('day', dlo, dhi)) AS BIGINT) AS date_span_days
+      FROM f_{name}
+    )"""
+
+
+_X304_ORACLE = f"""
+    WITH g AS (
+      SELECT l_orderkey, l_shipdate,
+             NTILE(256) OVER (ORDER BY l_shipdate, l_orderkey) - 1 AS a,
+             NTILE(256) OVER (ORDER BY l_orderkey, l_shipdate) - 1 AS b
+      FROM lineitem
+    ),
+    h_base AS (
+      SELECT l_orderkey, l_shipdate, a, b,
+             a AS hx, b AS hy, CAST(0 AS BIGINT) AS hd
+      FROM g
+    ),
+    {_H_STEPS},
+    keyed AS (
+      SELECT l_orderkey, l_shipdate,
+             CAST({_ZBITS294.format(div="//")} AS BIGINT) AS zval,
+             hd AS hval
+      FROM {_H_LAST}
+    ),
+    {_duck_layout("hilbert", "hval, l_orderkey, l_shipdate")},
+    {_duck_layout("z_order", "zval, l_orderkey, l_shipdate")}
+    SELECT * FROM s_hilbert
+    UNION ALL SELECT * FROM s_z_order
+    ORDER BY layout
+"""
+
+
+@register("x304_hilbert_vs_zorder", oracle=_X304_ORACLE, tags=("ops", "layout"))
+def x304_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        _interleave,
+        hilbert_key,
+    )
+
+    li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_shipdate")
+    g = li.select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.ntile(256).over(Window.orderBy("l_shipdate", "l_orderkey")) - 1).alias("a"),
+        (F.ntile(256).over(Window.orderBy("l_orderkey", "l_shipdate")) - 1).alias("b"),
+    )
+    keyed = (
+        hilbert_key(g, "a", "b", bits=8, out_col="hval")
+        .withColumn(
+            "zval",
+            _interleave([F.col("a").cast("bigint"), F.col("b").cast("bigint")], 8)
+            .cast("bigint"),
+        )
+        .select("l_orderkey", "l_shipdate", "zval", "hval")
+        .localCheckpoint(eager=False)
+    )
+
+    def layout(name: str, key: str) -> DataFrame:
+        w = Window.orderBy(key, "l_orderkey", "l_shipdate")
+        files = (
+            keyed.withColumn("rn", F.row_number().over(w))
+            .withColumn("fid", F.expr("(rn - 1) DIV 1000"))
+            .groupBy("fid")
+            .agg(
+                F.min("l_shipdate").alias("dlo"),
+                F.max("l_shipdate").alias("dhi"),
+                F.min("l_orderkey").alias("klo"),
+                F.max("l_orderkey").alias("khi"),
+            )
+        )
+        return files.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("dhi") >= F.lit("1995-06-01").cast("date"))
+                    & (F.col("dlo") <= F.lit("1995-06-30").cast("date")),
+                    1,
+                ).otherwise(0)
+            ).alias("files_date_pred"),
+            F.sum(
+                F.when((F.col("khi") >= 1000) & (F.col("klo") <= 5000), 1).otherwise(
+                    0
+                )
+            ).alias("files_key_pred"),
+            F.sum(F.col("khi") - F.col("klo")).alias("key_span_total"),
+            F.sum(F.datediff("dhi", "dlo")).cast("bigint").alias("date_span_days"),
+        )
+
+    return layout("hilbert", "hval").union(layout("z_order", "zval")).orderBy("layout")

@@ -50,3 +50,48 @@ def test_zorder_key_is_jvm_side(spark, tables):
     plan = zdf._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert zdf.where(f"{key} IS NULL").count() == 0
+
+
+def test_hilbert_expr_matches_python_reference(spark):
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        hilbert_key,
+        hilbert_xy2d,
+    )
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(500)]
+    pts += [(0, 0), (255, 255), (0, 255), (255, 0), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["x", "y"]))
+    got = {
+        (r.x, r.y): r.d
+        for r in hilbert_key(df, "x", "y", 8, out_col="d").collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == hilbert_xy2d(x, y, 8), (x, y)
+
+
+def test_hilbert_is_bijective_on_16_grid(spark):
+    # every cell of a 16x16 grid maps to a distinct d in [0, 256)
+    from aetherium_trader_datapipeline_spark.operators.layout import hilbert_xy2d
+
+    ds = {hilbert_xy2d(x, y, 4) for x in range(16) for y in range(16)}
+    assert ds == set(range(256))
+
+
+def test_hilbert_unit_steps_adjacent():
+    # consecutive d values are grid neighbors (|dx|+|dy| == 1) — the
+    # locality property Morton lacks; walk the full 16x16 curve.
+    from aetherium_trader_datapipeline_spark.operators.layout import hilbert_xy2d
+
+    inv = {}
+    for x in range(16):
+        for y in range(16):
+            inv[hilbert_xy2d(x, y, 4)] = (x, y)
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
