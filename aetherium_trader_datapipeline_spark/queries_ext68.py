@@ -22,29 +22,36 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 from aetherium_trader_datapipeline_spark.queries_ext12 import _SPLIT_EXPR
 from aetherium_trader_datapipeline_spark.queries_ext14 import _X129_CTES
 
-# -- x302: near-dup pairs across split boundaries ----------------------------
-# The pair join is the all-pairs band form (quadratic in bucket size) —
-# acceptable as an AUDIT at release time over the already-deduped corpus,
-# where buckets are near-singletons; on a duplicate-heavy corpus the same
-# classification runs over the linear assignment edges (x129) instead,
-# counting new-doc→rep edges that cross splits.
+# -- x302: near-dup links across split boundaries ----------------------------
+# Classification runs over the LINEAR assignment edges (doc → bucket-min
+# representative, x129's scale form), NOT the all-pairs band join: on a
+# duplicate-heavy corpus the pair form is quadratic in cluster size —
+# measured on the 100× replica (every doc cloned 100×, so 4 950 pairs per
+# bucket per band) it produced a ~10⁸-row distinct and did not finish in
+# 5 minutes, while the edge form stays ≤ bands edges per doc.  Every doc
+# with a near-dup in another split still surfaces (its rep edge crosses),
+# so the audit question — "does test leak into train?" — is answered with
+# linear work.
 
 _X302_TAIL = """,
-    sp AS (SELECT doc_id AS id, {split} AS split FROM documents),
-    pairs AS (
-      SELECT DISTINCT a.id AS a, b.id AS b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+    bucket_min AS (
+      SELECT band, bk, MIN(id) AS rep FROM bands GROUP BY band, bk
     ),
+    edges AS (
+      SELECT DISTINCT e.id, m.rep
+      FROM bands e JOIN bucket_min m ON e.band = m.band AND e.bk = m.bk
+      WHERE m.rep < e.id
+    ),
+    sp AS (SELECT doc_id AS id, {split} AS split FROM documents),
     lab AS (
       SELECT LEAST(sa.split, sb.split) AS s1,
              GREATEST(sa.split, sb.split) AS s2
-      FROM pairs p
-      JOIN sp sa ON p.a = sa.id
-      JOIN sp sb ON p.b = sb.id
+      FROM edges p
+      JOIN sp sa ON p.id = sa.id
+      JOIN sp sb ON p.rep = sb.id
     )
     SELECT s1 || '-' || s2 AS split_pair,
-           CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_near_dup_links,
            s1 <> s2 AS is_leakage
     FROM lab GROUP BY s1, s2 ORDER BY split_pair
 """
@@ -66,40 +73,29 @@ from aetherium_trader_datapipeline_spark.tables import load_tables  # noqa: E402
 )
 def x302_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aetherium_trader_datapipeline_spark.operators.dedup import (
-        _portable_band_explode,
+        minhash_portable_assignments,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
-    bands = _portable_band_explode(docs, "doc_id", "text", 2, 16, 4).localCheckpoint(
-        eager=False
-    )
-    pairs = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-        .distinct()
-    )
+    edges = minhash_portable_assignments(docs, "doc_id", "text")
     sp = docs.select(
         F.col("doc_id").alias("id"), F.expr(_SPLIT_EXPR).alias("split")
     )
     lab = (
-        pairs.join(sp.select(F.col("id").alias("a"), F.col("split").alias("spa")), "a")
-        .join(sp.select(F.col("id").alias("b"), F.col("split").alias("spb")), "b")
+        edges.join(sp.select(F.col("id"), F.col("split").alias("spa")), "id")
+        .join(
+            sp.select(F.col("id").alias("rep"), F.col("split").alias("spb")), "rep"
+        )
         .select(
             F.least("spa", "spb").alias("s1"), F.greatest("spa", "spb").alias("s2")
         )
     )
     return (
         lab.groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+        .agg(F.count(F.lit(1)).alias("n_near_dup_links"))
         .select(
             F.concat_ws("-", "s1", "s2").alias("split_pair"),
-            "n_near_dup_pairs",
+            "n_near_dup_links",
             (F.col("s1") != F.col("s2")).alias("is_leakage"),
         )
         .orderBy("split_pair")
