@@ -17,6 +17,15 @@ of the reference's Z1 zombie fencing.
 
 from __future__ import annotations
 
+# tws (transformWithStateInPandas) serializes state over the protobuf wire
+# format; in environments without the google.protobuf runtime the vendored
+# pure-Python shim must be on sys.path/PYTHONPATH BEFORE the SparkSession
+# is built (workers inherit PYTHONPATH through the JVM).  Importing this
+# module early is enough; activate() is a no-op when real protobuf exists.
+from aetherium_trader_datapipeline_spark._vendor import protoshim as _protoshim
+
+_protoshim.activate()
+
 from collections.abc import Iterator
 
 import pandas as pd

@@ -22,6 +22,15 @@ results are deterministic under replay regardless of wall-clock pacing.
 
 from __future__ import annotations
 
+# tws (transformWithStateInPandas) serializes state over the protobuf wire
+# format; in environments without the google.protobuf runtime the vendored
+# pure-Python shim must be on sys.path/PYTHONPATH BEFORE the SparkSession
+# is built (workers inherit PYTHONPATH through the JVM).  Importing this
+# module early is enough; activate() is a no-op when real protobuf exists.
+from aetherium_trader_datapipeline_spark._vendor import protoshim as _protoshim
+
+_protoshim.activate()
+
 from typing import Iterator
 
 import pandas as pd
