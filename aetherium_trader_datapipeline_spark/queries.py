@@ -822,6 +822,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext67  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext68  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext69  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext70  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -927,6 +928,8 @@ def _emission_order() -> list[str]:
         "x302_split_leakage", "x303_dataset_card",
         # wave 69: Hilbert locality comparison, built this round
         "x304_hilbert_vs_zorder",
+        # wave 70: shard topology + vocabulary growth, built this round
+        "x305_rendezvous_shard", "x306_heaps_law",
     ]
     rank = {k: i for i, k in enumerate(front)}
 
