@@ -404,3 +404,105 @@ def test_wav_roundtrip_property(samples):
     n = len(samples) // 2
     arr = decode_wav_samples(encode_wav(8000, 2, n, samples=samples))
     assert arr.flatten().tolist() == samples
+
+
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=12), min_size=0, max_size=120),
+    k=st.integers(min_value=1, max_value=8),
+    cut=st.integers(min_value=0, max_value=120),
+)
+@settings(max_examples=200, deadline=None)
+def test_mg_fold_invariants(items, k, cut):
+    from collections import Counter
+
+    from aetherium_trader_datapipeline_spark.streaming.heavy_hitters import mg_fold
+
+    got = mg_fold({}, items, k)
+    n, true = len(items), Counter(items)
+    assert len(got) <= k
+    for it, c in got.items():
+        # never over-counts; under-counts by at most n/(k+1)
+        assert c <= true[it]
+        assert c >= true[it] - n // (k + 1)
+    for it, f in true.items():
+        if f > n // (k + 1):  # guaranteed tracked
+            assert it in got
+    # chunked fold with carried state == one fold (micro-batch boundaries
+    # cannot change the summary — the stream==batch property at kernel level)
+    cut = min(cut, len(items))
+    assert mg_fold(mg_fold({}, items[:cut], k), items[cut:], k) == got
+
+
+def _winnow_fingerprints_duckdb(texts, con):
+    """Run x291's ORACLE SQL (the single source of the semantics — the
+    Spark side is hash-checked equal to it by the oracle gate) over ad-hoc
+    documents; returns {doc_id: set(fp_hash)}."""
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    sql = REGISTRY["x291_winnowing_fingerprints"].oracle
+    # swap the final pair report for the raw fingerprint sets
+    head = sql[: sql.index("nfp AS")]
+    q = head + "nfp AS (SELECT 1) SELECT doc_id, fp_hash FROM fp"
+    docs = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    )
+    con.register("documents", docs)
+    out = {}
+    for d, h in con.execute(q).fetchall():
+        out.setdefault(d, set()).add(h)
+    con.unregister("documents")
+    return out
+
+
+@given(
+    a=st.text(alphabet="abcd ", min_size=0, max_size=60),
+    b=st.text(alphabet="abcd ", min_size=0, max_size=60),
+    common=st.text(alphabet="abcd ", min_size=8, max_size=20),
+)
+@settings(max_examples=25, deadline=None)
+def test_winnowing_detection_guarantee(a, b, common):
+    """The MOSS guarantee: any substring shared by two docs with length
+    >= w + k - 1 (= 8 for k=5, w=4) produces at least one shared selected
+    fingerprint — winnowing may sparsify, but never below detectability."""
+    import duckdb
+
+    d1, d2 = a + common + a, b + common + b
+    con = duckdb.connect()
+    try:
+        fps = _winnow_fingerprints_duckdb([d1, d2], con)
+        assert fps.get(0, set()) & fps.get(1, set())
+    finally:
+        con.close()
+
+
+def test_bpe_merge_parity_on_overlap_runs():
+    """x292's gaps-and-islands merge must implement greedy left-to-right
+    BPE: in 'aaaa' with best pair (a,a), merges happen at positions 1 and
+    3 ('aa','aa'), never the overlapping position 2."""
+    import duckdb
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    sql = REGISTRY["x292_bpe_merge_rounds"].oracle
+    # corpus of one word 'aaaa' -> round-1 pair counts: (a,a) x3
+    # after merging: symbols ['aa','aa'] -> round-2 best pair (aa,aa) x1
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents", pd.DataFrame({"doc_id": [1], "text": ["aaaa"]})
+        )
+        rows = con.execute(sql).fetchall()
+    finally:
+        con.close()
+    by_round = {}
+    for rnd, rk, s1, s2, cnt in rows:
+        by_round.setdefault(rnd, []).append((rk, s1, s2, cnt))
+    assert by_round[1][0] == (1, "a", "a", 3)
+    assert by_round[2][0] == (1, "aa", "aa", 1)
+    # after the second merge ('aaaa' -> one symbol) no pairs remain
+    assert 3 not in by_round
