@@ -101,17 +101,22 @@ _X306_FMT = """
 
 register_sql(
     "x306_heaps_law",
+    # doc_id < 300 (the max checkpoint) is pushed into the token CTE by
+    # hand: the bound lives in a 4-row values relation Catalyst cannot see
+    # through, and without it the gram build runs over the WHOLE corpus —
+    # measured 22.4 s at 100× vs flat with the pushdown.
     spark_sql=_X306_FMT.format(
         gen_cp="SELECT explode(array(50, 100, 200, 300)) AS cp",
         tok_gen="""
-      SELECT doc_id, idx, w FROM documents
+      SELECT doc_id, idx, w FROM (SELECT * FROM documents WHERE doc_id < 300) d
       LATERAL VIEW posexplode(split(lower(text), ' ')) t AS idx, w""",
     ),
     duckdb_sql=_X306_FMT.format(
         gen_cp="SELECT unnest([50, 100, 200, 300]) AS cp",
         tok_gen="""
       SELECT doc_id, i AS idx, ws[i] AS w FROM (
-        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        WHERE doc_id < 300),
         LATERAL unnest(generate_series(1, len(ws))) AS t(i)""",
     ),
     tags=("text", "stats", "llm"),
