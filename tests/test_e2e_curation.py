@@ -191,3 +191,73 @@ def test_full_pipeline_with_round4_stages(spark, tmp_path):
                    F.max(F.expr("array_max(q8)")).alias("hi")).head()
     if row.lo is not None:
         assert -127 <= row.lo and row.hi <= 127
+
+
+def test_full_pipeline_with_round5_stages(spark, tmp_path):
+    """Round-5 chain: sublinear domain caps → hash train/valid/test split →
+    incremental LSH dedup of the test batch against train → leakage
+    classification → per-source dataset card. Asserts each stage's
+    structural contract on real fixture data."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    from aetherium_trader_datapipeline_spark.operators.dedup import (
+        minhash_incremental_assignments,
+    )
+    from aetherium_trader_datapipeline_spark.queries_ext12 import _SPLIT_EXPR
+
+    docs = load_tables(spark, SF)["documents"]
+
+    # 1. per-domain cap: 4*ceil(sqrt(n)) keep-best by (n_chars, doc_id)
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    )
+    caps = docs.groupBy("source").agg(
+        F.expr("CAST(4 * CEIL(SQRT(COUNT(*))) AS BIGINT)").alias("cap")
+    )
+    capped = (
+        docs.withColumn("rk", rk).join(caps, "source").where(F.col("rk") <= F.col("cap"))
+    )
+    sizes = {r.source: (r.n, r.cap) for r in capped.groupBy("source", "cap")
+             .agg(F.count("*").alias("n")).collect()}
+    assert sizes
+    for src, (n, cap) in sizes.items():
+        assert n <= cap
+
+    # 2. deterministic hash split
+    split = capped.withColumn("split", F.expr(_SPLIT_EXPR))
+    per_split = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(per_split) <= {"train", "valid", "test"}
+    assert per_split.get("train", 0) > per_split.get("valid", 0)
+
+    # 3. incremental dedup: test batch probes the train corpus only
+    train = split.where("split = 'train'")
+    test = split.where("split = 'test'")
+    asg = minhash_incremental_assignments(test, train, "doc_id", "text")
+    if asg.count() > 0:
+        test_ids = {r.doc_id for r in test.select("doc_id").collect()}
+        train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+        for r in asg.collect():
+            assert r.id in test_ids      # only the new batch is classified
+            assert r.rep in train_ids    # only against the existing corpus
+
+    # 4. leakage accounting: every matched test doc is a leak candidate
+    leaks = asg.select("id").distinct().count()
+    assert leaks <= test.count()
+
+    # 5. dataset card on the shipped (capped, leak-free-test) pool
+    shipped = split.join(asg.select(F.col("id").alias("doc_id")).distinct(),
+                         "doc_id", "left_anti")
+    card = (
+        shipped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+        )
+        .collect()
+    )
+    assert sum(r.n_docs for r in card) == shipped.count()
+    for r in card:
+        assert r.n_exact_dups >= 0 and r.total_chars > 0
