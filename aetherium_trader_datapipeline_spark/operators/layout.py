@@ -184,3 +184,67 @@ def hilbert_xy2d(x: int, y: int, bits: int = 8) -> int:
             x, y = y, x
         s //= 2
     return d
+
+
+def hilbert_clustered_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Two-column analogue of :func:`zorder_key` on the Hilbert curve:
+    min-max scale both columns to a 2^bits grid (same one-agg stats pass,
+    footer-backed for parquet), then :func:`hilbert_key`.  Exactly two
+    columns — the classic xy2d transform; for >2 dims use Morton
+    (:func:`zorder_key`), whose interleave generalizes trivially."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_clustered_key takes exactly two columns")
+    num = [
+        F.col(c).cast("double")
+        if dict(df.dtypes)[c] not in ("timestamp",)
+        else F.col(c).cast("long").cast("double")
+        for c in cols
+    ]
+    stats = df.agg(
+        *[F.min(e).alias(f"mn{i}") for i, e in enumerate(num)],
+        *[F.max(e).alias(f"mx{i}") for i, e in enumerate(num)],
+    ).head()
+    top = (1 << bits) - 1
+    grid = []
+    for i, e in enumerate(num):
+        mn, mx = float(stats[f"mn{i}"]), float(stats[f"mx{i}"])
+        span = (mx - mn) or 1.0
+        grid.append(
+            F.least(F.lit(top), F.floor((e - F.lit(mn)) / F.lit(span) * top)).cast(
+                "long"
+            )
+        )
+    out = df.withColumn("__gx", grid[0]).withColumn("__gy", grid[1])
+    out = hilbert_key(out, "__gx", "__gy", bits, out_col="__hkey")
+    return out.drop("__gx", "__gy"), "__hkey"
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+    curve: str = "hilbert",
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered along a space-filling curve: range-partition
+    on the curve key (contiguous key ranges per file → tight per-file
+    bounding boxes in all ``cols``), sort within partitions, drop the key.
+    ``curve`` = 'hilbert' (two columns; tighter boxes, x304's measured
+    comparison) or 'morton' (any column count; = write_zordered)."""
+    if curve == "hilbert":
+        kdf, key = hilbert_clustered_key(df, cols, bits)
+    elif curve == "morton":
+        kdf, key = zorder_key(df, cols, bits)
+    else:
+        raise ValueError(f"unknown curve: {curve!r}")
+    (
+        kdf.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode(mode)
+        .parquet(path)
+    )

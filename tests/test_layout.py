@@ -95,3 +95,53 @@ def test_hilbert_unit_steps_adjacent():
     for d in range(255):
         (x1, y1), (x2, y2) = inv[d], inv[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_write_clustered_hilbert_tightens_boxes(spark, tmp_path):
+    """Hilbert-clustered files must give strictly better (or equal)
+    two-column pruning than an unclustered write: measure the summed
+    per-file span of BOTH columns via file_skipping_stats."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        file_skipping_stats,
+        write_clustered,
+    )
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+
+    flat, hil = str(tmp_path / "flat"), str(tmp_path / "hil")
+    df.repartition(8).write.parquet(flat)
+    write_clustered(df, hil, ["a", "b"], n_files=8, curve="hilbert")
+
+    def span_sum(path, col):
+        return sum(
+            r.mx - r.mn for r in file_skipping_stats(spark, path, col).collect()
+        )
+
+    # clustered layout: both columns' summed file spans shrink vs random
+    assert span_sum(hil, "a") < span_sum(flat, "a")
+    assert span_sum(hil, "b") < span_sum(flat, "b")
+    # same rows survive the round trip
+    assert spark.read.parquet(hil).count() == 4000
+    got = {(r.a, r.b) for r in spark.read.parquet(hil).collect()}
+    assert got == set(rows)
+
+
+def test_write_clustered_rejects_bad_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        hilbert_clustered_key,
+        write_clustered,
+    )
+
+    df = spark.range(10).selectExpr("id AS a", "id AS b", "id AS c")
+    with _pytest.raises(ValueError):
+        hilbert_clustered_key(df, ["a", "b", "c"])
+    with _pytest.raises(ValueError):
+        write_clustered(df, str(tmp_path / "x"), ["a", "b"], curve="peano")
