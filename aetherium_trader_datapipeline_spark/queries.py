@@ -823,6 +823,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext68  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext69  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext70  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext71  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -930,6 +931,8 @@ def _emission_order() -> list[str]:
         "x304_hilbert_vs_zorder",
         # wave 70: shard topology + vocabulary growth, built this round
         "x305_rendezvous_shard", "x306_heaps_law",
+        # wave 71: exact prefix-filter similarity join, built this round
+        "x307_exact_similarity_join",
     ]
     rank = {k: i for i, k in enumerate(front)}
 
