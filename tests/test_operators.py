@@ -619,3 +619,50 @@ def test_minhash_incremental_matches_full_assignment_semantics(spark):
     assert (100, 1) in got
     assert all(i != 101 for i, _ in got)  # novel doc matches nothing
     assert all(i >= 100 for i, _ in got)  # old corpus never re-deduped
+
+
+def test_expectations_count_seeded_violations(spark):
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.operators.expectations import (
+        accepted_range,
+        accepted_values,
+        not_null,
+        predicate,
+        referential,
+        run_expectations,
+        unique,
+    )
+
+    child = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 1, 2, 3, 4],
+                "fk": [10, 10, 11, 99, None],
+                "qty": [5, 5, -2, 7, 200],
+                "status": ["ok", "ok", "bad", "ok", None],
+            }
+        )
+    )
+    parent = spark.createDataFrame(pd.DataFrame({"pk": [10, 11, 12]}))
+    tables = {"child": child, "parent": parent}
+    out = {
+        r.rule: (r.n_violations, r.passed)
+        for r in run_expectations(
+            tables,
+            [
+                not_null("fk_not_null", "child", "fk"),
+                unique("id_unique", "child", "id"),
+                accepted_range("qty_range", "child", "qty", 0, 100),
+                accepted_values("status_enum", "child", "status", "ok", "warn"),
+                referential("fk_ref", "child", "fk", parent, "pk"),
+                predicate("qty_odd", "child", "qty % 2 = 1"),
+            ],
+        ).collect()
+    }
+    assert out["fk_not_null"] == (1, False)       # one NULL fk
+    assert out["id_unique"] == (1, False)         # id=1 twice
+    assert out["qty_range"] == (2, False)         # -2 and 200
+    assert out["status_enum"] == (2, False)       # 'bad' and NULL
+    assert out["fk_ref"] == (1, False)            # fk=99 (NULL fk exempt)
+    assert out["qty_odd"] == (2, False)           # -2 and 200 are even
