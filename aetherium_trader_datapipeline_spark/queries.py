@@ -825,6 +825,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext70  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext71  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext72  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext73  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -936,6 +937,8 @@ def _emission_order() -> list[str]:
         "x307_exact_similarity_join",
         # wave 72: declarative data-quality expectations, built this round
         "x308_data_expectations",
+        # wave 73: one-pass bootstrap confidence intervals, built this round
+        "x309_poisson_bootstrap",
     ]
     # ROUND-6 TODO (absorb after CORRECTNESS_r05.json lands): if the r5
     # window came back green, move its 50 keys into _DRIVER_VERIFIED —
