@@ -942,13 +942,12 @@ def _emission_order() -> list[str]:
     ]
     # ROUND-6 TODO (absorb after CORRECTNESS_r05.json lands): if the r5
     # window came back green, move its 50 keys into _DRIVER_VERIFIED —
-    # the 36 front keys above plus the 14 tier-0 fill keys
+    # the 38 front keys above plus the 12 tier-0 fill keys
     # (x114_recursive_cte, x115_posexplode, x116_try_fns,
     # x117_bitmap_distinct, x118_inline_structs, x119_variant_json,
     # x120_tfidf, x121_train_split, x122_stratified_sample,
-    # x123_union_by_name, x124_null_safe_join, x125_regr_aggs,
-    # x126_percentile_within_group, x127_width_bucket_bitaggs) — then the
-    # next never-verified keys (x128 onward) fill the r6 window via the
+    # x123_union_by_name, x124_null_safe_join, x125_regr_aggs) — then the
+    # next never-verified keys (x126 onward) fill the r6 window via the
     # tier sort with no new front needed.  Re-check CORRECTNESS_r05 for
     # the actual list before absorbing; any red row stays unverified.
     rank = {k: i for i, k in enumerate(front)}
