@@ -827,6 +827,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext72  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext73  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext74  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext75  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -943,6 +944,8 @@ def _emission_order() -> list[str]:
         # wave 74: PMI communities, conformal intervals, k-anonymity
         "x310_pmi_topic_communities", "x311_conformal_interval",
         "x312_k_anonymity",
+        # wave 75: retrieval ranking metrics, built this round
+        "x313_ranking_metrics",
     ]
     # ROUND-6 TODO (absorb after CORRECTNESS_r05.json lands): if the r5
     # window came back green, move its 50 keys into _DRIVER_VERIFIED —

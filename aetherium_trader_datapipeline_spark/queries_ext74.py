@@ -46,7 +46,7 @@ _X310_EDGES_FMT = """
       SELECT w1, w2 FROM big
       JOIN uni u1 ON big.w1 = u1.w JOIN uni u2 ON big.w2 = u2.w
       CROSS JOIN tot CROSS JOIN btot
-      WHERE big.c >= 5 AND big.c * n * n > bn * u1.c * u2.c
+      WHERE big.c >= 5 AND {pmi_pos}
     )
     SELECT w1 AS src, w2 AS dst FROM e0
     UNION
@@ -56,6 +56,20 @@ _X310_EDGES_FMT = """
 _TOKS_SPARK = """
       SELECT doc_id, w, idx FROM documents
       LATERAL VIEW posexplode(split(lower(text), ' ')) t AS idx, w"""
+# pmi > 0 ⟺ c·n² > bn·c₁·c₂ — EXACT wide arithmetic (the BIGINT form
+# overflowed at the 100× replica: c·n² ≈ 1e21).  Spark chains DECIMAL
+# casts (12,0 × 12,0 × 12,0 → precision 38, values ≤ 22 digits so no
+# loss); DuckDB uses HUGEINT (int128).  Both are exact, so the edge sets
+# stay identical.
+_PMI_POS_SPARK = (
+    "CAST(big.c AS DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0)) * CAST(n AS DECIMAL(12,0))"
+    " > CAST(bn AS DECIMAL(12,0)) * CAST(u1.c AS DECIMAL(12,0)) * CAST(u2.c AS DECIMAL(12,0))"
+)
+_PMI_POS_DUCK = (
+    "CAST(big.c AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)"
+    " > CAST(bn AS HUGEINT) * CAST(u1.c AS HUGEINT) * CAST(u2.c AS HUGEINT)"
+)
+
 _TOKS_DUCK = """
       SELECT doc_id, ws[i] AS w, i AS idx FROM (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
@@ -63,7 +77,7 @@ _TOKS_DUCK = """
 
 
 def _x310_lpa_oracle() -> str:
-    edges = _X310_EDGES_FMT.format(toks=_TOKS_DUCK)
+    edges = _X310_EDGES_FMT.format(toks=_TOKS_DUCK, pmi_pos=_PMI_POS_DUCK)
     return f"""
     WITH e AS (SELECT src AS node, dst AS nbr FROM ({edges}) ee),
     l0 AS (SELECT DISTINCT node, node AS lab FROM e),
@@ -94,7 +108,7 @@ def x310_pmi_topic_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aetherium_trader_datapipeline_spark.operators.graph import label_propagation
 
     load_tables(spark, sf_dir)
-    edges = spark.sql(_X310_EDGES_FMT.format(toks=_TOKS_SPARK))
+    edges = spark.sql(_X310_EDGES_FMT.format(toks=_TOKS_SPARK, pmi_pos=_PMI_POS_SPARK))
     labels = label_propagation(edges, rounds=2)
     return (
         labels.groupBy(F.col("lab").alias("community"))
@@ -134,8 +148,15 @@ _X311_FMT = """
       FROM fit
     ),
     cal AS (
+      -- calibration is a BOUNDED hash-sample of its split: conformal
+      -- validity needs only ~100s-1000s of points, and the order
+      -- statistic below is a global window — unbounded it was a 12 M-row
+      -- single-partition sort at the 100× replica.  The secondary
+      -- multiplicative hash keeps ~2% of the split deterministically.
       SELECT ABS(b.y - (c.icept + c.slope * b.x)) AS r, b.rid
-      FROM base b CROSS JOIN coef c WHERE b.bucket IN (6, 7)
+      FROM base b CROSS JOIN coef c
+      WHERE b.bucket IN (6, 7)
+        AND ((b.rid * 1103515245) % 4294967296) % 50 = 0
     ),
     q AS (
       SELECT r AS radius FROM (
