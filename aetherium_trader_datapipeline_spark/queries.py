@@ -828,6 +828,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext73  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext74  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext75  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext76  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -946,17 +947,18 @@ def _emission_order() -> list[str]:
         "x312_k_anonymity",
         # wave 75: retrieval ranking metrics, built this round
         "x313_ranking_metrics",
+        # wave 76: information-driven bars + tick-rule, built this round
+        "x314_volume_bars", "x315_tick_rule",
     ]
     # ROUND-6 TODO (absorb after CORRECTNESS_r05.json lands): if the r5
     # window came back green, move its 50 keys into _DRIVER_VERIFIED —
-    # the 38 front keys above plus the 12 tier-0 fill keys
+    # the 42 front keys above plus the 8 tier-0 fill keys
     # (x114_recursive_cte, x115_posexplode, x116_try_fns,
     # x117_bitmap_distinct, x118_inline_structs, x119_variant_json,
-    # x120_tfidf, x121_train_split, x122_stratified_sample,
-    # x123_union_by_name, x124_null_safe_join, x125_regr_aggs) — then the
-    # next never-verified keys (x126 onward) fill the r6 window via the
-    # tier sort with no new front needed.  Re-check CORRECTNESS_r05 for
-    # the actual list before absorbing; any red row stays unverified.
+    # x120_tfidf, x121_train_split) — then the next never-verified keys
+    # (x122 onward) fill the r6 window via the tier sort with no new
+    # front needed.  Re-check CORRECTNESS_r05 for the actual list before
+    # absorbing; any red row stays unverified.
     rank = {k: i for i, k in enumerate(front)}
 
     def tier(k: str) -> int:
