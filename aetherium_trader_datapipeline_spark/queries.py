@@ -829,6 +829,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext74  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext75  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext76  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext77  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -949,6 +950,8 @@ def _emission_order() -> list[str]:
         "x313_ranking_metrics",
         # wave 76: information-driven bars + tick-rule, built this round
         "x314_volume_bars", "x315_tick_rule",
+        # wave 77: price impact + bar-sampling statistics, built this round
+        "x316_kyle_lambda", "x317_bar_return_moments",
     ]
     # ROUND-6 TODO (absorb after CORRECTNESS_r05.json lands): if the r5
     # window came back green, move its 50 keys into _DRIVER_VERIFIED —
