@@ -830,6 +830,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext75  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext76  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext77  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext78  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -952,6 +953,8 @@ def _emission_order() -> list[str]:
         "x314_volume_bars", "x315_tick_rule",
         # wave 77: price impact + bar-sampling statistics, built this round
         "x316_kyle_lambda", "x317_bar_return_moments",
+        # wave 78: CV folds, regression metrics, drift monitoring
+        "x318_group_kfold", "x319_regression_metrics", "x320_drift_psi",
     ]
     # ROUND-6 TODO (absorb after CORRECTNESS_r05.json lands): if the r5
     # window came back green, move its 50 keys into _DRIVER_VERIFIED —
