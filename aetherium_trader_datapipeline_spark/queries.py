@@ -831,6 +831,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext76  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext77  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext78  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext79  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
