@@ -837,6 +837,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext82  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext83  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext84  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext85  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
