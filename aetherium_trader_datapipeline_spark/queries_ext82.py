@@ -14,8 +14,9 @@ x297 edge set): Pearson correlation BETWEEN endpoint degrees over
 edges.  Positive r = hubs trade with hubs.  Degrees are distinct-count
 integers; moment sums accumulate in DECIMAL; the correlation is per-row
 IEEE arithmetic on six scalars (the x322/x328 moment discipline).  The
-degree frames are tiny (one row per node) and broadcast onto the edge
-list — no shuffle of the edge list at all after it is built.
+degree frames are one row per NODE — they scale with the graph, so they
+are explicitly SHUFFLE_HASH-joined, never broadcast (the 100× replica
+OOMed the static broadcast plan; see the in-query comment).
 
 x332 completes the sampling family (deterministic hash x100, stratified
 x122, weighted reservoir x283) with SYSTEMATIC sampling — every k-th
@@ -82,7 +83,12 @@ _X331 = """
     cdeg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dc FROM edges GROUP BY c),
     sdeg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS ds FROM edges GROUP BY s),
     joined AS (
-      SELECT cd.dc, sd.ds
+      -- SHUFFLE_HASH, not broadcast: the degree frames scale with NODE
+      -- count (15 M rows at the 100x replica), and Catalyst's post-agg
+      -- size guess slips them under the broadcast threshold — the static
+      -- plan then OOMs the driver building a ~1 GB hash relation (found
+      -- by the 100x run, fixed here). DuckDB reads the hint as a comment.
+      SELECT /*+ SHUFFLE_HASH(cd, sd) */ cd.dc, sd.ds
       FROM edges e JOIN cdeg cd ON e.c = cd.c JOIN sdeg sd ON e.s = sd.s
     ),
     m AS (
