@@ -970,14 +970,15 @@ def _emission_order() -> list[str]:
         "x318_group_kfold", "x319_regression_metrics", "x320_drift_psi",
     ]
     # ROUND-6 TODO (absorb after CORRECTNESS_r05.json lands): if the r5
-    # window came back green, move its 50 keys into _DRIVER_VERIFIED —
-    # the 42 front keys above plus the 8 tier-0 fill keys
-    # (x114_recursive_cte, x115_posexplode, x116_try_fns,
-    # x117_bitmap_distinct, x118_inline_structs, x119_variant_json,
-    # x120_tfidf, x121_train_split) — then the next never-verified keys
-    # (x122 onward) fill the r6 window via the tier sort with no new
-    # front needed.  Re-check CORRECTNESS_r05 for the actual list before
-    # absorbing; any red row stays unverified.
+    # window came back green, move its 50 keys into _DRIVER_VERIFIED.
+    # The actual emitted window (verified this session against
+    # queries()'s order) is the 49 front keys above (q13b/q21/q22
+    # consolidations + x275–x320) plus ONE tier-0 fill key,
+    # x114_recursive_cte.  After absorbing, the never-verified tail
+    # (x115–x121, x122 onward, and this round's x321–x359) fills the r6
+    # window via the tier sort with no new front needed.  Re-check
+    # CORRECTNESS_r05 for the actual list before absorbing; any red row
+    # stays unverified.
     rank = {k: i for i, k in enumerate(front)}
 
     def tier(k: str) -> int:
