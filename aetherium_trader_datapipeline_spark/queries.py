@@ -980,7 +980,7 @@ def _emission_order() -> list[str]:
     # queries()'s order) is the 49 front keys above (q13b/q21/q22
     # consolidations + x275–x320) plus ONE tier-0 fill key,
     # x114_recursive_cte.  After absorbing, the never-verified tail
-    # (x115–x121, x122 onward, and this round's x321–x359) fills the r6
+    # (x115–x121, x122 onward, and this round's x321–x374) fills the r6
     # window via the tier sort with no new front needed.  Re-check
     # CORRECTNESS_r05 for the actual list before absorbing; any red row
     # stays unverified.
