@@ -917,6 +917,29 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x104_tpch_q2", "x105_tpch_q8", "x106_tpch_q9", "x107_tpch_q11",
         "x108_tpch_q12", "x109_tpch_q20", "x110_tpch_q21", "x111_filter_agg",
         "x112_lateral_topper", "x113_group_by_all",
+        # CORRECTNESS_r05.json — all 50 green (the 49 front keys + the one
+        # tier-0 fill, x114_recursive_cte).
+        "q13b_cube_gsets", "q21_union", "q22_intersect_except",
+        "x275_reservoir_sample", "x276_char_entropy", "x277_ngram_novelty",
+        "x278_embedding_quantize_int8", "x279_token_budget_histogram",
+        "x280_minhash_recall_curve", "x281_png_pixel_stats",
+        "x282_wav_waveform_stats", "x283_weighted_reservoir",
+        "x284_resample_linear", "x285_minhash_estimate",
+        "x286_partition_skew_report", "x287_zorder_keys",
+        "x288_portable_bloom", "x289_jpeg_pixel_stats", "x290_gif_pixel_stats",
+        "x291_winnowing_fingerprints", "x292_bpe_merge_rounds",
+        "x293_domain_cap", "x294_zone_map_prune", "x295_random_projection",
+        "x296_perplexity_buckets", "x297_label_propagation",
+        "x298_incremental_minhash", "x299_image_resize_box",
+        "x300_bpe_compression", "x301_join_size_estimate",
+        "x302_split_leakage", "x303_dataset_card", "x304_hilbert_vs_zorder",
+        "x305_rendezvous_shard", "x306_heaps_law",
+        "x307_exact_similarity_join", "x308_data_expectations",
+        "x309_poisson_bootstrap", "x310_pmi_topic_communities",
+        "x311_conformal_interval", "x312_k_anonymity", "x313_ranking_metrics",
+        "x314_volume_bars", "x315_tick_rule", "x316_kyle_lambda",
+        "x317_bar_return_moments", "x318_group_kfold",
+        "x319_regression_metrics", "x320_drift_psi", "x114_recursive_cte",
     }
 )
 
@@ -929,64 +952,19 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Round-5 window priorities (VERDICT r4 asks #2): the three renamed
-    # consolidation keys whose green rows were earned under pre-rename names,
-    # then waves 61-64 (x275-x288, built in r4, never driver-checked).  The
-    # remaining ~33 window slots fill with never-verified keys in registration
-    # order (x114 onward) via the tier sort below.
-    front = [
-        "q13b_cube_gsets", "q21_union", "q22_intersect_except",
-        "x275_reservoir_sample", "x276_char_entropy", "x277_ngram_novelty",
-        "x278_embedding_quantize_int8", "x279_token_budget_histogram",
-        "x280_minhash_recall_curve", "x281_png_pixel_stats",
-        "x282_wav_waveform_stats", "x283_weighted_reservoir",
-        "x284_resample_linear", "x285_minhash_estimate",
-        "x286_partition_skew_report", "x287_zorder_keys",
-        "x288_portable_bloom",
-        # round-5 additions: JPEG/GIF entropy decode, built this round
-        "x289_jpeg_pixel_stats", "x290_gif_pixel_stats",
-        # wave 66: corpus-construction algorithms, built this round
-        "x291_winnowing_fingerprints", "x292_bpe_merge_rounds",
-        "x293_domain_cap", "x294_zone_map_prune",
-        "x295_random_projection", "x296_perplexity_buckets",
-        # wave 67: operator-backed additions, built this round
-        "x297_label_propagation", "x298_incremental_minhash",
-        "x299_image_resize_box", "x300_bpe_compression",
-        "x301_join_size_estimate",
-        # wave 68: release audits, built this round
-        "x302_split_leakage", "x303_dataset_card",
-        # wave 69: Hilbert locality comparison, built this round
-        "x304_hilbert_vs_zorder",
-        # wave 70: shard topology + vocabulary growth, built this round
-        "x305_rendezvous_shard", "x306_heaps_law",
-        # wave 71: exact prefix-filter similarity join, built this round
-        "x307_exact_similarity_join",
-        # wave 72: declarative data-quality expectations, built this round
-        "x308_data_expectations",
-        # wave 73: one-pass bootstrap confidence intervals, built this round
-        "x309_poisson_bootstrap",
-        # wave 74: PMI communities, conformal intervals, k-anonymity
-        "x310_pmi_topic_communities", "x311_conformal_interval",
-        "x312_k_anonymity",
-        # wave 75: retrieval ranking metrics, built this round
-        "x313_ranking_metrics",
-        # wave 76: information-driven bars + tick-rule, built this round
-        "x314_volume_bars", "x315_tick_rule",
-        # wave 77: price impact + bar-sampling statistics, built this round
-        "x316_kyle_lambda", "x317_bar_return_moments",
-        # wave 78: CV folds, regression metrics, drift monitoring
-        "x318_group_kfold", "x319_regression_metrics", "x320_drift_psi",
-    ]
-    # ROUND-6 TODO (absorb after CORRECTNESS_r05.json lands): if the r5
-    # window came back green, move its 50 keys into _DRIVER_VERIFIED.
-    # The actual emitted window (verified this session against
-    # queries()'s order) is the 49 front keys above (q13b/q21/q22
-    # consolidations + x275–x320) plus ONE tier-0 fill key,
-    # x114_recursive_cte.  After absorbing, the never-verified tail
-    # (x115–x121, x122 onward, and this round's x321–x374) fills the r6
-    # window via the tier sort with no new front needed.  Re-check
-    # CORRECTNESS_r05 for the actual list before absorbing; any red row
-    # stays unverified.
+    # Round-6 window: all 50 r5 keys came back green and were absorbed into
+    # _DRIVER_VERIFIED above, so no explicit front is needed — the tier sort
+    # fills the 50-slot window with never-verified keys in registration order
+    # (x115–x128, x131–x134, x140-series onward).
+    #
+    # ROUND-7 TODO (absorb after CORRECTNESS_r06.json lands): move the r6
+    # window's green keys into _DRIVER_VERIFIED.  The expected window is the
+    # first 50 keys of _emission_order() at the time BENCH/CORRECTNESS r6 ran
+    # — re-derive it from CORRECTNESS_r06.json's actual row keys rather than
+    # trusting this note; any red row stays unverified.  After that, ~85+
+    # never-verified keys remain (through x381 plus any r6-built waves);
+    # keep rotating each round until cumulative driver coverage closes.
+    front: list[str] = []
     rank = {k: i for i, k in enumerate(front)}
 
     def tier(k: str) -> int:
