@@ -92,14 +92,18 @@ register_sql(
 # -- x373: overlap-pair counting by plane sweep --------------------------------
 # boundary events: (+1, t=s) and (-1, t=e); [s, e) half-open, so an end
 # at t sorts BEFORE a start at t (kind -1 < +1) and abutting intervals
-# do not pair. pairs = sum over starts of open-before count.
+# do not pair. pairs = sum over starts of open-before count.  The filter
+# requires the ROUNDED microsecond duration >= 1 (not just |value| > 0):
+# a |value| < 5e-7 would round to a degenerate [t, t) interval whose end
+# event sorts before its own start and transiently decrements open_before.
 
 _X373_FMT = """
     WITH iv AS (
       SELECT user_id % 10 AS k, event_id,
              {epoch_us} AS s,
              {epoch_us} + CAST(ROUND(ABS(value) * 1000000, 0) AS BIGINT) AS e
-      FROM events WHERE value IS NOT NULL AND ABS(value) > 0
+      FROM events
+      WHERE value IS NOT NULL AND ROUND(ABS(value) * 1000000, 0) >= 1
     ),
     bounds AS (
       SELECT k, s AS t, 1 AS kind, event_id FROM iv

@@ -6,8 +6,12 @@ that) make the naive s/√n standard error a lie; the HAC correction
 σ²_NW = γ₀ + 2·(2/3)γ₁ + 2·(1/3)γ₂ is the standard repair.  All three
 autocovariance moment sets ride ONE per-sym sort (the x327 lag
 columns); sums are DECIMAL-exact; the assembled variance is per-row
-IEEE on scalars.  Reports naive vs HAC se side by side — the ratio IS
-the autocorrelation penalty.
+IEEE on scalars.  Each γ_k demeans both factors over the COMMON lag-k
+sample (rows where r_k is non-null — which implies r non-null, since
+the lag chain nests): per-lag means sa_k/m_k and sb_k/m_k, the
+textbook estimator, not the full-sample-mean approximation.  Reports
+naive vs HAC se side by side — the ratio IS the autocorrelation
+penalty.
 
 x379 — overnight/intraday variance decomposition: each day's return
 splits into close→open (gap risk, when hedging is impossible) and
@@ -57,20 +61,29 @@ _X378_FMT = """
              CAST(CAST(SUM(r * r) AS DECIMAL(38,12)) AS DOUBLE) AS q,
              CAST(COUNT(r1) AS DOUBLE) AS m1,
              CAST(CAST(SUM(r * r1) AS DECIMAL(38,12)) AS DOUBLE) AS c1,
+             CAST(CAST(SUM(CASE WHEN r1 IS NOT NULL THEN r END)
+                  AS DECIMAL(38,6)) AS DOUBLE) AS sa1,
+             CAST(CAST(SUM(r1) AS DECIMAL(38,6)) AS DOUBLE) AS sb1,
              CAST(COUNT(r2) AS DOUBLE) AS m2,
-             CAST(CAST(SUM(r * r2) AS DECIMAL(38,12)) AS DOUBLE) AS c2
+             CAST(CAST(SUM(r * r2) AS DECIMAL(38,12)) AS DOUBLE) AS c2,
+             CAST(CAST(SUM(CASE WHEN r2 IS NOT NULL THEN r END)
+                  AS DECIMAL(38,6)) AS DOUBLE) AS sa2,
+             CAST(CAST(SUM(r2) AS DECIMAL(38,6)) AS DOUBLE) AS sb2
       FROM d GROUP BY sym
     )
     SELECT CAST(sym AS BIGINT) AS sym, CAST(n AS BIGINT) AS n_rets,
            ROUND(SQRT((q / n - (s / n) * (s / n)) / n), 8) AS se_naive,
            ROUND(SQRT(GREATEST(
              (q / n - (s / n) * (s / n))
-             + 2 * (CAST(2 AS DOUBLE) / 3) * (c1 / m1 - (s / n) * (s / n))
-             + 2 * (CAST(1 AS DOUBLE) / 3) * (c2 / m2 - (s / n) * (s / n)), 0) / n), 8)
+             + 2 * (CAST(2 AS DOUBLE) / 3) * (c1 / m1 - (sa1 / m1) * (sb1 / m1))
+             + 2 * (CAST(1 AS DOUBLE) / 3) * (c2 / m2 - (sa2 / m2) * (sb2 / m2)),
+             0) / n), 8)
              AS se_hac,
            ROUND(((q / n - (s / n) * (s / n))
-                  + 2 * (CAST(2 AS DOUBLE) / 3) * (c1 / m1 - (s / n) * (s / n))
-                  + 2 * (CAST(1 AS DOUBLE) / 3) * (c2 / m2 - (s / n) * (s / n)))
+                  + 2 * (CAST(2 AS DOUBLE) / 3)
+                      * (c1 / m1 - (sa1 / m1) * (sb1 / m1))
+                  + 2 * (CAST(1 AS DOUBLE) / 3)
+                      * (c2 / m2 - (sa2 / m2) * (sb2 / m2)))
                  / (q / n - (s / n) * (s / n)), 4) AS variance_ratio
     FROM m ORDER BY sym
 """
