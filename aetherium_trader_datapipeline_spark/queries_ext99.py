@@ -6,8 +6,14 @@ interval VWAP?  Per (sym, minute): VWAP = Σ(px·vol)/Σ(vol) in DECIMAL
 in integer micro-units, rolled up per symbol as mean absolute slippage
 and the share of trades printing above VWAP.  Complements x79 (TWAP —
 the time benchmark) with the volume benchmark actually used for broker
-scorecards; one groupBy for the VWAP frame, one join back, one rollup,
-all cross-row sums integer-exact (x321 discipline).
+scorecards; all cross-row sums integer-exact (x321 discipline).
+
+Plan shape (r6): the per-minute VWAP rides an unbounded window frame
+(SUM OVER (PARTITION BY sym, m)) instead of a groupBy + join-back —
+one (sym, m) shuffle feeds both the VWAP and the deviation, fusing the
+agg and the re-attach into a single exchange.  Measured hash-identical
+to the join form and 1.4× faster at 100× (2.35 s vs 3.34 s warm
+medians; sf0.1 ~equal); both rows recorded in SCALE.md.
 """
 
 from __future__ import annotations
@@ -21,18 +27,16 @@ _X381_FMT = """
              CAST(100 + (value - FLOOR(value)) * 10 AS DECIMAL(18,6)) AS px
       FROM events WHERE value IS NOT NULL AND ABS(value) > 0
     ),
-    vwap AS (
-      SELECT sym, m,
-             CAST(SUM(px * vol) AS DECIMAL(38,12)) AS pv,
-             CAST(SUM(vol) AS DECIMAL(28,6)) AS v
-      FROM ticks GROUP BY sym, m
-    ),
     devs AS (
-      SELECT t.sym,
-             CAST(FLOOR((CAST(t.px AS DOUBLE)
-                         - CAST(w.pv AS DOUBLE) / CAST(w.v AS DOUBLE))
+      SELECT sym,
+             CAST(FLOOR((CAST(px AS DOUBLE)
+                         - CAST(CAST(SUM(px * vol) OVER w AS DECIMAL(38,12))
+                                AS DOUBLE)
+                           / CAST(CAST(SUM(vol) OVER w AS DECIMAL(28,6))
+                                  AS DOUBLE))
                         * 1e6) AS BIGINT) AS dev_micro
-      FROM ticks t JOIN vwap w ON t.sym = w.sym AND t.m = w.m
+      FROM ticks
+      WINDOW w AS (PARTITION BY sym, m)
     )
     SELECT CAST(sym AS BIGINT) AS sym,
            CAST(COUNT(*) AS BIGINT) AS n_trades,
