@@ -243,3 +243,111 @@ def test_live_stream_zombie_writer_fenced(spark, tmp_path, control):
     assert final.cursor >= DAY0 + 1_000_000
     # cursor never regressed through the handover
     assert final.cursor >= cursor_at_takeover
+
+
+def test_streaming_stall_supervisor_takeover_e2e(spark, tmp_path, control):
+    """End-to-end H1 supervisor flow over LIVE streams (reference
+    backfill_service.rs:82-115 + IDD.md:233): stream A heartbeats through
+    a StreamingQueryListener, the listener is torn down mid-stream (the
+    stall — query still running, beats stopped), the supervisor's
+    `stalled_jobs` scan flags the key, a takeover re-initializes it under
+    a new instance id, stream B carries on, and A's late cursor writes
+    are fenced.
+
+    Wall-clock is not manipulated inside the streams: the heartbeat rows
+    carry real timestamps, and the supervisor scan + takeover pass an
+    artificial `now` past the 300 s threshold — exactly how a real
+    supervisor with a lagging clock would observe the table."""
+    import time
+
+    from aetherium_trader_datapipeline_spark.plans.control_table import (
+        StaleInstanceError,
+    )
+    from aetherium_trader_datapipeline_spark.streaming.heartbeat import (
+        HeartbeatListener,
+    )
+
+    key = "ingest:job:NQ:2024-01-05"
+    t0 = time.time()
+    st_a = control.initialize_job(key, DAY0, DAY0 + 86400000, now=t0)
+    a_id = st_a.job_instance_id
+    a_applied, a_fenced, b_applied = [], [], []
+
+    def write_a(df, batch_id):
+        try:
+            control.update_cursor(key, a_id, DAY0 + 1000 + batch_id)
+            a_applied.append(batch_id)
+        except StaleInstanceError:
+            a_fenced.append(batch_id)
+
+    listener = HeartbeatListener(control, key, a_id)
+    spark.streams.addListener(listener)
+    try:
+        qa = (
+            spark.readStream.format("rate").option("rowsPerSecond", 5).load()
+            .writeStream.foreachBatch(write_a)
+            .trigger(processingTime="200 milliseconds")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sa"))
+            .start()
+        )
+        deadline = time.monotonic() + 60
+        while (listener.beats < 2 or len(a_applied) < 2) and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert listener.beats >= 2, "stream A never heartbeat"
+
+        # While the listener beats, the supervisor sees a HEALTHY job even
+        # at +299 s of the last beat…
+        hb_live = control.get(key).heartbeat_at
+        assert control.stalled_jobs(spark, now=hb_live + 299).count() == 0
+
+        # THE STALL: tear the listener down; A's query keeps running (and
+        # keeps attempting cursor writes) but its heartbeat goes silent.
+        spark.streams.removeListener(listener)
+        time.sleep(0.5)  # drain in-flight progress events
+        hb_stalled = control.get(key).heartbeat_at
+
+        # Supervisor scan past the threshold flags exactly this key.
+        now_future = hb_stalled + 301
+        stalled = control.stalled_jobs(spark, now=now_future)
+        assert [r.job_key for r in stalled.collect()] == [key]
+
+        # Supervisor takeover: same initialize_job path a fresh worker
+        # would use — new instance id, cursor preserved.
+        cursor_at_takeover = control.get(key).cursor
+        st_b = control.initialize_job(key, DAY0, DAY0 + 86400000, now=now_future)
+        b_id = st_b.job_instance_id
+        assert b_id != a_id
+        assert st_b.cursor == cursor_at_takeover
+        applied_at_takeover = len(a_applied)
+
+        def write_b(df, batch_id):
+            control.update_cursor(key, b_id, DAY0 + 1_000_000 + batch_id)
+            b_applied.append(batch_id)
+
+        qb = (
+            spark.readStream.format("rate").option("rowsPerSecond", 5).load()
+            .writeStream.foreachBatch(write_b)
+            .trigger(processingTime="200 milliseconds")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sb"))
+            .start()
+        )
+        deadline = time.monotonic() + 60
+        while (len(a_fenced) < 2 or len(b_applied) < 2) and time.monotonic() < deadline:
+            time.sleep(0.05)
+        qa.stop()
+        qb.stop()
+    finally:
+        try:
+            spark.streams.removeListener(listener)
+        except Exception:
+            pass
+
+    # A (the zombie) was fenced on every post-takeover write; B owns the key.
+    assert len(a_fenced) >= 2, "stalled stream was never fenced after takeover"
+    assert len(a_applied) == applied_at_takeover
+    final = control.get(key)
+    assert final.job_instance_id == b_id
+    assert final.cursor >= DAY0 + 1_000_000
+    assert final.cursor >= cursor_at_takeover
+    # …and the supervisor sees a healthy job again after B's first writes.
+    assert control.stalled_jobs(spark, now=control.get(key).heartbeat_at + 1).count() == 0
