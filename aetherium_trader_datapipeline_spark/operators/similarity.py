@@ -364,3 +364,105 @@ def knn_search(
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    toks_col: str,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    block_size: int = 2048,
+) -> DataFrame:
+    """EXACT set-similarity self-join (all pairs with Jaccard >= num/den)
+    via the same triangle-replicated block-GEMM layout as
+    :func:`_block_pair_sims` — replacing the token equi-join + pair
+    groupBy formulation, whose shuffle is quadratic in the hot-token
+    bucket sizes (measured 9.5 s warm at sf0.1 on x307's fixture vs
+    ~1.3 s for this form).
+
+    Each row carries its integer token-id SET (``toks_col``, array<long>,
+    caller-deduped); rows hash into B blocks and replicate to the block
+    pairs of the triangle, and each ``applyInPandas`` group densifies
+    only its LOCAL token universe (np.unique over the group's ids — so
+    the dense matrix is bounded by group rows x group-distinct tokens no
+    matter how large the GLOBAL vocabulary is) and computes every
+    pairwise intersection in one float32 GEMM (exact: counts < 2^24).
+    The Jaccard filter is integer math on (c, sa, sb) — no float
+    threshold ambiguity. Output: (a, b, n_common, sz_a, sz_b) with
+    a < b, one row per surviving pair.
+
+    100 TB posture: B(B+1)/2 independent GEMM tasks, per-task memory
+    bounded by block_size x local-vocab; the threshold prunes inside the
+    kernel so only surviving pairs leave the worker. Reference parity:
+    same exactness contract as the reference's dedup verify pass
+    (dedup.rs candidate verification), expressed as a dense kernel
+    instead of a row join.
+    """
+    n = df.count()
+    n_blocks = max(1, -(-n // block_size))
+
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(toks_col).cast("array<long>").alias("toks"),
+    ).withColumn("blk", F.pmod(F.hash("id"), F.lit(n_blocks)))
+
+    ga = F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ga")
+    rep_a = v.select("id", "toks", "blk", ga).withColumn("gb", F.col("blk"))
+    gb = F.explode(F.sequence(F.col("blk") + 1, F.lit(n_blocks - 1))).alias("gb")
+    rep_b = (
+        v.where(F.col("blk") < n_blocks - 1)
+        .select("id", "toks", "blk", gb)
+        .withColumn("ga", F.col("blk"))
+    )
+    rep = rep_a.unionByName(rep_b)
+
+    tn, td = threshold_num, threshold_den
+
+    def score(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ga_k, gb_k = key
+        ids = pdf["id"].to_numpy()
+        blk = pdf["blk"].to_numpy()
+        toks = [np.asarray(t, dtype=np.int64) for t in pdf["toks"]]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        if len(ids) == 0:
+            return pd.DataFrame(
+                {"a": [], "b": [], "n_common": [], "sz_a": [], "sz_b": []}
+            )
+        all_t = np.concatenate(toks)
+        uniq, inv = np.unique(all_t, return_inverse=True)
+        m = np.zeros((len(ids), len(uniq)), dtype=np.float32)
+        m[np.repeat(np.arange(len(ids)), lens), inv] = 1.0
+        if ga_k == gb_k:
+            c = (m @ m.T).astype(np.int64)
+            ia = ib = ids
+            sa = sb = lens
+            keep = ia[:, None] < ib[None, :]
+        else:
+            sel_a, sel_b = blk == ga_k, blk == gb_k
+            ia, ib = ids[sel_a], ids[sel_b]
+            sa, sb = lens[sel_a], lens[sel_b]
+            c = (m[sel_a] @ m[sel_b].T).astype(np.int64)
+            keep = np.ones_like(c, dtype=bool)
+        # integer Jaccard threshold: c/ (sa+sb-c) >= tn/td
+        union = sa[:, None] + sb[None, :] - c
+        keep &= c * td >= tn * union
+        i_idx, j_idx = np.nonzero(keep)
+        pa, pb = ia[i_idx], ib[j_idx]
+        ra, rb_ = sa[i_idx], sb[j_idx]
+        cc = c[i_idx, j_idx]
+        swap = pa > pb
+        pa2 = np.where(swap, pb, pa)
+        pb2 = np.where(swap, pa, pb)
+        ra2 = np.where(swap, rb_, ra)
+        rb2 = np.where(swap, ra, rb_)
+        return pd.DataFrame(
+            {"a": pa2, "b": pb2, "n_common": cc, "sz_a": ra2, "sz_b": rb2}
+        )
+
+    return rep.groupBy("ga", "gb").applyInPandas(
+        score, schema="a long, b long, n_common long, sz_a long, sz_b long"
+    )

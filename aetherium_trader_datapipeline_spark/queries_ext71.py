@@ -13,29 +13,40 @@ cliff:
    Within-cluster pairs are J = 1 by definition; they ride along as the
    representatives' member counts.  Same order real pipelines run: exact
    dedup, then similarity join.
-2. Intersections are counted DIRECTLY from one token equi-join grouped on
-   the pair — not via a candidate-generation pass.  The textbook
-   AllPairs/PPJoin prefix filter (Bayardo WWW'07; Xiao WWW'08) was built
-   and MEASURED here first: on this fixture's ~40-word vocabulary every
-   "rare" prefix bigram still hits ~260 reps, so it produced 4.4 M
-   candidates for 238 true pairs and the extra cand×toks×toks verify
-   joins cost more than direct counting (76→58 s vs ~6 s direct).  Prefix
-   filtering pays on real large-vocabulary corpora where the Zipf tail is
-   selective; on small-vocab data the direct grouped count IS the better
-   plan.  The lesson is recorded here rather than shipping the
-   academically-fashionable-but-measured-slower form.
+2. Intersections are computed by the triangle-replicated block-GEMM
+   kernel (`operators.similarity.exact_jaccard_pairs`, r6): docs hash
+   into blocks, each block-pair group densifies only its LOCAL token
+   universe and one float32 GEMM yields every exact intersection count
+   (< 2^24, so float32 is exact).  THREE measured rejections shaped
+   this plan:
+   (a) the textbook AllPairs/PPJoin prefix filter (Bayardo WWW'07; Xiao
+       WWW'08): on this fixture's ~40-word vocabulary every "rare"
+       prefix bigram still hits ~260 reps → 4.4 M candidates for 238
+       true pairs, slower than direct counting (76 s vs 18 s);
+   (b) the r5 shipped form — token equi-join grouped on the pair —
+       shuffles one row per matching-token pair: 36.3 M rows at sf0.1,
+       13.5 M even after a Jaccard size-ratio prefilter
+       (max_sz <= 1.25*min_sz is NECESSARY for J >= 0.8), 9.5 s warm;
+   (c) int-encoded join keys / packed pair keys on form (b): no change
+       (10.0 s) — the cost is the pair-row cardinality, not key hashing.
+   The GEMM form runs the same exact math at 2.86 s warm sf0.1 /
+   21 s at the 100× replica (vs 32.5 s for (b)); full table in
+   SCALE.md's wave-71 r6 note.
 
-Plan shape at 100 TB: signature groupBy (exact-dedup pass), token
-equi-join grouped on (d1, d2) — the only wide shuffle, bounded by the
-bigram bucket sizes — then the τ filter and size join.  Hot-bigram
-buckets are the scale knob: production adds a df cap on stop-bigrams
-(dedup.py's `max_freq` convention) or the prefix filter when the
-vocabulary supports it.
+Plan shape at 100 TB: signature groupBy (exact-dedup pass), one
+dictionary-encode join, then B(B+1)/2 bounded dense kernels.  Exact
+ALL-pairs is inherently quadratic in doc count — at true corpus scale
+the production tool is the LSH tier (x129/x298) generating candidate
+buckets with THIS kernel as the per-bucket exact verifier.
 """
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aetherium_trader_datapipeline_spark.queries import register
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 _X307_FMT = """
     WITH toks0 AS (
@@ -52,23 +63,27 @@ _X307_FMT = """
       SELECT t.doc_id, t.w FROM toks0 t JOIN reps r ON t.doc_id = r.doc_id
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    tsz AS (
+      SELECT t.doc_id, t.w, s.sz FROM toks t JOIN sizes s ON t.doc_id = s.doc_id
+    ),
     inter AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-      FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             MIN(a.sz) AS sa, MIN(b.sz) AS sb, COUNT(*) AS c
+      FROM tsz a JOIN tsz b
+        ON a.w = b.w AND a.doc_id < b.doc_id
+       AND a.sz * 4 <= b.sz * 5 AND b.sz * 4 <= a.sz * 5
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT i.d1, i.d2,
            CAST(ra.members AS BIGINT) AS members1,
            CAST(rb.members AS BIGINT) AS members2,
            CAST(i.c AS BIGINT) AS n_common,
-           CAST(sa.sz + sb.sz - i.c AS BIGINT) AS n_union,
-           CAST(i.c * 10000 {div} (sa.sz + sb.sz - i.c) AS BIGINT) AS jaccard_bp
+           CAST(i.sa + i.sb - i.c AS BIGINT) AS n_union,
+           CAST(i.c * 10000 {div} (i.sa + i.sb - i.c) AS BIGINT) AS jaccard_bp
     FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.d1
-    JOIN sizes sb ON sb.doc_id = i.d2
     JOIN reps ra ON ra.doc_id = i.d1
     JOIN reps rb ON rb.doc_id = i.d2
-    WHERE i.c * 10 >= 8 * (sa.sz + sb.sz - i.c)
+    WHERE i.c * 10 >= 8 * (i.sa + i.sb - i.c)
     ORDER BY jaccard_bp DESC, i.d1, i.d2 LIMIT 200
 """
 
@@ -85,17 +100,111 @@ _TOK_DUCK = """
                i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i+1])) AS w
       FROM documents WHERE len(string_split(lower(text), ' ')) >= 2"""
 
-register_sql(
+_X307_ORACLE = _X307_FMT.format(
+    tok_gen=_TOK_DUCK,
+    sig="md5(string_agg(DISTINCT w, ' ' ORDER BY w))",
+    div="//",
+)
+
+
+@register(
     "x307_exact_similarity_join",
-    spark_sql=_X307_FMT.format(
-        tok_gen=_TOK_SPARK,
-        sig="md5(array_join(array_sort(collect_set(w)), ' '))",
-        div="DIV",
-    ),
-    duckdb_sql=_X307_FMT.format(
-        tok_gen=_TOK_DUCK,
-        sig="md5(string_agg(DISTINCT w, ' ' ORDER BY w))",
-        div="//",
-    ),
+    headline=True,
+    oracle=_X307_ORACLE,
     tags=("dedup", "similarity", "exact"),
 )
+def x307_exact_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.8 self-join: exact-dedup collapse in SQL, then
+    operators.similarity.exact_jaccard_pairs — the triangle-replicated
+    block-GEMM kernel — instead of the token equi-join + pair groupBy
+    (r5 form, kept as the DuckDB oracle): the join form shuffles one row
+    per matching-token pair (13.5 M at sf0.1 even after the size-ratio
+    prefilter; 9.5 s warm), the GEMM form computes the same exact
+    intersection counts inside B(B+1)/2 bounded dense kernels (~1 s).
+    """
+    from aetherium_trader_datapipeline_spark.operators.similarity import (
+        exact_jaccard_pairs,
+    )
+
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents")
+    # Tokenize ONCE and checkpoint: CTE inlining would re-run the
+    # tokenize + DISTINCT shuffle for every downstream reference
+    # (setsig, toks, vocab — measured 3.45 s of a 4 s total before this
+    # split).  The bigram generator indexes the split array with
+    # element_at (O(1)) instead of slicing per position (the per-i slice
+    # is O(len) each → O(len²) per doc).
+    toks0 = spark.sql(
+        """
+        SELECT DISTINCT doc_id, w
+        FROM (
+          SELECT doc_id, split(lower(text), ' ') AS ws
+          FROM documents WHERE size(split(lower(text), ' ')) >= 2
+        ) d
+        LATERAL VIEW explode(
+          transform(sequence(1, size(ws) - 1),
+                    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+        ) t AS w
+        WHERE w <> ''
+        """
+    ).localCheckpoint()
+    toks0.createOrReplaceTempView("x307_toks0")
+    # Dedup-collapse to reps, dictionary-encode bigrams, pack each rep's
+    # token-id set into an array. localCheckpoint because the frame is
+    # read 4x downstream (the kernel's triangle union reads it twice,
+    # the two members joins once each).
+    rep_toks = spark.sql(
+        """
+        WITH toks0 AS (SELECT doc_id, w FROM x307_toks0),
+        setsig AS (
+          SELECT doc_id, md5(array_join(array_sort(collect_set(w)), ' ')) AS sig
+          FROM toks0 GROUP BY doc_id
+        ),
+        reps AS (
+          SELECT MIN(doc_id) AS doc_id, COUNT(*) AS members
+          FROM setsig GROUP BY sig
+        ),
+        toks AS (
+          -- SHUFFLE_HASH pinned: toks0 is checkpointed (no stats), and
+          -- reps is data-proportional (one row per distinct token SET),
+          -- so letting the planner broadcast it OOMs the driver at the
+          -- 100x replica — same failure mode x331 hit (commit fb061da).
+          SELECT /*+ SHUFFLE_HASH(r) */ t.doc_id, r.members, t.w
+          FROM toks0 t JOIN reps r ON t.doc_id = r.doc_id
+        ),
+        vocab AS (
+          SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS wid
+          FROM (SELECT DISTINCT w FROM toks)
+        )
+        SELECT /*+ SHUFFLE_HASH(v) */
+               t.doc_id, t.members, collect_list(v.wid) AS toks
+        FROM toks t JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id, t.members
+        """
+    ).localCheckpoint()
+    pairs = exact_jaccard_pairs(
+        rep_toks, "doc_id", "toks", threshold_num=8, threshold_den=10
+    )
+    # Members joins: no forced broadcast — reps is data-proportional and
+    # pairs is the thresholded survivor set; both are stats-less here
+    # (checkpoint / UDF outputs), so AQE's runtime sizes pick the
+    # broadcast side correctly at every SF.
+    reps = rep_toks.select("doc_id", "members")
+    return (
+        pairs.join(
+            reps.select(F.col("doc_id").alias("a"),
+                        F.col("members").alias("m1")), "a")
+        .join(
+            reps.select(F.col("doc_id").alias("b"),
+                        F.col("members").alias("m2")), "b")
+        .selectExpr(
+            "a AS d1",
+            "b AS d2",
+            "CAST(m1 AS BIGINT) AS members1",
+            "CAST(m2 AS BIGINT) AS members2",
+            "CAST(n_common AS BIGINT) AS n_common",
+            "CAST(sz_a + sz_b - n_common AS BIGINT) AS n_union",
+            "CAST(n_common * 10000 DIV (sz_a + sz_b - n_common) AS BIGINT) AS jaccard_bp",
+        )
+        .orderBy(F.desc("jaccard_bp"), "d1", "d2")
+        .limit(200)
+    )

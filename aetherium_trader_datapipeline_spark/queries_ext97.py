@@ -66,6 +66,7 @@ register_sql(
     "x375_longest_streaks",
     spark_sql=_X375,
     duckdb_sql=_X375,
+    headline=True,
     tags=("finance", "window"),
 )
 

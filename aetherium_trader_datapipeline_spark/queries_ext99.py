@@ -50,6 +50,7 @@ _X381_FMT = """
 
 register_sql(
     "x381_vwap_slippage",
+    headline=True,
     spark_sql=_X381_FMT.format(minute_of="date_trunc('minute', ts)"),
     duckdb_sql=_X381_FMT.format(minute_of="CAST(date_trunc('minute', ts) AS TIMESTAMP)"),
     tags=("finance", "ohlcv"),
