@@ -60,11 +60,12 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, str]:
 def decode_image(blob: bytes):
     """Full pixel decode → (h, w[, c]) uint8 array. PNG decodes natively
     (:func:`decode_png_pixels` — stdlib zlib + spec predictors), baseline
-    grayscale JPEG natively (:func:`decode_jpeg_pixels` — DHT Huffman +
-    IDCT), and non-interlaced GIF natively (:func:`decode_gif_pixels` —
-    variable-width LZW + palette); the remaining tiers (progressive/color
-    JPEG, interlaced GIF, everything else) require PIL and raise
-    NotImplementedError without it."""
+    JPEG natively in grayscale AND YCbCr 4:4:4 color
+    (:func:`decode_jpeg_pixels` — DHT Huffman + IDCT + BT.601), and GIF
+    natively, interlaced or not (:func:`decode_gif_pixels` —
+    variable-width LZW + palette + 4-pass de-interlace); the remaining
+    tiers (progressive JPEG, 4:2:0/4:2:2 chroma subsampling, everything
+    else) require PIL and raise NotImplementedError without it."""
     b = bytes(blob or b"")
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
@@ -515,6 +516,90 @@ def encode_jpeg_baseline(width: int, height: int, pixels) -> bytes:
     )
 
 
+def encode_jpeg_color(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
+    """Encode three row-major 8-bit planes (Y, Cb, Cr — each len = w*h,
+    i.e. 4:4:4, no chroma subsampling) as a real baseline JFIF: SOF0
+    with three components all sampling 0x11, interleaved MCUs
+    (Y-block, Cb-block, Cr-block), per-component DC predictors, the
+    same flat-16 quantization and shared canonical Huffman tables as
+    the grayscale encoder (components may legally share tables).
+    Taking YCbCr planes directly (not RGB) keeps the block-constant
+    exactness argument identical to :func:`encode_jpeg_baseline` —
+    the color-space conversion happens only on decode."""
+    import struct
+
+    import numpy as np
+
+    planes = [
+        np.asarray(list(p) if not hasattr(p, "shape") else p, dtype=np.uint8)
+        .reshape(height, width)
+        for p in (y_px, cb_px, cr_px)
+    ]
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = [
+        np.pad(p, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+        for p in planes
+    ]
+    m = _dct_mat()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+                coef = m @ (block - 128.0) @ m.T
+                q = np.rint(coef / _JPEG_Q).astype(int)
+                zz = [int(q.flat[i]) for i in _ZZ]
+                diff = zz[0] - prev_dc[ci]
+                prev_dc[ci] = zz[0]
+                s = _category(diff)
+                code, length = dc_codes[s]
+                w.write(code, length)
+                if s:
+                    w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    v = zz[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        w.write(code, length)
+                        run -= 16
+                    s = _category(v)
+                    code, length = ac_codes[(run << 4) | s]
+                    w.write(code, length)
+                    w.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]
+                    w.write(code, length)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes(_JPEG_Q for _ in range(64))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + qtab)
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00",
+        )
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+        + w.flush()
+        + b"\xff\xd9"
+    )
+
+
 class _BitReader:
     """MSB-first reader over the entropy segment; un-stuffs 0xFF 0x00 and
     stops at any real marker."""
@@ -569,12 +654,16 @@ def decode_jpeg_pixels(blob: bytes):
     DC-diff/AC-runlength entropy decode, dequantize, inverse zigzag,
     float IDCT, level shift, clamp — returns an (h, w) uint8 array.
 
-    Supports the scope the repo's encoder emits and verifies (8-bit
-    baseline SOF0, single grayscale component, no restart intervals) and
-    raises NotImplementedError beyond it (progressive, multi-component,
-    DRI) — those still need a full image library. Closes the r4 'JPEG
-    raster gated on PIL' finding: the bytes→pixels path executes here,
-    pixel-exact on constant-per-block fixtures (x289 oracle) and
+    Supports the scope the repo's encoders emit and verify: 8-bit
+    baseline SOF0, either single grayscale component → (h, w) or three
+    4:4:4 components decoded as interleaved MCUs with per-component DC
+    predictors and converted JFIF YCbCr → RGB (BT.601, floor(x+0.5)
+    rounding so SQL oracles can reproduce the exact doubles) → (h, w, 3).
+    Raises NotImplementedError beyond it (progressive, 4:2:0/4:2:2
+    subsampling, DRI) — those still need a full image library. Closes
+    the r4 'JPEG raster gated on PIL' finding and the r5 color residual:
+    the bytes→pixels path executes here, pixel-exact on
+    constant-per-block fixtures (x289/x382 oracles) and
     tolerance-checked on gradients (tests)."""
     import struct
 
@@ -626,12 +715,17 @@ def decode_jpeg_pixels(blob: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
-            if nc != 1:
-                raise NotImplementedError("multi-component JPEG (needs PIL)")
-            cid, sampling, tq = payload[6], payload[7], payload[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG")
-            sof = (h, w, cid, tq)
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG (needs PIL)")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    # 4:4:4 only — 4:2:0 / 4:2:2 chroma subsampling still
+                    # needs a real image library
+                    raise NotImplementedError("subsampled JPEG")
+                comps.append((cid, tq))
+            sof = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (progressive etc.)")
@@ -640,53 +734,70 @@ def decode_jpeg_pixels(blob: bytes):
                 raise NotImplementedError("restart intervals")
         elif marker == 0xDA:  # SOS
             ns = payload[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            comp_spec = (payload[1], payload[2] >> 4, payload[2] & 0xF)
+            comp_spec = [
+                (payload[1 + 2 * ci], payload[2 + 2 * ci] >> 4,
+                 payload[2 + 2 * ci] & 0xF)
+                for ci in range(ns)
+            ]
             scan_pos = pos + 2 + ln
             break
         pos += 2 + ln
     if sof is None or scan_pos is None or comp_spec is None:
         raise ValueError("missing SOF0/SOS")
-    height, width, _cid, tq = sof
-    _sid, td, ta = comp_spec
-    quant = np.array(qtabs[tq], dtype=float)
-    dc_tab, ac_tab = htabs[(0, td)], htabs[(1, ta)]
+    height, width, comps = sof
+    if len(comp_spec) != len(comps):
+        raise NotImplementedError("SOS component count != SOF (multi-scan)")
+    nc = len(comps)
+    quants = [np.array(qtabs[tq], dtype=float) for _cid, tq in comps]
+    tabs = [(htabs[(0, td)], htabs[(1, ta)]) for _sid, td, ta in comp_spec]
     m = _dct_mat()
     bw, bh = -(-width // 8), -(-height // 8)
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
     reader = _BitReader(b, scan_pos)
-    prev_dc = 0
+    prev_dc = [0] * nc
+    # 4:4:4 interleaved MCU = one 8x8 block per component, raster order
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, dtype=float)
-            s = _decode_huffman(reader, dc_tab)
-            diff = _extend(reader.read_bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _decode_huffman(reader, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC run past block end")
-                zz[i] = _extend(reader.read_bits(size), size)
-                i += 1
-            # dequantize in zigzag order, scatter to natural order
-            coef = np.zeros(64, dtype=float)
-            for k in range(64):
-                coef[_ZZ[k]] = zz[k] * quant[k]
-            block = m.T @ coef.reshape(8, 8) @ m + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
-    return out[:height, :width]
+            for ci in range(nc):
+                dc_tab, ac_tab = tabs[ci]
+                zz = np.zeros(64, dtype=float)
+                s = _decode_huffman(reader, dc_tab)
+                diff = _extend(reader.read_bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                i = 1
+                while i < 64:
+                    sym = _decode_huffman(reader, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC run past block end")
+                    zz[i] = _extend(reader.read_bits(size), size)
+                    i += 1
+                # dequantize in zigzag order, scatter to natural order
+                coef = np.zeros(64, dtype=float)
+                for k in range(64):
+                    coef[_ZZ[k]] = zz[k] * quants[ci][k]
+                block = m.T @ coef.reshape(8, 8) @ m + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.rint(block), 0, 255
+                ).astype(np.uint8)
+    if nc == 1:
+        return planes[0][:height, :width]
+    # JFIF YCbCr -> RGB (BT.601), floor(x + 0.5) rounding so the exact
+    # same float64 expression is reproducible in SQL oracles
+    y = planes[0][:height, :width].astype(np.float64)
+    cb = planes[1][:height, :width].astype(np.float64) - 128.0
+    cr = planes[2][:height, :width].astype(np.float64) - 128.0
+    r = np.floor(y + 1.402 * cr + 0.5)
+    g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+    bl = np.floor(y + 1.772 * cb + 0.5)
+    return np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
 
 
 # -- GIF LZW codec (entropy-coded raster, no image library) -----------------
@@ -699,14 +810,30 @@ def decode_jpeg_pixels(blob: bytes):
 # fixtures in tests.
 
 
-def encode_gif(width: int, height: int, indices, palette=None) -> bytes:
+def _gif_interlace_rows(height: int) -> list[int]:
+    """The GIF89a 4-pass interlace row order: pass 1 rows 0,8,16,…;
+    pass 2 rows 4,12,…; pass 3 rows 2,6,10,…; pass 4 rows 1,3,5,…
+    (spec appendix E). Returns the source-row index for each stored row."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def encode_gif(width: int, height: int, indices, palette=None,
+               interlace: bool = False) -> bytes:
     """Encode row-major 8-bit palette ``indices`` (len = w*h) as a real
     GIF89a: logical screen descriptor, 256-entry global color table
     (default grayscale identity, palette[i] = (i,i,i)), image descriptor,
-    variable-width LZW-compressed data in sub-blocks, trailer."""
+    variable-width LZW-compressed data in sub-blocks, trailer.
+    ``interlace=True`` stores rows in the spec's 4-pass order and sets
+    the image-descriptor interlace flag (0x40)."""
     idx = bytes(bytearray(v & 0xFF for v in indices))
     if len(idx) != width * height:
         raise ValueError(f"need {width * height} indices, got {len(idx)}")
+    if interlace:
+        rows = _gif_interlace_rows(height)
+        idx = b"".join(idx[r * width : (r + 1) * width] for r in rows)
     if palette is None:
         palette = [(i, i, i) for i in range(256)]
     if len(palette) != 256:
@@ -774,7 +901,7 @@ def encode_gif(width: int, height: int, indices, palette=None) -> bytes:
         + bytes(4)  # left, top
         + width.to_bytes(2, "little")
         + height.to_bytes(2, "little")
-        + b"\x00"  # no local table, not interlaced
+        + (b"\x40" if interlace else b"\x00")  # no local table; interlace flag
     )
     return (
         b"GIF89a" + screen + gct + img_desc
@@ -789,11 +916,13 @@ def decode_gif_pixels(blob: bytes):
     dictionary resets), map through the palette, return an (h, w, 3)
     uint8 RGB array.
 
-    Supports non-interlaced images (87a/89a, global or local color
-    table); raises NotImplementedError for interlaced images. Together
-    with decode_jpeg_pixels this retires the multimodal PIL gate for the
-    formats the repo synthesizes: every container byte stream the surface
-    emits is decoded by repo code."""
+    Supports 87a/89a with global or local color table, non-interlaced
+    AND interlaced (the stored 4-pass row order is inverted after LZW
+    decode — interlacing permutes whole rows, so the lossless byte
+    stream is unchanged and only a gather remains). Together with
+    decode_jpeg_pixels this retires the multimodal PIL gate for the
+    formats the repo synthesizes: every container byte stream the
+    surface emits is decoded by repo code."""
     import numpy as np
 
     b = bytes(blob)
@@ -825,8 +954,7 @@ def decode_gif_pixels(blob: bytes):
     h = int.from_bytes(b[pos + 7 : pos + 9], "little")
     iflags = b[pos + 9]
     pos += 10
-    if iflags & 0x40:
-        raise NotImplementedError("interlaced GIF")
+    interlaced = bool(iflags & 0x40)
     pal = gct
     if iflags & 0x80:
         n = 2 << (iflags & 0x07)
@@ -888,6 +1016,11 @@ def decode_gif_pixels(blob: bytes):
     if len(out) != w * h:
         raise ValueError(f"LZW produced {len(out)} of {w * h} indices")
     idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+    if interlaced:
+        # stored row k holds source row _gif_interlace_rows(h)[k]
+        deinter = np.empty_like(idx)
+        deinter[np.array(_gif_interlace_rows(h)), :] = idx
+        idx = deinter
     return pal[idx]
 
 

@@ -366,12 +366,24 @@ def test_gif_custom_palette_and_rejects():
     rgb = decode_gif_pixels(encode_gif(16, 16, bytes(range(256)), palette=pal))
     assert all(tuple(rgb[i // 16, i % 16]) == pal[i] for i in range(256))
 
-    blob = bytearray(encode_gif(4, 4, bytes(16)))
+    # Flipping the interlace flag on a sequentially-stored stream must be
+    # HONORED (r6: interlace is decoded, not rejected): the decoder
+    # scatters stored rows through the 4-pass table, i.e. stored row k
+    # lands at source row _gif_interlace_rows(h)[k].
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        _gif_interlace_rows,
+    )
+
+    idx4 = bytes(range(16))  # row y holds values 4y..4y+3
+    blob = bytearray(encode_gif(4, 4, idx4))
     desc = 13 + 768  # header+screen descriptor, then the 256-entry GCT
     assert blob[desc] == 0x2C
     interlaced = bytes(blob[: desc + 9]) + b"\x40" + bytes(blob[desc + 10 :])
-    with _pytest.raises(NotImplementedError):
-        decode_gif_pixels(interlaced)
+    out = decode_gif_pixels(interlaced)[:, :, 0]
+    expect = np.empty((4, 4), dtype=np.uint8)
+    seq = np.frombuffer(idx4, dtype=np.uint8).reshape(4, 4)
+    expect[np.array(_gif_interlace_rows(4)), :] = seq
+    assert (out == expect).all()
     with _pytest.raises(ValueError):
         decode_gif_pixels(b"\xff\xd8 not a gif")
 
@@ -441,3 +453,94 @@ def test_image_resize_stats_via_png_roundtrip(spark):
     assert row.px_sum == int(expected.sum())
     assert row.px_min == int(expected.min())
     assert row.px_max == int(expected.max())
+
+
+def test_jpeg_color_roundtrip_block_constant_exact():
+    """YCbCr 4:4:4 interleaved-MCU encode → decode: block-constant even
+    planes survive the DCT pipeline bit-exact, so the RGB output equals
+    the BT.601 closed form (floor(x+0.5) convention) — the x382 oracle's
+    exactness argument, pinned here over random dims."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        w = int(rng.integers(8, 30))
+        h = int(rng.integers(8, 25))
+
+        def plane(seed):
+            t = np.zeros((h, w), dtype=np.uint8)
+            for by in range(-(-h // 8)):
+                for bx in range(-(-w // 8)):
+                    t[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        (seed * 37 + bx * 23 + by * 41) % 128
+                    ) * 2
+            return t[:h, :w]
+
+        Y, Cb, Cr = plane(trial + 1), plane(trial + 11), plane(trial + 23)
+        rgb = decode_jpeg_pixels(
+            encode_jpeg_color(w, h, Y.flatten(), Cb.flatten(), Cr.flatten())
+        )
+        assert rgb.shape == (h, w, 3)
+        y = Y.astype(np.float64)
+        cb = Cb.astype(np.float64) - 128.0
+        cr = Cr.astype(np.float64) - 128.0
+        exp = np.clip(
+            np.stack(
+                [
+                    np.floor(y + 1.402 * cr + 0.5),
+                    np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5),
+                    np.floor(y + 1.772 * cb + 0.5),
+                ],
+                axis=-1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert (rgb == exp).all()
+
+
+def test_jpeg_color_rejects_subsampled():
+    """4:2:0 chroma subsampling stays PIL-gated: a SOF0 whose luma
+    sampling byte is 0x22 must raise, not decode a wrong-size raster."""
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+    )
+
+    blob = bytearray(encode_jpeg_color(8, 8, bytes(64), bytes(64), bytes(64)))
+    sof = blob.index(b"\xff\xc0")
+    # component 1's sampling byte sits 8 bytes past the SOF0 marker's
+    # 6-byte prec/h/w/nc header (marker+len = 4, +6 header, +1 comp id)
+    blob[sof + 4 + 6 + 1] = 0x22
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(blob))
+
+
+def test_gif_interlaced_roundtrip_all_pass_shapes():
+    """Interlaced encode → decode equals non-interlaced decode for every
+    height 1..17 (partial-pass edge cases: h=1 only pass 1, h=2 passes
+    1+4, h=3 passes 1+3+4, h>=5 all four) and a 40-row all-pass case."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        _gif_interlace_rows,
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    for h in list(range(1, 18)) + [40]:
+        w = 5 + h % 9
+        idx = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+        rgb_i = decode_gif_pixels(encode_gif(w, h, idx, interlace=True))
+        rgb_n = decode_gif_pixels(encode_gif(w, h, idx))
+        assert (rgb_i == rgb_n).all(), h
+        assert bytes(rgb_i[:, :, 0].flatten()) == idx, h
+        # the pass table is a permutation of 0..h-1
+        assert sorted(_gif_interlace_rows(h)) == list(range(h))
