@@ -853,6 +853,9 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext98  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext99  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext100  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext101  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext102  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext103  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
