@@ -59,13 +59,15 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, str]:
 
 def decode_image(blob: bytes):
     """Full pixel decode → (h, w[, c]) uint8 array. PNG decodes natively
-    (:func:`decode_png_pixels` — stdlib zlib + spec predictors), baseline
-    JPEG natively in grayscale AND YCbCr 4:4:4 color
-    (:func:`decode_jpeg_pixels` — DHT Huffman + IDCT + BT.601), and GIF
-    natively, interlaced or not (:func:`decode_gif_pixels` —
-    variable-width LZW + palette + 4-pass de-interlace); the remaining
-    tiers (progressive JPEG, 4:2:0/4:2:2 chroma subsampling, everything
-    else) require PIL and raise NotImplementedError without it."""
+    (:func:`decode_png_pixels` — stdlib zlib + spec predictors), JPEG
+    natively in baseline grayscale, baseline YCbCr 4:4:4 color, AND
+    progressive grayscale (SOF2 spectral selection — multi-scan
+    coefficient accumulation with EOB-run coding), and GIF natively,
+    interlaced or not (:func:`decode_gif_pixels` — variable-width LZW +
+    palette + 4-pass de-interlace); the remaining tiers
+    (successive-approximation/color progressive, 4:2:0/4:2:2 chroma
+    subsampling, everything else) require PIL and raise
+    NotImplementedError without it."""
     b = bytes(blob or b"")
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
@@ -389,6 +391,15 @@ _DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
 _AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+# Progressive AC table: adds the EOB-run symbols (r<<4 | 0 for r 1..14,
+# meaning an end-of-band run of 2^r + r-extension-bits blocks) the
+# sequential table has no use for — 176 symbols, all 8-bit.
+_ACP_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_ACP_VALS = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
 
 _JPEG_Q = 16  # flat quantization step (declared in DQT; any step works)
 
@@ -600,6 +611,125 @@ def encode_jpeg_color(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
     )
 
 
+def encode_jpeg_progressive(
+    width: int, height: int, pixels, bands: tuple[int, ...] = (1, 6, 64)
+) -> bytes:
+    """Encode row-major 8-bit grayscale ``pixels`` as a real PROGRESSIVE
+    JFIF (SOF2, spectral selection): a DC scan (Ss=Se=0) followed by one
+    AC scan per spectral band between the ``bands`` boundaries (default:
+    coefficients 1–5, then 6–63 — the classic coarse-then-detail
+    delivery).  Successive approximation is not used (Ah=Al=0 in every
+    scan), which is the legal spectral-selection-only subset of
+    progressive mode.  AC scans use the progressive entropy alphabet:
+    end-of-band RUNS (symbol r<<4, run length 2^r + r extension bits)
+    compress blocks with no coefficients in the band — the feature that
+    distinguishes progressive from baseline entropy coding.  Same flat-16
+    quantization and FDCT as the baseline encoder, so a given image has
+    IDENTICAL quantized coefficients in both layouts (the round-trip
+    test equates baseline and progressive decodes bit for bit)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(list(pixels) if not hasattr(pixels, "shape") else pixels,
+                    dtype=np.uint8).reshape(height, width)
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = np.pad(px, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    m = _dct_mat()
+    # quantized zigzag coefficients for every block, raster order
+    blocks: list[list[int]] = []
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            coef = m @ (block - 128.0) @ m.T
+            q = np.rint(coef / _JPEG_Q).astype(int)
+            blocks.append([int(q.flat[i]) for i in _ZZ])
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+
+    scans: list[bytes] = []
+    # scan 1: DC, differential, as in baseline
+    w = _BitWriter()
+    prev_dc = 0
+    for zz in blocks:
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        s = _category(diff)
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans.append(w.flush())
+
+    # AC band scans with EOB-run coding
+    band_edges = [1] + [b for b in bands if 1 < b <= 64]
+    if band_edges[-1] != 64:
+        band_edges.append(64)
+    for ss, se_excl in zip(band_edges[:-1], band_edges[1:]):
+        se = se_excl - 1
+        w = _BitWriter()
+        eobrun = 0
+
+        def flush_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            w.write(code, length)
+            if r:
+                w.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for zz in blocks:
+            nz = [k for k in range(ss, se + 1) if zz[k]]
+            if not nz:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            for k in range(ss, se + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                s = _category(v)
+                code, length = ac_codes[(run << 4) | s]
+                w.write(code, length)
+                w.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < se:
+                eobrun = 1  # trailing zeros end the band: open an EOB run
+        flush_eobrun()
+        scans.append((ss, se, w.flush()))  # type: ignore[arg-type]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes(_JPEG_Q for _ in range(64))
+    out = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + qtab)
+        + seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS))
+        # DC scan: Ss=0 Se=0 Ah=0 Al=0
+        + seg(0xDA, b"\x01\x01\x00\x00\x00\x00")
+        + scans[0]
+    )
+    for ss, se, data in scans[1:]:  # type: ignore[misc]
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, 0x00])) + data
+    return out + b"\xff\xd9"
+
+
 class _BitReader:
     """MSB-first reader over the entropy segment; un-stuffs 0xFF 0x00 and
     stops at any real marker."""
@@ -646,6 +776,156 @@ def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> in
 
 def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _next_marker(b: bytes, p: int) -> int:
+    """Position of the next real marker (0xFF + non-zero, skipping stuffed
+    FF00 pairs and FF fill bytes) at or after ``p``."""
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            while p + 1 < len(b) and b[p + 1] == 0xFF:  # fill bytes
+                p += 1
+            return p
+        p += 1
+    raise ValueError("ran off the end looking for a marker")
+
+
+def _decode_jpeg_progressive(b: bytes):
+    """Progressive (SOF2) JPEG decode, spectral-selection subset: a DC
+    scan plus any number of single-component AC band scans accumulate
+    the quantized coefficient plane scan by scan; dequantize + IDCT run
+    once at EOI.  Supports 8-bit single-component (grayscale) frames
+    with Ah=Al=0 in every scan; raises NotImplementedError for
+    successive approximation (Ah/Al nonzero), progressive color, and
+    restart intervals — the documented residual of the decode tier."""
+    import struct
+
+    import numpy as np
+
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    coefs = None  # (n_blocks, 64) int64, zigzag order
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        payload = b[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtabs[tq] = list(payload[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0xF
+                bits = list(payload[i + 1 : i + 17])
+                nval = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + nval])
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(bits[length - 1]):
+                        table[(length, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htabs[(tc, th)] = table
+                i += 17 + nval
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit precision")
+            if nc != 1:
+                raise NotImplementedError("progressive color JPEG (needs PIL)")
+            if payload[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG")
+            sof = (h, w, payload[8])
+            bw, bh = -(-w // 8), -(-h // 8)
+            coefs = np.zeros((bw * bh, 64), dtype=np.int64)
+        elif marker == 0xDD:
+            if struct.unpack(">H", payload[:2])[0] != 0:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            if sof is None or coefs is None:
+                raise ValueError("SOS before SOF2")
+            ns = payload[0]
+            if ns != 1:
+                raise NotImplementedError("interleaved progressive scan")
+            td, ta = payload[2] >> 4, payload[2] & 0xF
+            ss, se, ahal = payload[3], payload[4], payload[5]
+            ah, al = ahal >> 4, ahal & 0xF
+            if ah or al:
+                raise NotImplementedError(
+                    "successive-approximation progressive (needs PIL)"
+                )
+            if (ss == 0) != (se == 0):
+                # spec B.2.3: a progressive DC scan has Ss=Se=0; an AC
+                # scan has Ss>=1 — a baseline-style 0..63 scan under
+                # SOF2 is malformed (e.g. a marker-flipped file)
+                raise ValueError("malformed progressive scan header")
+            reader = _BitReader(b, pos + 2 + ln)
+            if ss == 0:  # DC scan
+                dc_tab = htabs[(0, td)]
+                prev = 0
+                for i in range(len(coefs)):
+                    s = _decode_huffman(reader, dc_tab)
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    prev += diff
+                    coefs[i, 0] = prev
+            else:  # AC band scan
+                ac_tab = htabs[(1, ta)]
+                eobrun = 0
+                for i in range(len(coefs)):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _decode_huffman(reader, ac_tab)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) + (reader.read_bits(r) if r else 0) - 1
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC run past band end")
+                        coefs[i, k] = _extend(reader.read_bits(s), s)
+                        k += 1
+            pos = _next_marker(b, reader.pos)
+            continue
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed frame types")
+        pos += 2 + ln
+    if sof is None or coefs is None:
+        raise ValueError("missing SOF2/SOS")
+    height, width, tq = sof
+    quant = np.array(qtabs[tq], dtype=float)
+    m = _dct_mat()
+    bw, bh = -(-width // 8), -(-height // 8)
+    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for i in range(len(coefs)):
+        coef = np.zeros(64, dtype=float)
+        for k in range(64):
+            coef[_ZZ[k]] = coefs[i, k] * quant[k]
+        block = m.T @ coef.reshape(8, 8) @ m + 128.0
+        by, bx = divmod(i, bw)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+            np.rint(block), 0, 255
+        ).astype(np.uint8)
+    return out[:height, :width]
 
 
 def decode_jpeg_pixels(blob: bytes):
@@ -726,9 +1006,11 @@ def decode_jpeg_pixels(blob: bytes):
                     raise NotImplementedError("subsampled JPEG")
                 comps.append((cid, tq))
             sof = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # progressive: dedicated multi-scan path
+            return _decode_jpeg_progressive(b)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (progressive etc.)")
+            raise NotImplementedError("non-baseline JPEG (arithmetic etc.)")
         elif marker == 0xDD:  # DRI
             if struct.unpack(">H", payload[:2])[0] != 0:
                 raise NotImplementedError("restart intervals")

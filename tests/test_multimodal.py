@@ -274,8 +274,11 @@ def test_jpeg_baseline_lossy_content_bounded_error():
 
 
 def test_jpeg_decoder_rejects_unsupported():
-    """Progressive frames, multi-component scans, and restart intervals
-    are out of scope and must fail loudly, not decode garbage."""
+    """Unsupported frame types and restart intervals must fail loudly,
+    not decode garbage.  A baseline file whose SOF marker is flipped to
+    SOF2 is now routed to the progressive decoder (r6) and rejected as
+    MALFORMED (its 0..63 scan header is illegal under SOF2) rather than
+    unimplemented."""
     import struct
 
     import pytest as _pytest
@@ -287,9 +290,9 @@ def test_jpeg_decoder_rejects_unsupported():
 
     blob = bytearray(encode_jpeg_baseline(8, 8, bytes(64)))
     sof = blob.index(b"\xff\xc0")
-    progressive = bytes(blob[:sof+1]) + b"\xc2" + bytes(blob[sof+2:])
-    with _pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(progressive)
+    flipped = bytes(blob[:sof+1]) + b"\xc2" + bytes(blob[sof+2:])
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(flipped)
 
     dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
     with_dri = bytes(blob[:sof]) + dri + bytes(blob[sof:])
@@ -544,3 +547,56 @@ def test_gif_interlaced_roundtrip_all_pass_shapes():
         assert bytes(rgb_i[:, :, 0].flatten()) == idx, h
         # the pass table is a permutation of 0..h-1
         assert sorted(_gif_interlace_rows(h)) == list(range(h))
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive (SOF2 spectral-selection) and baseline layouts carry
+    IDENTICAL quantized coefficients, so their decodes must agree bit for
+    bit on arbitrary lossy content — the strongest equivalence check the
+    format offers (it exercises DC scans, AC band scans, ZRL, and
+    EOB-run coding on real data)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        w = int(rng.integers(8, 40))
+        h = int(rng.integers(8, 33))
+        px = (
+            (np.fromfunction(lambda y, x: x * 3 + y * 5, (h, w))
+             + rng.integers(0, 60, (h, w))) % 256
+        ).astype(np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg_baseline(w, h, px.flatten()))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(w, h, px.flatten()))
+        assert base.shape == prog.shape == (h, w)
+        assert (base == prog).all()
+    # band partitioning is a free variable: one-scan and many-scan
+    # variants must all decode identically
+    px = bytes((((x // 8) * 23 + (y // 8) * 41) % 128) * 2
+               for y in range(13) for x in range(21))
+    want = np.frombuffer(px, np.uint8)
+    for bands in [(64,), (2, 4, 8, 16, 32, 64), (10,)]:
+        out = decode_jpeg_pixels(encode_jpeg_progressive(21, 13, px, bands=bands))
+        assert (out.flatten() == want).all(), bands
+
+
+def test_jpeg_progressive_rejects_successive_approximation():
+    """Ah/Al != 0 (successive approximation) stays PIL-gated: flip the
+    last SOS approximation byte and the decoder must refuse."""
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive,
+    )
+
+    blob = bytearray(encode_jpeg_progressive(8, 8, bytes(64)))
+    sos = blob.index(b"\xff\xda")  # first SOS: ...\x01\x01\x00\x00\x00\x00
+    blob[sos + 4 + 5] = 0x01  # Al = 1 on the DC scan
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(blob))
