@@ -611,6 +611,112 @@ def encode_jpeg_color(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
     )
 
 
+def encode_jpeg_420(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
+    """Encode three full-resolution 8-bit planes as a real 4:2:0 baseline
+    JFIF: chroma is 2×2 box-mean downsampled, SOF0 declares Y sampling
+    0x22 / chroma 0x11, and each MCU carries FOUR Y blocks (2×2 raster)
+    + one Cb + one Cr block with per-component DC predictors — the
+    layout virtually every camera JPEG uses.  The decoder's replication
+    upsample inverts the box mean exactly on chroma that is constant per
+    2×2 (and per 16×16 MCU tile in the oracle fixture), which is the
+    block-constant exactness argument extended to subsampling."""
+    import struct
+
+    import numpy as np
+
+    y = np.asarray(list(y_px) if not hasattr(y_px, "shape") else y_px,
+                   dtype=np.uint8).reshape(height, width)
+    cb = np.asarray(list(cb_px) if not hasattr(cb_px, "shape") else cb_px,
+                    dtype=np.uint8).reshape(height, width)
+    cr = np.asarray(list(cr_px) if not hasattr(cr_px, "shape") else cr_px,
+                    dtype=np.uint8).reshape(height, width)
+
+    # pad full-res to even dims (edge), then 2x2 box-mean the chroma
+    ph, pw = height + (height & 1), width + (width & 1)
+    def pad_even(p):
+        return np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+    cb_s = np.rint(
+        pad_even(cb).astype(float).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    ).astype(np.uint8)
+    cr_s = np.rint(
+        pad_even(cr).astype(float).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    ).astype(np.uint8)
+
+    mcols, mrows = -(-width // 16), -(-height // 16)
+    y_p = np.pad(y, ((0, mrows * 16 - height), (0, mcols * 16 - width)),
+                 mode="edge")
+    cb_p = np.pad(cb_s, ((0, mrows * 8 - cb_s.shape[0]),
+                         (0, mcols * 8 - cb_s.shape[1])), mode="edge")
+    cr_p = np.pad(cr_s, ((0, mrows * 8 - cr_s.shape[0]),
+                         (0, mcols * 8 - cr_s.shape[1])), mode="edge")
+
+    m = _dct_mat()
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+
+    def put_block(plane, r0, c0, ci):
+        block = plane[r0 : r0 + 8, c0 : c0 + 8].astype(float)
+        coef = m @ (block - 128.0) @ m.T
+        q = np.rint(coef / _JPEG_Q).astype(int)
+        zz = [int(q.flat[i]) for i in _ZZ]
+        diff = zz[0] - prev_dc[ci]
+        prev_dc[ci] = zz[0]
+        s = _category(diff)
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            w.write(code, length)
+            w.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]
+            w.write(code, length)
+
+    for my in range(mrows):
+        for mx in range(mcols):
+            for by in range(2):
+                for bx in range(2):
+                    put_block(y_p, (my * 2 + by) * 8, (mx * 2 + bx) * 8, 0)
+            put_block(cb_p, my * 8, mx * 8, 1)
+            put_block(cr_p, my * 8, mx * 8, 2)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes(_JPEG_Q for _ in range(64))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + qtab)
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",
+        )
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+        + w.flush()
+        + b"\xff\xd9"
+    )
+
+
 def encode_jpeg_progressive(
     width: int, height: int, pixels, bands: tuple[int, ...] = (1, 6, 64)
 ) -> bytes:
@@ -1000,11 +1106,15 @@ def decode_jpeg_pixels(blob: bytes):
             comps = []
             for ci in range(nc):
                 cid, sampling, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    # 4:4:4 only — 4:2:0 / 4:2:2 chroma subsampling still
-                    # needs a real image library
-                    raise NotImplementedError("subsampled JPEG")
-                comps.append((cid, tq))
+                comps.append((cid, sampling >> 4, sampling & 0xF, tq))
+            samplings = [(hh, vv) for _c, hh, vv, _t in comps]
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (nc == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
+            ):
+                # supported: 4:4:4 (all 1x1) and 4:2:0 (Y 2x2, chroma
+                # 1x1); 4:2:2 and exotic factors still need PIL
+                raise NotImplementedError("unsupported sampling factors")
             sof = (h, w, comps)
         elif marker == 0xC2:  # progressive: dedicated multi-scan path
             return _decode_jpeg_progressive(b)
@@ -1030,52 +1140,73 @@ def decode_jpeg_pixels(blob: bytes):
     if len(comp_spec) != len(comps):
         raise NotImplementedError("SOS component count != SOF (multi-scan)")
     nc = len(comps)
-    quants = [np.array(qtabs[tq], dtype=float) for _cid, tq in comps]
+    quants = [np.array(qtabs[tq], dtype=float) for _cid, _h, _v, tq in comps]
     tabs = [(htabs[(0, td)], htabs[(1, ta)]) for _sid, td, ta in comp_spec]
     m = _dct_mat()
-    bw, bh = -(-width // 8), -(-height // 8)
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
+    hmax = max(hh for _c, hh, _v, _t in comps)
+    vmax = max(vv for _c, _h, vv, _t in comps)
+    mcols, mrows = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    # per-component plane in ITS OWN resolution (chroma stays
+    # subsampled until after IDCT)
+    planes = [
+        np.zeros((mrows * vv * 8, mcols * hh * 8), dtype=np.uint8)
+        for _c, hh, vv, _t in comps
+    ]
     reader = _BitReader(b, scan_pos)
     prev_dc = [0] * nc
-    # 4:4:4 interleaved MCU = one 8x8 block per component, raster order
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(nc):
-                dc_tab, ac_tab = tabs[ci]
-                zz = np.zeros(64, dtype=float)
-                s = _decode_huffman(reader, dc_tab)
-                diff = _extend(reader.read_bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                i = 1
-                while i < 64:
-                    sym = _decode_huffman(reader, ac_tab)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    i += run
-                    if i > 63:
-                        raise ValueError("AC run past block end")
-                    zz[i] = _extend(reader.read_bits(size), size)
-                    i += 1
-                # dequantize in zigzag order, scatter to natural order
-                coef = np.zeros(64, dtype=float)
-                for k in range(64):
-                    coef[_ZZ[k]] = zz[k] * quants[ci][k]
-                block = m.T @ coef.reshape(8, 8) @ m + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.rint(block), 0, 255
-                ).astype(np.uint8)
+
+    def decode_block(ci: int) -> "np.ndarray":
+        dc_tab, ac_tab = tabs[ci]
+        zz = np.zeros(64, dtype=float)
+        s = _decode_huffman(reader, dc_tab)
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        i = 1
+        while i < 64:
+            sym = _decode_huffman(reader, ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            i += run
+            if i > 63:
+                raise ValueError("AC run past block end")
+            zz[i] = _extend(reader.read_bits(size), size)
+            i += 1
+        coef = np.zeros(64, dtype=float)
+        for k in range(64):
+            coef[_ZZ[k]] = zz[k] * quants[ci][k]
+        block = m.T @ coef.reshape(8, 8) @ m + 128.0
+        return np.clip(np.rint(block), 0, 255).astype(np.uint8)
+
+    # interleaved MCU: h_i x v_i blocks per component, raster order —
+    # covers 4:4:4 (1 block each) and 4:2:0 (4 Y + Cb + Cr) uniformly
+    for my in range(mrows):
+        for mx in range(mcols):
+            for ci, (_cid, hh, vv, _tq) in enumerate(comps):
+                for by in range(vv):
+                    for bx in range(hh):
+                        r0 = (my * vv + by) * 8
+                        c0 = (mx * hh + bx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = decode_block(ci)
     if nc == 1:
         return planes[0][:height, :width]
+
+    def upsample(ci: int) -> "np.ndarray":
+        _cid, hh, vv, _tq = comps[ci]
+        p = planes[ci]
+        if (hh, vv) != (hmax, vmax):  # replicate subsampled chroma
+            p = np.repeat(np.repeat(p, vmax // vv, axis=0), hmax // hh, axis=1)
+        return p[:height, :width]
+
     # JFIF YCbCr -> RGB (BT.601), floor(x + 0.5) rounding so the exact
     # same float64 expression is reproducible in SQL oracles
-    y = planes[0][:height, :width].astype(np.float64)
-    cb = planes[1][:height, :width].astype(np.float64) - 128.0
-    cr = planes[2][:height, :width].astype(np.float64) - 128.0
+    y = upsample(0).astype(np.float64)
+    cb = upsample(1).astype(np.float64) - 128.0
+    cr = upsample(2).astype(np.float64) - 128.0
     r = np.floor(y + 1.402 * cr + 0.5)
     g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
     bl = np.floor(y + 1.772 * cb + 0.5)

@@ -507,9 +507,10 @@ def test_jpeg_color_roundtrip_block_constant_exact():
         assert (rgb == exp).all()
 
 
-def test_jpeg_color_rejects_subsampled():
-    """4:2:0 chroma subsampling stays PIL-gated: a SOF0 whose luma
-    sampling byte is 0x22 must raise, not decode a wrong-size raster."""
+def test_jpeg_color_rejects_unsupported_sampling():
+    """4:2:2 (Y 2x1) and exotic factor sets stay PIL-gated — 4:2:0
+    (Y 2x2) became a supported layout in late r6, so the rejection test
+    targets a factor set that remains out of scope."""
     import pytest as _pytest
 
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
@@ -521,7 +522,7 @@ def test_jpeg_color_rejects_subsampled():
     sof = blob.index(b"\xff\xc0")
     # component 1's sampling byte sits 8 bytes past the SOF0 marker's
     # 6-byte prec/h/w/nc header (marker+len = 4, +6 header, +1 comp id)
-    blob[sof + 4 + 6 + 1] = 0x22
+    blob[sof + 4 + 6 + 1] = 0x21  # 4:2:2
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(blob))
 
@@ -598,5 +599,95 @@ def test_jpeg_progressive_rejects_successive_approximation():
     blob = bytearray(encode_jpeg_progressive(8, 8, bytes(64)))
     sos = blob.index(b"\xff\xda")  # first SOS: ...\x01\x01\x00\x00\x00\x00
     blob[sos + 4 + 5] = 0x01  # Al = 1 on the DC scan
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(bytes(blob))
+
+
+def test_jpeg_420_roundtrip_mcu_constant_exact():
+    """4:2:0: Y constant per 8x8 block, chroma per 16x16 MCU tile — the
+    box-mean downsample and replication upsample are both exact, so the
+    RGB output equals the BT.601 closed form. Y varying FINER than
+    chroma is what catches MCU block-order or upsample-alignment bugs."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_420,
+    )
+
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        w = int(rng.integers(16, 50))
+        h = int(rng.integers(16, 40))
+
+        def plane(seed, tile):
+            t = np.zeros((h, w), dtype=np.uint8)
+            for my in range(-(-h // tile)):
+                for mx in range(-(-w // tile)):
+                    t[my * tile : (my + 1) * tile, mx * tile : (mx + 1) * tile] = (
+                        (seed * 37 + mx * 23 + my * 41) % 128
+                    ) * 2
+            return t[:h, :w]
+
+        Y = plane(trial + 1, 8)
+        Cb, Cr = plane(trial + 11, 16), plane(trial + 23, 16)
+        rgb = decode_jpeg_pixels(
+            encode_jpeg_420(w, h, Y.flatten(), Cb.flatten(), Cr.flatten())
+        )
+        y = Y.astype(np.float64)
+        cb = Cb.astype(np.float64) - 128.0
+        cr = Cr.astype(np.float64) - 128.0
+        exp = np.clip(
+            np.stack(
+                [
+                    np.floor(y + 1.402 * cr + 0.5),
+                    np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5),
+                    np.floor(y + 1.772 * cb + 0.5),
+                ],
+                axis=-1,
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert (rgb == exp).all()
+
+
+def test_jpeg_420_vs_444_bounded_on_gradients():
+    """On smooth content the subsampled decode must stay close to the
+    4:4:4 decode (chroma detail loss is bounded, not catastrophic)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_420,
+        encode_jpeg_color,
+    )
+
+    w, h = 32, 24
+    Y = np.fromfunction(lambda y, x: (x * 2 + y * 3) % 256, (h, w)).astype(np.uint8)
+    Cb = np.fromfunction(lambda y, x: (x * 4) % 256, (h, w)).astype(np.uint8)
+    Cr = np.full((h, w), 130, np.uint8)
+    r420 = decode_jpeg_pixels(
+        encode_jpeg_420(w, h, Y.flatten(), Cb.flatten(), Cr.flatten())
+    )
+    r444 = decode_jpeg_pixels(
+        encode_jpeg_color(w, h, Y.flatten(), Cb.flatten(), Cr.flatten())
+    )
+    assert np.abs(r420.astype(int) - r444.astype(int)).max() < 30
+
+
+def test_jpeg_decoder_rejects_422():
+    """4:2:2 (Y 2x1) stays gated — only 4:4:4 and 4:2:0 factor sets are
+    supported."""
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_420,
+    )
+
+    blob = bytearray(encode_jpeg_420(16, 16, bytes(256), bytes(256), bytes(256)))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 4 + 6 + 1] = 0x21  # Y sampling 2x1 = 4:2:2
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(blob))
