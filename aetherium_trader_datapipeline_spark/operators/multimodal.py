@@ -612,17 +612,30 @@ def encode_jpeg_color(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
 
 
 def encode_jpeg_420(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
-    """Encode three full-resolution 8-bit planes as a real 4:2:0 baseline
-    JFIF: chroma is 2×2 box-mean downsampled, SOF0 declares Y sampling
-    0x22 / chroma 0x11, and each MCU carries FOUR Y blocks (2×2 raster)
-    + one Cb + one Cr block with per-component DC predictors — the
-    layout virtually every camera JPEG uses.  The decoder's replication
-    upsample inverts the box mean exactly on chroma that is constant per
-    2×2 (and per 16×16 MCU tile in the oracle fixture), which is the
-    block-constant exactness argument extended to subsampling."""
+    """4:2:0 convenience wrapper over :func:`encode_jpeg_subsampled`."""
+    return encode_jpeg_subsampled(width, height, y_px, cb_px, cr_px, (2, 2))
+
+
+def encode_jpeg_subsampled(
+    width: int, height: int, y_px, cb_px, cr_px,
+    factors: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Encode three full-resolution 8-bit planes as a real chroma-
+    subsampled baseline JFIF.  ``factors`` = (fh, fv) is the Y sampling
+    pair: (2, 2) = 4:2:0 (four Y blocks per MCU — the camera layout),
+    (2, 1) = 4:2:2 (two Y blocks side by side — the broadcast-video
+    layout), (1, 2) = 4:4:0.  Chroma is fh×fv box-mean downsampled and
+    declared 0x11; per-component DC predictors run across MCUs.  The
+    decoder's replication upsample inverts the box mean exactly on
+    chroma that is constant per fh×fv tile, which is the block-constant
+    exactness argument extended to subsampling."""
     import struct
 
     import numpy as np
+
+    fh, fv = factors
+    if (fh, fv) not in ((2, 2), (2, 1), (1, 2)):
+        raise ValueError("factors must be (2,2), (2,1) or (1,2)")
 
     y = np.asarray(list(y_px) if not hasattr(y_px, "shape") else y_px,
                    dtype=np.uint8).reshape(height, width)
@@ -631,19 +644,21 @@ def encode_jpeg_420(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
     cr = np.asarray(list(cr_px) if not hasattr(cr_px, "shape") else cr_px,
                     dtype=np.uint8).reshape(height, width)
 
-    # pad full-res to even dims (edge), then 2x2 box-mean the chroma
-    ph, pw = height + (height & 1), width + (width & 1)
-    def pad_even(p):
+    # pad full-res to factor multiples (edge), then box-mean the chroma
+    ph = -(-height // fv) * fv
+    pw = -(-width // fh) * fh
+    def pad_f(p):
         return np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
-    cb_s = np.rint(
-        pad_even(cb).astype(float).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-    ).astype(np.uint8)
-    cr_s = np.rint(
-        pad_even(cr).astype(float).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-    ).astype(np.uint8)
+    def down(p):
+        return np.rint(
+            pad_f(p).astype(float).reshape(ph // fv, fv, pw // fh, fh)
+            .mean(axis=(1, 3))
+        ).astype(np.uint8)
+    cb_s, cr_s = down(cb), down(cr)
 
-    mcols, mrows = -(-width // 16), -(-height // 16)
-    y_p = np.pad(y, ((0, mrows * 16 - height), (0, mcols * 16 - width)),
+    mcu_w, mcu_h = 8 * fh, 8 * fv
+    mcols, mrows = -(-width // mcu_w), -(-height // mcu_h)
+    y_p = np.pad(y, ((0, mrows * mcu_h - height), (0, mcols * mcu_w - width)),
                  mode="edge")
     cb_p = np.pad(cb_s, ((0, mrows * 8 - cb_s.shape[0]),
                          (0, mcols * 8 - cb_s.shape[1])), mode="edge")
@@ -690,9 +705,9 @@ def encode_jpeg_420(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
 
     for my in range(mrows):
         for mx in range(mcols):
-            for by in range(2):
-                for bx in range(2):
-                    put_block(y_p, (my * 2 + by) * 8, (mx * 2 + bx) * 8, 0)
+            for by in range(fv):
+                for bx in range(fh):
+                    put_block(y_p, (my * fv + by) * 8, (mx * fh + bx) * 8, 0)
             put_block(cb_p, my * 8, mx * 8, 1)
             put_block(cr_p, my * 8, mx * 8, 2)
 
@@ -707,7 +722,8 @@ def encode_jpeg_420(width: int, height: int, y_px, cb_px, cr_px) -> bytes:
         + seg(
             0xC0,
             struct.pack(">BHHB", 8, height, width, 3)
-            + b"\x01\x22\x00\x02\x11\x00\x03\x11\x00",
+            + bytes([0x01, (fh << 4) | fv, 0x00])
+            + b"\x02\x11\x00\x03\x11\x00",
         )
         + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
         + seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -1110,10 +1126,14 @@ def decode_jpeg_pixels(blob: bytes):
             samplings = [(hh, vv) for _c, hh, vv, _t in comps]
             if not (
                 all(s == (1, 1) for s in samplings)
-                or (nc == 3 and samplings == [(2, 2), (1, 1), (1, 1)])
+                or (
+                    nc == 3
+                    and samplings[0] in ((2, 2), (2, 1), (1, 2))
+                    and samplings[1] == samplings[2] == (1, 1)
+                )
             ):
-                # supported: 4:4:4 (all 1x1) and 4:2:0 (Y 2x2, chroma
-                # 1x1); 4:2:2 and exotic factors still need PIL
+                # supported: 4:4:4, 4:2:0 (Y 2x2), 4:2:2 (Y 2x1), 4:4:0
+                # (Y 1x2); exotic factor sets still need PIL
                 raise NotImplementedError("unsupported sampling factors")
             sof = (h, w, comps)
         elif marker == 0xC2:  # progressive: dedicated multi-scan path

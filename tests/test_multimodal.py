@@ -508,9 +508,9 @@ def test_jpeg_color_roundtrip_block_constant_exact():
 
 
 def test_jpeg_color_rejects_unsupported_sampling():
-    """4:2:2 (Y 2x1) and exotic factor sets stay PIL-gated — 4:2:0
-    (Y 2x2) became a supported layout in late r6, so the rejection test
-    targets a factor set that remains out of scope."""
+    """Exotic factor sets stay PIL-gated — 4:2:0/4:2:2/4:4:0 became
+    supported layouts in late r6, so the rejection test targets a
+    factor set that remains out of scope."""
     import pytest as _pytest
 
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
@@ -522,7 +522,7 @@ def test_jpeg_color_rejects_unsupported_sampling():
     sof = blob.index(b"\xff\xc0")
     # component 1's sampling byte sits 8 bytes past the SOF0 marker's
     # 6-byte prec/h/w/nc header (marker+len = 4, +6 header, +1 comp id)
-    blob[sof + 4 + 6 + 1] = 0x21  # 4:2:2
+    blob[sof + 4 + 6 + 1] = 0x41  # 4x1 — beyond every supported set
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(blob))
 
@@ -676,9 +676,56 @@ def test_jpeg_420_vs_444_bounded_on_gradients():
     assert np.abs(r420.astype(int) - r444.astype(int)).max() < 30
 
 
-def test_jpeg_decoder_rejects_422():
-    """4:2:2 (Y 2x1) stays gated — only 4:4:4 and 4:2:0 factor sets are
-    supported."""
+def test_jpeg_subsampled_all_factor_sets_exact():
+    """4:2:2 (Y 2x1) and 4:4:0 (Y 1x2) joined 4:2:0 late r6 — each
+    factor set round-trips exactly on fixtures whose chroma is constant
+    per sampling tile while Y varies per 8x8 block."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_subsampled,
+    )
+
+    for factors, th, tw in [((2, 1), 8, 16), ((1, 2), 16, 8)]:
+        w, h = 35, 21
+
+        def plane(seed, tile_h, tile_w):
+            t = np.zeros((h, w), dtype=np.uint8)
+            for my in range(-(-h // tile_h)):
+                for mx in range(-(-w // tile_w)):
+                    t[my * tile_h : (my + 1) * tile_h,
+                      mx * tile_w : (mx + 1) * tile_w] = (
+                        (seed * 37 + mx * 23 + my * 41) % 128
+                    ) * 2
+            return t[:h, :w]
+
+        Y = plane(1, 8, 8)
+        Cb, Cr = plane(11, th, tw), plane(23, th, tw)
+        rgb = decode_jpeg_pixels(
+            encode_jpeg_subsampled(w, h, Y.flatten(), Cb.flatten(),
+                                   Cr.flatten(), factors)
+        )
+        y = Y.astype(np.float64)
+        cb = Cb.astype(np.float64) - 128.0
+        cr = Cr.astype(np.float64) - 128.0
+        exp = np.clip(
+            np.stack(
+                [
+                    np.floor(y + 1.402 * cr + 0.5),
+                    np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5),
+                    np.floor(y + 1.772 * cb + 0.5),
+                ],
+                axis=-1,
+            ),
+            0, 255,
+        ).astype(np.uint8)
+        assert (rgb == exp).all(), factors
+
+
+def test_jpeg_decoder_rejects_exotic_sampling():
+    """Factor sets beyond 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 (e.g. 3x1)
+    stay PIL-gated."""
     import pytest as _pytest
 
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
@@ -688,6 +735,6 @@ def test_jpeg_decoder_rejects_422():
 
     blob = bytearray(encode_jpeg_420(16, 16, bytes(256), bytes(256), bytes(256)))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 4 + 6 + 1] = 0x21  # Y sampling 2x1 = 4:2:2
+    blob[sof + 4 + 6 + 1] = 0x31  # Y sampling 3x1
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(blob))
