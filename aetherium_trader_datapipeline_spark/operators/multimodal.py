@@ -733,6 +733,136 @@ def encode_jpeg_subsampled(
     )
 
 
+def _quantized_zz_blocks(plane2d) -> list[list[int]]:
+    """FDCT + flat-16 quantize every 8x8 block of an edge-padded plane;
+    returns zigzag coefficient lists in raster block order."""
+    import numpy as np
+
+    h, w = plane2d.shape
+    bw, bh = -(-w // 8), -(-h // 8)
+    padded = np.pad(plane2d, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    m = _dct_mat()
+    out = []
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
+            coef = m @ (block - 128.0) @ m.T
+            q = np.rint(coef / _JPEG_Q).astype(int)
+            out.append([int(q.flat[i]) for i in _ZZ])
+    return out
+
+
+def _write_ac_band_scan(blocks: list[list[int]], ss: int, se: int,
+                        ac_codes) -> bytes:
+    """Entropy-code one progressive AC band scan (Ah=Al=0) with EOB-run
+    coding over ``blocks``; returns the byte-stuffed scan data."""
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eobrun() -> None:
+        nonlocal eobrun
+        if eobrun == 0:
+            return
+        r = eobrun.bit_length() - 1
+        code, length = ac_codes[r << 4]
+        w.write(code, length)
+        if r:
+            w.write(eobrun - (1 << r), r)
+        eobrun = 0
+
+    for zz in blocks:
+        nz = [k for k in range(ss, se + 1) if zz[k]]
+        if not nz:
+            eobrun += 1
+            if eobrun == 32767:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for k in range(ss, se + 1):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                w.write(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = ac_codes[(run << 4) | s]
+            w.write(code, length)
+            w.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if nz[-1] < se:
+            eobrun = 1  # trailing zeros end the band: open an EOB run
+    flush_eobrun()
+    return w.flush()
+
+
+def encode_jpeg_progressive_color(
+    width: int, height: int, y_px, cb_px, cr_px,
+    bands: tuple[int, ...] = (1, 6, 64),
+) -> bytes:
+    """Three-component (YCbCr 4:4:4) PROGRESSIVE JFIF, spectral
+    selection: one INTERLEAVED DC scan (ns=3, per-component predictors
+    — the layout real progressive color files use) followed by one AC
+    band scan PER COMPONENT per band (AC scans are single-component by
+    spec).  Same coefficients as the baseline color encoder, so the
+    round-trip test equates both decodes bit for bit."""
+    import struct
+
+    import numpy as np
+
+    planes = [
+        np.asarray(list(p) if not hasattr(p, "shape") else p,
+                   dtype=np.uint8).reshape(height, width)
+        for p in (y_px, cb_px, cr_px)
+    ]
+    blocks = [_quantized_zz_blocks(p) for p in planes]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+
+    # interleaved DC scan
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for i in range(len(blocks[0])):
+        for ci in range(3):
+            diff = blocks[ci][i][0] - prev[ci]
+            prev[ci] = blocks[ci][i][0]
+            s = _category(diff)
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    dc_scan = w.flush()
+
+    band_edges = [1] + [bb for bb in bands if 1 < bb <= 64]
+    if band_edges[-1] != 64:
+        band_edges.append(64)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes(_JPEG_Q for _ in range(64))
+    out = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + qtab)
+        + seg(0xC2, struct.pack(">BHHB", 8, height, width, 3)
+              + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS))
+        + seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x00\x00")
+        + dc_scan
+    )
+    for ss, se_excl in zip(band_edges[:-1], band_edges[1:]):
+        se = se_excl - 1
+        for ci in range(3):
+            data = _write_ac_band_scan(blocks[ci], ss, se, ac_codes)
+            out += seg(0xDA, bytes([1, ci + 1, 0x00, ss, se, 0x00])) + data
+    return out + b"\xff\xd9"
+
+
 def encode_jpeg_progressive(
     width: int, height: int, pixels, bands: tuple[int, ...] = (1, 6, 64)
 ) -> bytes:
@@ -966,24 +1096,32 @@ def _decode_jpeg_progressive(b: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
-            if nc != 1:
-                raise NotImplementedError("progressive color JPEG (needs PIL)")
-            if payload[7] != 0x11:
-                raise NotImplementedError("subsampled JPEG")
-            sof = (h, w, payload[8])
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component progressive JPEG")
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError("subsampled progressive JPEG")
+                comps.append((cid, tq))
+            sof = (h, w, comps)
             bw, bh = -(-w // 8), -(-h // 8)
-            coefs = np.zeros((bw * bh, 64), dtype=np.int64)
+            coefs = [np.zeros((bw * bh, 64), dtype=np.int64) for _ in range(nc)]
         elif marker == 0xDD:
             if struct.unpack(">H", payload[:2])[0] != 0:
                 raise NotImplementedError("restart intervals")
         elif marker == 0xDA:
             if sof is None or coefs is None:
                 raise ValueError("SOS before SOF2")
+            cid_to_ci = {cid: ci for ci, (cid, _tq) in enumerate(sof[2])}
             ns = payload[0]
-            if ns != 1:
-                raise NotImplementedError("interleaved progressive scan")
-            td, ta = payload[2] >> 4, payload[2] & 0xF
-            ss, se, ahal = payload[3], payload[4], payload[5]
+            scan_comps = []
+            for si in range(ns):
+                sid = payload[1 + 2 * si]
+                tsel = payload[2 + 2 * si]
+                scan_comps.append((cid_to_ci[sid], tsel >> 4, tsel & 0xF))
+            off = 1 + 2 * ns
+            ss, se, ahal = payload[off], payload[off + 1], payload[off + 2]
             ah, al = ahal >> 4, ahal & 0xF
             if ah or al:
                 raise NotImplementedError(
@@ -995,18 +1133,23 @@ def _decode_jpeg_progressive(b: bytes):
                 # SOF2 is malformed (e.g. a marker-flipped file)
                 raise ValueError("malformed progressive scan header")
             reader = _BitReader(b, pos + 2 + ln)
-            if ss == 0:  # DC scan
-                dc_tab = htabs[(0, td)]
-                prev = 0
-                for i in range(len(coefs)):
-                    s = _decode_huffman(reader, dc_tab)
-                    diff = _extend(reader.read_bits(s), s) if s else 0
-                    prev += diff
-                    coefs[i, 0] = prev
-            else:  # AC band scan
+            if ss == 0:  # DC scan — may be interleaved over components
+                prevs = {ci: 0 for ci, _td, _ta in scan_comps}
+                for i in range(len(coefs[0])):
+                    for ci, td, _ta in scan_comps:
+                        dc_tab = htabs[(0, td)]
+                        s = _decode_huffman(reader, dc_tab)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        prevs[ci] += diff
+                        coefs[ci][i, 0] = prevs[ci]
+            else:  # AC band scan — spec: always single-component
+                if ns != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                ci, _td, ta = scan_comps[0]
                 ac_tab = htabs[(1, ta)]
+                plane = coefs[ci]
                 eobrun = 0
-                for i in range(len(coefs)):
+                for i in range(len(plane)):
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -1023,7 +1166,7 @@ def _decode_jpeg_progressive(b: bytes):
                         k += r
                         if k > se:
                             raise ValueError("AC run past band end")
-                        coefs[i, k] = _extend(reader.read_bits(s), s)
+                        plane[i, k] = _extend(reader.read_bits(s), s)
                         k += 1
             pos = _next_marker(b, reader.pos)
             continue
@@ -1033,21 +1176,33 @@ def _decode_jpeg_progressive(b: bytes):
         pos += 2 + ln
     if sof is None or coefs is None:
         raise ValueError("missing SOF2/SOS")
-    height, width, tq = sof
-    quant = np.array(qtabs[tq], dtype=float)
+    height, width, comps = sof
     m = _dct_mat()
     bw, bh = -(-width // 8), -(-height // 8)
-    out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-    for i in range(len(coefs)):
-        coef = np.zeros(64, dtype=float)
-        for k in range(64):
-            coef[_ZZ[k]] = coefs[i, k] * quant[k]
-        block = m.T @ coef.reshape(8, 8) @ m + 128.0
-        by, bx = divmod(i, bw)
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-            np.rint(block), 0, 255
-        ).astype(np.uint8)
-    return out[:height, :width]
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        quant = np.array(qtabs[tq], dtype=float)
+        out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        for i in range(len(coefs[ci])):
+            coef = np.zeros(64, dtype=float)
+            for k in range(64):
+                coef[_ZZ[k]] = coefs[ci][i, k] * quant[k]
+            block = m.T @ coef.reshape(8, 8) @ m + 128.0
+            by, bx = divmod(i, bw)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+        planes.append(out[:height, :width])
+    if len(planes) == 1:
+        return planes[0]
+    # JFIF YCbCr -> RGB, same floor(x+0.5) convention as baseline color
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = np.floor(y + 1.402 * cr + 0.5)
+    g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
+    bl = np.floor(y + 1.772 * cb + 0.5)
+    return np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
 
 
 def decode_jpeg_pixels(blob: bytes):

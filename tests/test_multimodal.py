@@ -738,3 +738,34 @@ def test_jpeg_decoder_rejects_exotic_sampling():
     blob[sof + 4 + 6 + 1] = 0x31  # Y sampling 3x1
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(bytes(blob))
+
+
+def test_jpeg_progressive_color_equals_baseline_color():
+    """Progressive color (interleaved DC scan + per-component AC band
+    scans) and baseline 4:4:4 color carry identical coefficients — the
+    decodes must agree bit for bit on random lossy content."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+        encode_jpeg_progressive_color,
+    )
+
+    rng = np.random.default_rng(9)
+    for trial in range(3):
+        w = int(rng.integers(8, 40))
+        h = int(rng.integers(8, 33))
+        Y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        Cb = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        Cr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = decode_jpeg_pixels(
+            encode_jpeg_color(w, h, Y.flatten(), Cb.flatten(), Cr.flatten())
+        )
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive_color(
+                w, h, Y.flatten(), Cb.flatten(), Cr.flatten()
+            )
+        )
+        assert base.shape == prog.shape == (h, w, 3)
+        assert (base == prog).all()
