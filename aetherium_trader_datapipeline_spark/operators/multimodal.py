@@ -863,6 +863,121 @@ def encode_jpeg_progressive_color(
     return out + b"\xff\xd9"
 
 
+def encode_jpeg_progressive_sa(
+    width: int, height: int, pixels, first_al: int = 1
+) -> bytes:
+    """Encode grayscale ``pixels`` as a SUCCESSIVE-APPROXIMATION
+    progressive JFIF — the scan script libjpeg-style encoders emit by
+    default: DC first at Al=``first_al`` (arithmetic-shift point
+    transform), AC 1–63 first at Al=``first_al`` (truncate-toward-zero
+    point transform, per spec A.4's DC/AC asymmetry), then a DC
+    refinement scan (one raw bit per block) and an AC refinement scan
+    (correction bits on already-significant coefficients interleaved
+    with run-coded newly-significant ±1·2^Al values — spec G.1.2.3).
+    The refinement protocol's bit ordering (symbol, sign, then the
+    pending correction bits of positions passed) mirrors the decoder
+    exactly; EOB runs are flushed per block (legal — an encoder may
+    pick any run lengths)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(list(pixels) if not hasattr(pixels, "shape") else pixels,
+                    dtype=np.uint8).reshape(height, width)
+    blocks = _quantized_zz_blocks(px)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+    al = first_al
+
+    def trunc_shift(v: int, n: int) -> int:
+        return v >> n if v >= 0 else -((-v) >> n)
+
+    # scan 1: DC first, Al = al (arithmetic shift)
+    w = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        t = zz[0] >> al
+        diff = t - prev
+        prev = t
+        s = _category(diff)
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    dc_first = w.flush()
+
+    # scan 2: AC 1-63 first, Al = al (truncation toward zero)
+    t_blocks = [[trunc_shift(v, al) for v in zz] for zz in blocks]
+    ac_first = _write_ac_band_scan(t_blocks, 1, 63, ac_codes)
+
+    # scan 3: DC refinement (Ah=al, Al=al-1 ... down to 0 — single step
+    # here since first_al defaults to 1): one raw bit per block
+    w = _BitWriter()
+    for zz in blocks:
+        w.write((zz[0] >> (al - 1)) & 1, 1)
+    dc_ref = w.flush()
+
+    # scan 4: AC refinement, Ah=al, Al=al-1 (spec G.1.2.3 bit protocol)
+    ral = al - 1
+    w = _BitWriter()
+    for zz in blocks:
+        pending: list[int] = []
+        r = 0
+        emitted_to = 0  # band position after the last emitted new coef
+        for k in range(1, 64):
+            v = zz[k]
+            hist = trunc_shift(abs(v), ral + 1)
+            now = trunc_shift(abs(v), ral)
+            if hist:  # already significant: queue a correction bit
+                pending.append(now & 1)
+            elif now == 1:  # newly significant at this level
+                while r > 15:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    for bit in pending:
+                        w.write(bit, 1)
+                    pending = []
+                    r -= 16
+                code, length = ac_codes[(r << 4) | 1]
+                w.write(code, length)
+                w.write(1 if v > 0 else 0, 1)
+                for bit in pending:
+                    w.write(bit, 1)
+                pending = []
+                r = 0
+                emitted_to = k + 1
+            else:
+                r += 1
+        if emitted_to < 64 or pending:
+            code, length = ac_codes[0x00]  # EOB, run = 1 (this block)
+            w.write(code, length)
+            for bit in pending:
+                w.write(bit, 1)
+    ac_ref = w.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes(_JPEG_Q for _ in range(64))
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + qtab)
+        + seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, al]))          # DC first, Al=al
+        + dc_first
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, al]))         # AC first, Al=al
+        + ac_first
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, (al << 4) | (al - 1)]))  # DC ref
+        + dc_ref
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, (al << 4) | (al - 1)]))  # AC ref
+        + ac_ref
+        + b"\xff\xd9"
+    )
+
+
 def encode_jpeg_progressive(
     width: int, height: int, pixels, bands: tuple[int, ...] = (1, 6, 64)
 ) -> bytes:
@@ -1123,17 +1238,16 @@ def _decode_jpeg_progressive(b: bytes):
             off = 1 + 2 * ns
             ss, se, ahal = payload[off], payload[off + 1], payload[off + 2]
             ah, al = ahal >> 4, ahal & 0xF
-            if ah or al:
-                raise NotImplementedError(
-                    "successive-approximation progressive (needs PIL)"
-                )
             if (ss == 0) != (se == 0):
                 # spec B.2.3: a progressive DC scan has Ss=Se=0; an AC
                 # scan has Ss>=1 — a baseline-style 0..63 scan under
                 # SOF2 is malformed (e.g. a marker-flipped file)
                 raise ValueError("malformed progressive scan header")
             reader = _BitReader(b, pos + 2 + ln)
-            if ss == 0:  # DC scan — may be interleaved over components
+            if ss == 0 and ah == 0:
+                # DC first scan (possibly interleaved); values are
+                # point-transformed by Al (arithmetic shift), stored at
+                # full scale (<< Al) so refinements just add bit << Al
                 prevs = {ci: 0 for ci, _td, _ta in scan_comps}
                 for i in range(len(coefs[0])):
                     for ci, td, _ta in scan_comps:
@@ -1141,8 +1255,13 @@ def _decode_jpeg_progressive(b: bytes):
                         s = _decode_huffman(reader, dc_tab)
                         diff = _extend(reader.read_bits(s), s) if s else 0
                         prevs[ci] += diff
-                        coefs[ci][i, 0] = prevs[ci]
-            else:  # AC band scan — spec: always single-component
+                        coefs[ci][i, 0] = prevs[ci] << al
+            elif ss == 0:  # DC refinement: one raw bit per block/component
+                for i in range(len(coefs[0])):
+                    for ci, _td, _ta in scan_comps:
+                        if reader.read_bit():
+                            coefs[ci][i, 0] += 1 << al
+            elif ah == 0:  # AC first scan (single-component by spec)
                 if ns != 1:
                     raise ValueError("interleaved progressive AC scan")
                 ci, _td, ta = scan_comps[0]
@@ -1166,8 +1285,62 @@ def _decode_jpeg_progressive(b: bytes):
                         k += r
                         if k > se:
                             raise ValueError("AC run past band end")
-                        plane[i, k] = _extend(reader.read_bits(s), s)
+                        plane[i, k] = _extend(reader.read_bits(s), s) << al
                         k += 1
+            else:  # AC refinement scan (spec G.1.2.3)
+                if ns != 1:
+                    raise ValueError("interleaved progressive AC scan")
+                ci, _td, ta = scan_comps[0]
+                ac_tab = htabs[(1, ta)]
+                plane = coefs[ci]
+                p1, m1_ = 1 << al, -1 << al
+                eobrun = 0
+
+                def refine_tail(row, k):
+                    for kk in range(k, se + 1):
+                        if plane[row, kk]:
+                            if reader.read_bit():
+                                plane[row, kk] += (
+                                    p1 if plane[row, kk] > 0 else m1_
+                                )
+
+                for i in range(len(plane)):
+                    if eobrun:
+                        refine_tail(i, ss)
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _decode_huffman(reader, ac_tab)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0 and r < 15:  # EOB run
+                            eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                            break
+                        if s == 0:  # ZRL: 16 zero-history skips
+                            newval = 0
+                        elif s == 1:
+                            newval = p1 if reader.read_bit() else m1_
+                        else:
+                            raise ValueError("refinement size > 1")
+                        # advance past r zero-history positions, applying
+                        # correction bits to nonzero-history ones passed
+                        while k <= se:
+                            if plane[i, k]:
+                                if reader.read_bit():
+                                    plane[i, k] += (
+                                        p1 if plane[i, k] > 0 else m1_
+                                    )
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            plane[i, k] = newval
+                        k += 1
+                    if eobrun:
+                        refine_tail(i, k)
+                        eobrun -= 1
             pos = _next_marker(b, reader.pos)
             continue
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,

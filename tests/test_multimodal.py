@@ -586,9 +586,14 @@ def test_jpeg_progressive_equals_baseline_decode():
         assert (out.flatten() == want).all(), bands
 
 
-def test_jpeg_progressive_rejects_successive_approximation():
-    """Ah/Al != 0 (successive approximation) stays PIL-gated: flip the
-    last SOS approximation byte and the decoder must refuse."""
+def test_jpeg_progressive_sa_flip_decodes_coarser():
+    """Successive approximation became a SUPPORTED path late r6: marking
+    an Al=0 DC scan as Al=1 is legal (the decoder left-shifts the
+    point-transformed values), so the flipped file decodes — at doubled
+    DC magnitude, clamped — rather than raising. A 4-component SOF2
+    stays gated."""
+    import struct
+
     import pytest as _pytest
 
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
@@ -596,11 +601,22 @@ def test_jpeg_progressive_rejects_successive_approximation():
         encode_jpeg_progressive,
     )
 
-    blob = bytearray(encode_jpeg_progressive(8, 8, bytes(64)))
+    blob = bytearray(encode_jpeg_progressive(8, 8, bytes([100] * 64)))
+    out = decode_jpeg_pixels(bytes(blob))
+    assert out.shape == (8, 8) and int(out[0, 0]) == 100
     sos = blob.index(b"\xff\xda")  # first SOS: ...\x01\x01\x00\x00\x00\x00
-    blob[sos + 4 + 5] = 0x01  # Al = 1 on the DC scan
+    blob[sos + 4 + 5] = 0x01  # claim Al=1 on the DC scan
+    coarse = decode_jpeg_pixels(bytes(blob))
+    # DC (100-128)*... doubled shift: (q<<1) dequant → darker than 100
+    assert coarse.shape == (8, 8) and int(coarse[0, 0]) != 100
+
+    sof2 = blob.index(b"\xff\xc2")
+    bad = bytearray(blob)
+    bad[sof2 + 2 : sof2 + 4] = struct.pack(">H", 8 + 3 * 4)
+    bad[sof2 + 9] = 4  # 4 components
     with _pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(bytes(blob))
+        decode_jpeg_pixels(bytes(bad[: sof2 + 10]) + b"\x01\x11\x00" * 4
+                           + bytes(bad[sof2 + 13 :]))
 
 
 def test_jpeg_420_roundtrip_mcu_constant_exact():
@@ -769,3 +785,32 @@ def test_jpeg_progressive_color_equals_baseline_color():
         )
         assert base.shape == prog.shape == (h, w, 3)
         assert (base == prog).all()
+
+
+def test_jpeg_successive_approximation_equals_baseline():
+    """The SA scan script (DC/AC first at Al=1 + refinement scans down
+    to Al=0) carries the same coefficients as baseline once fully
+    refined — decodes must agree bit for bit on random lossy content.
+    This exercises the G.1.2.3 refinement protocol: correction bits on
+    already-significant coefficients, run-coded newly-significant
+    values, ZRL-with-pending-bits, and per-block EOB tails."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive_sa,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        w = int(rng.integers(8, 40))
+        h = int(rng.integers(8, 33))
+        px = (
+            (np.fromfunction(lambda y, x: x * 3 + y * 5, (h, w))
+             + rng.integers(0, 80, (h, w))) % 256
+        ).astype(np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg_baseline(w, h, px.flatten()))
+        sa = decode_jpeg_pixels(encode_jpeg_progressive_sa(w, h, px.flatten()))
+        assert base.shape == sa.shape == (h, w)
+        assert (base == sa).all()
