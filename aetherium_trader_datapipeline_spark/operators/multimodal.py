@@ -458,12 +458,16 @@ def _category(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
-def encode_jpeg_baseline(width: int, height: int, pixels) -> bytes:
+def encode_jpeg_baseline(width: int, height: int, pixels,
+                         restart_interval: int = 0) -> bytes:
     """Encode row-major 8-bit grayscale ``pixels`` (len = w*h) as a real
     baseline JFIF: FDCT, flat-16 quantization, zigzag, DC-differential +
     AC run-length canonical Huffman, byte-stuffed entropy scan. Edge
     blocks pad by edge replication (constant regions stay constant, which
-    is what makes the x289 oracle exact)."""
+    is what makes the x289 oracle exact).  ``restart_interval`` > 0
+    emits a DRI segment and splits the scan into byte-aligned chunks
+    separated by cycling RST0–RST7 markers with DC predictors reset —
+    the error-resilience feature streaming decoders resync on."""
     import struct
 
     import numpy as np
@@ -476,9 +480,19 @@ def encode_jpeg_baseline(width: int, height: int, pixels) -> bytes:
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
+    scan = bytearray()
     prev_dc = 0
+    mcu_idx = 0
+    rst_n = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                scan += w.flush()
+                scan += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                w = _BitWriter()
+                prev_dc = 0
+            mcu_idx += 1
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float)
             coef = m @ (block - 128.0) @ m.T
             q = np.rint(coef / _JPEG_Q).astype(int)
@@ -509,11 +523,14 @@ def encode_jpeg_baseline(width: int, height: int, pixels) -> bytes:
             if last_nz < 63:
                 code, length = ac_codes[0x00]
                 w.write(code, length)
+    scan += w.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
     qtab = bytes(_JPEG_Q for _ in range(64))
+    dri = (seg(0xDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     return (
         b"\xff\xd8"
         + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
@@ -521,8 +538,9 @@ def encode_jpeg_baseline(width: int, height: int, pixels) -> bytes:
         + seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
         + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
         + seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + dri
         + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
-        + w.flush()
+        + bytes(scan)
         + b"\xff\xd9"
     )
 
@@ -1129,6 +1147,19 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def expect_rst(self, n: int) -> None:
+        """Byte-align (discarding pad bits) and consume the RSTn marker
+        a restart interval ends with."""
+        self._n = 0
+        self._acc = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n & 7)
+        ):
+            raise ValueError(f"expected RST{n & 7} marker")
+        self.pos += 2
+
 
 def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, length = 0, 0
@@ -1408,6 +1439,7 @@ def decode_jpeg_pixels(blob: bytes):
     sof = None
     scan_pos = None
     comp_spec = None
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -1469,9 +1501,8 @@ def decode_jpeg_pixels(blob: bytes):
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (arithmetic etc.)")
-        elif marker == 0xDD:  # DRI
-            if struct.unpack(">H", payload[:2])[0] != 0:
-                raise NotImplementedError("restart intervals")
+        elif marker == 0xDD:  # DRI: restart every Ri MCUs
+            restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = payload[0]
             comp_spec = [
@@ -1531,9 +1562,16 @@ def decode_jpeg_pixels(blob: bytes):
         return np.clip(np.rint(block), 0, 255).astype(np.uint8)
 
     # interleaved MCU: h_i x v_i blocks per component, raster order —
-    # covers 4:4:4 (1 block each) and 4:2:0 (4 Y + Cb + Cr) uniformly
+    # covers 4:4:4 (1 block each) and 4:2:0 (4 Y + Cb + Cr) uniformly;
+    # at each restart boundary the entropy stream byte-aligns, an RSTn
+    # marker (cycling 0..7) is consumed, and DC predictors reset
+    mcu_idx = 0
     for my in range(mrows):
         for mx in range(mcols):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                reader.expect_rst((mcu_idx // restart_interval - 1) % 8)
+                prev_dc = [0] * nc
+            mcu_idx += 1
             for ci, (_cid, hh, vv, _tq) in enumerate(comps):
                 for by in range(vv):
                     for bx in range(hh):

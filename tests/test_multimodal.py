@@ -294,10 +294,12 @@ def test_jpeg_decoder_rejects_unsupported():
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(flipped)
 
+    # DRI became a supported feature late r6: a declared interval that
+    # never reaches a restart boundary (8 MCUs declared, 1 present)
+    # decodes unchanged rather than raising
     dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
     with_dri = bytes(blob[:sof]) + dri + bytes(blob[sof:])
-    with _pytest.raises(NotImplementedError):
-        decode_jpeg_pixels(with_dri)
+    assert decode_jpeg_pixels(with_dri).shape == (8, 8)
 
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(b"\x89PNG not a jpeg")
@@ -814,3 +816,38 @@ def test_jpeg_successive_approximation_equals_baseline():
         sa = decode_jpeg_pixels(encode_jpeg_progressive_sa(w, h, px.flatten()))
         assert base.shape == sa.shape == (h, w)
         assert (base == sa).all()
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI + RSTn resync (late r6): a scan split into byte-aligned
+    restart chunks with cycling RST0-7 markers and DC-predictor resets
+    must decode identically to the unsegmented scan."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(13)
+    for trial in range(3):
+        w = int(rng.integers(8, 60))
+        h = int(rng.integers(8, 40))
+        ri = int(rng.integers(1, 7))
+        px = (
+            (np.fromfunction(lambda y, x: x * 3 + y * 5, (h, w))
+             + rng.integers(0, 80, (h, w))) % 256
+        ).astype(np.uint8)
+        plain = decode_jpeg_pixels(encode_jpeg_baseline(w, h, px.flatten()))
+        rst = decode_jpeg_pixels(
+            encode_jpeg_baseline(w, h, px.flatten(), restart_interval=ri)
+        )
+        assert (plain == rst).all(), (trial, ri)
+    # a corrupted restart marker fails loudly, not silently
+    import pytest as _pytest
+
+    blob = bytearray(encode_jpeg_baseline(32, 8, bytes(256), restart_interval=1))
+    i = blob.index(b"\xff\xd0")
+    blob[i + 1] = 0xD5  # wrong RST index
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(blob))
