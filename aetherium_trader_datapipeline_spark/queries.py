@@ -868,6 +868,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext113  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext114  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext115  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext116  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
