@@ -18,11 +18,13 @@ BIGINT; U = (2R1 − n1(n1+1))/2 is exact (the numerator is provably
 even).  The normal approximation uses the tie-corrected variance
 n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))) — Σ(t³−t) is an exact integer sum.
 
-x414 — chi-square independence of (source × lang), zero cells included
-via the dims cross join: each cell's contribution (o·N − r·c)²/(N·r·c)
-is one IEEE expression over exact integers, quantized to 1e9 before the
-cross-cell sum (~100 cells), so the total is engine-exact.  Cramér's V
-normalizes by min(R−1, C−1).
+x414 — chi-square independence of (source × lang): each PRESENT cell's
+contribution (o·N − r·c)²/(N·r·c) is one IEEE expression over exact
+integers, 1e9-quantized before the cross-cell sum; ABSENT (o=0) cells
+contribute e = r·c/N each, folded in per source in closed form
+r·(N − Σ_present c)/N — no dims cross join (a BNLJ whose build side
+grows with dimension cardinality; the plan audit bans that shape).
+Cramér's V normalizes by min(R−1, C−1).
 """
 
 from __future__ import annotations
@@ -124,31 +126,50 @@ _X414 = """
       SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
       FROM documents GROUP BY source, lang
     ),
-    dims AS (
-      SELECT r.source, c.lang, r.rtot, c.ctot, r.ntot
-      FROM (SELECT source, CAST(SUM(o) AS BIGINT) AS rtot,
-                   CAST(SUM(SUM(o)) OVER () AS BIGINT) AS ntot
-            FROM obs GROUP BY source) r
-      CROSS JOIN (SELECT lang, CAST(SUM(o) AS BIGINT) AS ctot
-                  FROM obs GROUP BY lang) c
+    ctot AS (
+      SELECT lang, CAST(SUM(o) AS BIGINT) AS ctot FROM obs GROUP BY lang
+    ),
+    rtot AS (
+      SELECT source, CAST(SUM(o) AS BIGINT) AS rtot,
+             CAST(SUM(SUM(o)) OVER () AS BIGINT) AS ntot
+      FROM obs GROUP BY source
     ),
     cellchi AS (
-      -- (o*N - r*c)^2 / (N*r*c) as ONE IEEE expression over exact ints,
-      -- quantized to 1e9 so the ~|sources|x|langs| cross-cell sum is exact
-      SELECT d.source,
+      -- present cells only: (o*N - r*c)^2 / (N*r*c) as ONE IEEE
+      -- expression over exact ints, 1e9-quantized.  Absent (o=0) cells
+      -- contribute e = r*c/N each; summed per source in closed form
+      -- below instead of materializing a dims cross join (which would
+      -- be a BNLJ whose build side grows with the dimension count).
+      SELECT o.source,
              CAST(FLOOR(
-               POWER(CAST(COALESCE(obs.o, 0) * d.ntot - d.rtot * d.ctot
-                          AS DOUBLE), 2)
-               / (CAST(d.ntot AS DOUBLE) * d.rtot * d.ctot) * 1e9)
-               AS BIGINT) AS chi_fp
-      FROM dims d LEFT JOIN obs
-        ON obs.source = d.source AND obs.lang = d.lang
+               POWER(CAST(o.o * r.ntot - r.rtot * c.ctot AS DOUBLE), 2)
+               / (CAST(r.ntot AS DOUBLE) * r.rtot * c.ctot) * 1e9)
+               AS BIGINT) AS chi_fp,
+             c.ctot
+      FROM obs o
+      JOIN rtot r ON o.source = r.source
+      JOIN ctot c ON o.lang = c.lang
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(SUM(chi_fp) AS BIGINT) AS present_fp,
+             CAST(SUM(ctot) AS BIGINT) AS ctot_present
+      FROM cellchi GROUP BY source
     ),
     tot AS (
-      SELECT source,
-             CAST(SUM(chi_fp) AS BIGINT) AS src_fp,
-             CAST(SUM(SUM(chi_fp)) OVER () AS BIGINT) AS all_fp
-      FROM cellchi GROUP BY source
+      -- missing-cell mass per source: Σ_{absent langs} r*c/N
+      --   = r * (N - Σ_present ctot) / N, one IEEE expression
+      SELECT p.source,
+             CAST(p.present_fp
+                  + CAST(FLOOR(CAST(r.rtot AS DOUBLE)
+                               * (r.ntot - p.ctot_present) / r.ntot * 1e9)
+                         AS BIGINT) AS BIGINT) AS src_fp,
+             CAST(SUM(p.present_fp
+                      + CAST(FLOOR(CAST(r.rtot AS DOUBLE)
+                                   * (r.ntot - p.ctot_present) / r.ntot
+                                   * 1e9) AS BIGINT))
+                  OVER () AS BIGINT) AS all_fp
+      FROM per_source p JOIN rtot r ON p.source = r.source
     ),
     meta AS (
       SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
