@@ -240,51 +240,23 @@ def encode_png(
     )
 
 
-def decode_png_pixels(blob: bytes):
-    """REAL raster decode, no image library: parse chunks, inflate the
-    IDAT stream (stdlib zlib), invert the per-row filter (all five spec
-    predictors), return an (h, w, channels) uint8 numpy array.
+# Adam7 pass origins/steps (x0, y0, dx, dy) — PNG spec §8.2 pixel layout.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supports the common web subset — bit depth 8, color types 0
-    (grayscale), 2 (RGB), 6 (RGBA), non-interlaced — and raises
-    NotImplementedError for the rest (16-bit, palette, interlace), which
-    still need a full image library. Closes the r2/r3 'pixel decode
-    gated' finding for PNG: the bytes→pixels path runs here, verified
-    pixel-exact against closed-form oracles (x281) and filter-cycled
-    round-trips (tests)."""
-    import struct
-    import zlib
 
+def _unfilter(raw, width: int, height: int, channels: int):
+    """Invert the five per-row filter predictors over one (sub)image;
+    returns an (height, width*channels) uint8 array.  Shared by the
+    whole-image path and each Adam7 pass (every pass filters its rows
+    independently with its own zero prior, per the spec)."""
     import numpy as np
 
-    b = bytes(blob)
-    if not b.startswith(_PNG_MAGIC):
-        raise ValueError("not a PNG")
-    pos, ihdr, idat = len(_PNG_MAGIC), None, bytearray()
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack(">I", b[pos : pos + 4])
-        tag = b[pos + 4 : pos + 8]
-        payload = b[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", payload)
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + length  # len + tag + payload + crc
-    if ihdr is None:
-        raise ValueError("missing IHDR")
-    width, height, depth, color, _comp, _filt, interlace = ihdr
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or interlace != 0:
-        raise NotImplementedError(
-            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
-        )
-
-    raw = zlib.decompress(bytes(idat))
     stride = channels * width
     if len(raw) != (stride + 1) * height:
-        raise ValueError("IDAT length mismatch")
+        raise ValueError("filtered stream length mismatch")
     out = np.zeros((height, stride), dtype=np.uint8)
     prior = np.zeros(stride, dtype=np.int32)
     bpp = channels
@@ -316,7 +288,194 @@ def decode_png_pixels(blob: bytes):
             raise ValueError(f"bad filter type {ft}")
         out[y] = recon.astype(np.uint8)
         prior = recon
-    return out.reshape(height, width, channels)
+    return out
+
+
+def _filter_rows(px: bytes, width: int, height: int, channels: int,
+                 cycle_filters: bool) -> bytearray:
+    """Forward-filter raster rows (the encode-side twin of _unfilter);
+    cycling y % 5 exercises every predictor."""
+    stride = channels * width
+    raw = bytearray()
+    prior = bytes(stride)
+    bpp = channels
+    for y in range(height):
+        row = px[y * stride : (y + 1) * stride]
+        ft = (y % 5) if cycle_filters else 0
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - (((row[i - bpp] if i >= bpp else 0) + prior[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = row
+    return raw
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_palette(width: int, height: int, indices,
+                       palette, cycle_filters: bool = True) -> bytes:
+    """Real color-type-3 (indexed) PNG: PLTE chunk + filtered 1-byte
+    index scanlines.  ``palette`` is a sequence of (r, g, b) triples
+    (1..256 entries); ``indices`` is w*h row-major palette indices."""
+    import struct
+    import zlib
+
+    idx = bytes(bytearray(v & 0xFF for v in indices))
+    if len(idx) != width * height:
+        raise ValueError(f"need {width * height} indices, got {len(idx)}")
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    plte = bytes(c & 0xFF for rgb in palette for c in rgb)
+    raw = _filter_rows(idx, width, height, 1, cycle_filters)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_interlaced(width: int, height: int, pixels,
+                          cycle_filters: bool = True) -> bytes:
+    """Real Adam7-interlaced RGB PNG: the image is split into the seven
+    spec passes, each pass filtered independently (own zero prior), and
+    the concatenated streams deflate into one IDAT."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = bytes(bytearray(v & 0xFF for v in pixels))
+    if len(px) != 3 * width * height:
+        raise ValueError(f"need {3 * width * height} RGB bytes, got {len(px)}")
+    img = np.frombuffer(px, dtype=np.uint8).reshape(height, width, 3)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        raw += _filter_rows(
+            np.ascontiguousarray(sub).tobytes(), pw, ph, 3, cycle_filters
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(blob: bytes):
+    """REAL raster decode, no image library: parse chunks, inflate the
+    IDAT stream (stdlib zlib), invert the per-row filter (all five spec
+    predictors), return an (h, w, channels) uint8 numpy array.
+
+    Supports bit depth 8 in color types 0 (grayscale), 2 (RGB), 4
+    (gray+alpha), 6 (RGBA) and — as of r6 — 3 (indexed: PLTE mapped to
+    RGB) plus Adam7 INTERLACED streams (each pass unfiltered
+    independently, then scattered to its spec grid positions); 16-bit
+    depth still raises NotImplementedError.  Closes the r2/r3 'pixel
+    decode gated' finding for PNG: the bytes→pixels path runs here,
+    verified pixel-exact against closed-form oracles (x281, x445, x446)
+    and filter-cycled round-trips (tests)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(blob)
+    if not b.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat, plte = len(_PNG_MAGIC), None, bytearray(), None
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        payload = b[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + payload + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    if color == 3 and (plte is None or len(plte) == 0 or len(plte) % 3 != 0):
+        raise ValueError("indexed PNG missing/invalid PLTE")
+
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        arr = _unfilter(raw, width, height, channels)
+    else:
+        arr = np.zeros((height, width * channels), dtype=np.uint8)
+        grid = arr.reshape(height, width, channels)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            span = (pw * channels + 1) * ph
+            sub = _unfilter(raw[off : off + span], pw, ph, channels)
+            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+            off += span
+        if off != len(raw):
+            raise ValueError("interlaced IDAT length mismatch")
+
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr.reshape(height, width)
+        if idx.size and int(idx.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[idx]
+    return arr.reshape(height, width, channels)
 
 
 def encode_jpeg(width: int, height: int) -> bytes:

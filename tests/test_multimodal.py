@@ -851,3 +851,61 @@ def test_jpeg_restart_intervals_roundtrip():
     blob[i + 1] = 0xD5  # wrong RST index
     with _pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(blob))
+
+
+def test_png_palette_roundtrip_and_plte_validation():
+    """Indexed (color type 3) PNG (r6): filtered index scanlines + PLTE
+    mapping must reproduce the RGB raster exactly; a palette index past
+    the PLTE length fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_palette,
+    )
+
+    pal = [((i * 3) % 256, (i * 5 + 7) % 256, (i * 7 + 13) % 256)
+           for i in range(256)]
+    for w, h in [(1, 1), (4, 3), (7, 9), (16, 5)]:
+        idx = [(11 * x + 5 * y) % 256 for y in range(h) for x in range(w)]
+        arr = decode_png_pixels(encode_png_palette(w, h, idx, pal))
+        exp = np.array(
+            [[pal[(11 * x + 5 * y) % 256] for x in range(w)]
+             for y in range(h)],
+            dtype=np.uint8,
+        )
+        assert arr.shape == (h, w, 3)
+        assert (arr == exp).all(), (w, h)
+
+    # short palette + out-of-range index must raise, not wrap
+    short = pal[:16]
+    blob = encode_png_palette(3, 2, [0, 5, 15, 1, 2, 3], short)
+    assert decode_png_pixels(blob).shape == (2, 3, 3)
+    bad = encode_png_palette(3, 2, [0, 5, 16, 1, 2, 3], short)
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bad)
+
+
+def test_png_adam7_interlaced_equals_sequential():
+    """Adam7 de-interlace (r6): every pass shape — including widths and
+    heights where some passes are empty — must scatter back to the same
+    raster the sequential encoding decodes to, with filters cycled so
+    all five predictors run inside every pass."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        encode_png_interlaced,
+    )
+
+    for w, h in [(1, 1), (2, 2), (3, 5), (5, 1), (1, 9), (8, 8),
+                 (11, 13), (17, 10)]:
+        px = bytes(
+            ((x * 7 + y * 13 + c * 17) % 256)
+            for y in range(h) for x in range(w) for c in range(3)
+        )
+        seq = decode_png_pixels(encode_png(w, h, pixels=px,
+                                           cycle_filters=True))
+        lace = decode_png_pixels(encode_png_interlaced(w, h, px))
+        assert seq.shape == lace.shape == (h, w, 3)
+        assert (seq == lace).all(), (w, h)
