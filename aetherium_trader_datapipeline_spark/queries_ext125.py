@@ -156,10 +156,13 @@ _X449 = """
     ),
     quant AS (
       -- cross-group sums must be over INTEGERS: a 5-row float window
-      -- sum is addition-order-sensitive across engines
+      -- sum is addition-order-sensitive across engines.  Both terms are
+      -- rescaled by 1e-6 (micro² → same shared unit; they only enter as
+      -- a ratio) so ssw_fp stays inside BIGINT at 10M+ rows per group.
       SELECT event_type, n, ybar, grand, k, n_all,
-             CAST(FLOOR(ssw) AS BIGINT) AS ssw_fp,
-             CAST(FLOOR((ybar - grand) * (ybar - grand)) AS BIGINT) AS sb_fp
+             CAST(FLOOR(ssw / 1e6) AS BIGINT) AS ssw_fp,
+             CAST(FLOOR((ybar - grand) * (ybar - grand) / 1e6) AS BIGINT)
+               AS sb_fp
       FROM means
     ),
     spread AS (
