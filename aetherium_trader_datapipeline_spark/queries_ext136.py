@@ -113,18 +113,21 @@ def _x480_sql(intdiv: str) -> str:
       FROM hops GROUP BY from_state, to_state
     ),
     matrix AS (
-      SELECT {cells}
+      -- constant join key: a CROSS JOIN after the recursive/aggregate
+      -- frames loses stats and plans a CartesianProduct (audit-banned);
+      -- the k=1 equi join hashes instead
+      SELECT 1 AS k, {cells}
       FROM counts
     ),
     variants AS (
-      SELECT 'full' AS removed UNION ALL SELECT 'click'
-      UNION ALL SELECT 'error' UNION ALL SELECT 'signup'
-      UNION ALL SELECT 'view'
+      SELECT 1 AS k, 'full' AS removed UNION ALL SELECT 1, 'click'
+      UNION ALL SELECT 1, 'error' UNION ALL SELECT 1, 'signup'
+      UNION ALL SELECT 1, 'view'
     ),
     vmatrix AS (
       SELECT v.removed,
              {vcells_sql}
-      FROM matrix m CROSS JOIN variants v
+      FROM matrix m JOIN variants v ON m.k = v.k
     ),
     sized AS (
       SELECT *,
@@ -140,18 +143,21 @@ def _x480_sql(intdiv: str) -> str:
       FROM it WHERE i < 40
     ),
     solved AS (
-      SELECT removed, p_start FROM it WHERE i = 40
-    ),
-    fullp AS (
-      SELECT p_start AS p_full FROM solved WHERE removed = 'full'
+      -- the full-variant baseline is attached by a window over the
+      -- 5-row solved frame, not a join: post-recursion frames have no
+      -- stats and Catalyst folds any constant-key join back into a
+      -- CartesianProduct (audit-banned)
+      SELECT removed, p_start,
+             MAX(CASE WHEN removed = 'full' THEN p_start END) OVER ()
+               AS p_full
+      FROM it WHERE i = 40
     ),
     effects AS (
-      SELECT s.removed AS channel,
-             CAST(f.p_full AS BIGINT) AS p_conv_full_fp,
-             CAST(s.p_start AS BIGINT) AS p_conv_removed_fp,
-             GREATEST(0, f.p_full - s.p_start) AS drop_fp
-      FROM solved s CROSS JOIN fullp f
-      WHERE s.removed != 'full'
+      SELECT removed AS channel,
+             CAST(p_full AS BIGINT) AS p_conv_full_fp,
+             CAST(p_start AS BIGINT) AS p_conv_removed_fp,
+             GREATEST(0, p_full - p_start) AS drop_fp
+      FROM solved WHERE removed != 'full'
     )
     SELECT channel,
            ROUND(p_conv_full_fp / 1e12, 6) AS p_conv_full,
