@@ -314,3 +314,86 @@ def holt_linear(
 
     parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
     return parts.mapInPandas(fold_partition, schema=out_schema)
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_cols: Sequence[str],
+    season_len: int = 24,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Additive Holt–Winters triple exponential smoothing, exact per key.
+
+    Three-component recurrence (level l, trend t, seasonal ring s[m]):
+        l_i = alpha*(x_i - s[slot]) + (1-alpha)*(l_{i-1} + t_{i-1})
+        t_i = beta*(l_i - l_{i-1}) + (1-beta)*t_{i-1}
+        s[slot] = gamma*(x_i - l_i) + (1-gamma)*s[slot]
+    with slot = (i-1) % season_len.  Warm-up (i <= season_len) passes
+    through: l = x, t = 0, seasonal slots stay 0 — the simplest
+    deterministic init, mirrored term for term by the recursive-CTE
+    oracle (x481).  Same single-shuffle sorted-partition streaming fold
+    as :func:`holt_linear`; state per key is O(season_len).  Defaults
+    are exact binary fractions so neither engine re-rounds literals.
+
+    Emits ``level``, ``trend``, ``seasonal`` (the slot value after
+    update) and the one-step forecast ``fc = l + t + s[next slot]``.
+    """
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    out = list(out_cols)
+    m = int(season_len)
+    a = float(alpha)
+    b = 1.0 - a
+    g = float(beta)
+    h = 1.0 - g
+    sg = float(gamma)
+    sh = 1.0 - sg
+
+    schema_parts = [f"{c} {df.schema[c].dataType.simpleString()}" for c in out]
+    schema_parts += ["level double", "trend double", "seasonal double", "fc double"]
+    out_schema = ", ".join(schema_parts)
+
+    def fold_partition(batches):
+        prev_key: tuple | None = None
+        lvl = 0.0
+        trd = 0.0
+        season: list[float] = [0.0] * m
+        i = 0
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy().tolist()
+            key_rows = list(zip(*(pdf[k].to_numpy().tolist() for k in keys)))
+            levels, trends, seas, fcs = [], [], [], []
+            for kv, x in zip(key_rows, vals):
+                if kv != prev_key:
+                    prev_key = kv
+                    lvl, trd, season, i = 0.0, 0.0, [0.0] * m, 0
+                i += 1
+                slot = (i - 1) % m
+                if i <= m:
+                    lvl = x
+                    trd = 0.0
+                else:
+                    s_old = season[slot]
+                    l_new = a * (x - s_old) + b * (lvl + trd)
+                    trd = g * (l_new - lvl) + h * trd
+                    season[slot] = sg * (x - l_new) + sh * s_old
+                    lvl = l_new
+                levels.append(lvl)
+                trends.append(trd)
+                seas.append(season[slot])
+                fcs.append(lvl + trd + season[i % m])
+            res = pdf[out].copy()
+            res["level"] = levels
+            res["trend"] = trends
+            res["seasonal"] = seas
+            res["fc"] = fcs
+            yield res
+
+    parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
+    return parts.mapInPandas(fold_partition, schema=out_schema)
