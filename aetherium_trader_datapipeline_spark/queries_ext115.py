@@ -159,6 +159,7 @@ _X419 = """
 
 register_sql(
     "x419_encoding_size_estimate",
+    headline=True,
     spark_sql=_X419.format(bin="bin"),
     duckdb_sql=_X419.format(bin="bin"),
     tags=("storage", "profiling"),

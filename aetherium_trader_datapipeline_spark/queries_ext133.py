@@ -81,6 +81,7 @@ _POS_DUCK = """(
 
 @register(
     "x471_char_bigram_entropy",
+    headline=True,
     oracle=_X471.format(possrc=_POS_DUCK),
     tags=("text", "stats"),
 )

@@ -172,6 +172,7 @@ def _x480_sql(intdiv: str) -> str:
 
 register_sql(
     "x480_markov_attribution",
+    headline=True,
     spark_sql=_x480_sql("DIV"),
     duckdb_sql=_x480_sql("//"),
     tags=("attribution", "recursive"),
