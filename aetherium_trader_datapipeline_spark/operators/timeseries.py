@@ -397,3 +397,23 @@ def holt_winters_additive(
 
     parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
     return parts.mapInPandas(fold_partition, schema=out_schema)
+
+
+def sprt_step(
+    llr_fp: int, is_hit: bool, inc_hit: int, inc_miss: int,
+    a_fp: int, b_fp: int,
+) -> tuple[int, str | None]:
+    """One Wald-SPRT step on the 1e9-quantized integer LLR walk.
+
+    Returns the new LLR and a decision ('reject_h0' when the walk
+    crosses ``a_fp`` upward, 'accept_h0' below ``b_fp``) or None while
+    the test continues.  Pure integer arithmetic — the batch key (x491),
+    the streaming kernel (streaming/sprt.py), and the test's sequential
+    replay all fold the SAME function, so decisions and crossing steps
+    agree exactly."""
+    llr_fp += inc_hit if is_hit else inc_miss
+    if llr_fp >= a_fp:
+        return llr_fp, "reject_h0"
+    if llr_fp <= b_fp:
+        return llr_fp, "accept_h0"
+    return llr_fp, None

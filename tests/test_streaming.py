@@ -838,3 +838,88 @@ def test_stateful_cusum_stream_equals_batch(spark, tmp_path):
     # the planted level shift must produce at least one hi alarm per key
     assert any(d == "hi" and s == "a" for (s, _, d) in expected)
     assert any(d == "hi" and s == "b" for (s, _, d) in expected)
+
+
+def test_stateful_sprt_stream_equals_sequential(spark, tmp_path):
+    """Streaming SPRT decisions over micro-batches must equal the plain
+    sequential replay of the SAME sprt_step kernel — including the
+    decide-once latch across micro-batch boundaries."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.operators.timeseries import sprt_step
+    from aetherium_trader_datapipeline_spark.streaming.sprt import stateful_sprt
+
+    inc_hit = 182321557       # FLOOR(ln(1.2)*1e9)
+    inc_miss = -51293294      # FLOOR(ln(0.95)*1e9)-ish miss increment
+    a_fp = 2944438979         # ln(19)*1e9
+    b_fp = -2944438979
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = pd.Timestamp("2024-01-02 09:00:00")
+    eid = 0
+    for u, p in (("a", 0.45), ("b", 0.05)):  # a should reject, b accept
+        for i in range(400):
+            rows.append(
+                (u, base + pd.Timedelta(seconds=5 * i), eid,
+                 int(rng.random() < p))
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["sym", "ts", "event_id", "hit"])
+    df = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "src")
+    bounds = ["2024-01-02 09:10:00", "2024-01-02 09:20:00", None]
+    lo = None
+    for i, hi in enumerate(bounds):
+        part = df
+        if lo is not None:
+            part = part.where(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.where(F.col("ts") < hi)
+        part.coalesce(1).write.parquet(f"{src}/c{i}")
+        _time.sleep(1.1)
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*")
+    )
+    out = stateful_sprt(
+        stream, ["sym"], ["ts", "event_id"], "hit",
+        inc_hit, inc_miss, a_fp, b_fp,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sprt_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sprt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.sym, r.decided_at_step, r.decision, r.final_llr_fp)
+        for r in spark.sql("SELECT * FROM sprt_state").collect()
+    }
+
+    expected = set()
+    for u in ("a", "b"):
+        sub = pdf[pdf.sym == u].sort_values(["ts", "event_id"])
+        llr, steps = 0, 0
+        for hit in sub["hit"].tolist():
+            steps += 1
+            llr, decision = sprt_step(
+                llr, bool(hit), inc_hit, inc_miss, a_fp, b_fp
+            )
+            if decision is not None:
+                expected.add((u, steps, decision, llr))
+                break
+
+    assert got == expected
+    # exactly one decision per key, and they differ by design
+    decs = {s: d for (s, _, d, _) in expected}
+    assert decs["a"] == "reject_h0" and decs["b"] == "accept_h0"
