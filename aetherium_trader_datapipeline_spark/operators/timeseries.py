@@ -417,3 +417,118 @@ def sprt_step(
     if llr_fp <= b_fp:
         return llr_fp, "accept_h0"
     return llr_fp, None
+
+
+def kalman_local_level(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_cols: Sequence[str],
+    q: float = 0.25,
+    r: float = 1.0,
+) -> DataFrame:
+    """Exact local-level (random-walk-plus-noise) Kalman filter per key.
+
+    Scalar predict/update recurrence with state (x̂, P):
+        P' = P + q ; K = P'/(P' + r)
+        x̂ = x̂ + K*(z - x̂) ; P = (1 - K)*P'
+    initialized x̂_1 = z_1, P_1 = r.  Same single-shuffle sorted-
+    partition fold as :func:`ema`; the IEEE op order is mirrored term
+    for term by the recursive-CTE oracle (x501).  Defaults q, r are
+    exact binary fractions.  Emits ``xhat``, ``pvar`` and ``kgain``.
+    """
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    out = list(out_cols)
+    qf = float(q)
+    rf = float(r)
+
+    schema_parts = [f"{c} {df.schema[c].dataType.simpleString()}" for c in out]
+    schema_parts += ["xhat double", "pvar double", "kgain double"]
+    out_schema = ", ".join(schema_parts)
+
+    def fold_partition(batches):
+        prev_key: tuple | None = None
+        xh = 0.0
+        pv = 0.0
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy().tolist()
+            key_rows = list(zip(*(pdf[k].to_numpy().tolist() for k in keys)))
+            xs, ps, ks = [], [], []
+            for kv, z in zip(key_rows, vals):
+                if kv != prev_key:
+                    prev_key = kv
+                    xh, pv, kg = z, rf, 0.0
+                else:
+                    pp = pv + qf
+                    kg = pp / (pp + rf)
+                    xh = xh + kg * (z - xh)
+                    pv = (1.0 - kg) * pp
+                xs.append(xh)
+                ps.append(pv)
+                ks.append(kg)
+            res = pdf[out].copy()
+            res["xhat"] = xs
+            res["pvar"] = ps
+            res["kgain"] = ks
+            yield res
+
+    parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
+    return parts.mapInPandas(fold_partition, schema=out_schema)
+
+
+def ewma_correlation(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    a_col: str,
+    b_col: str,
+    out_cols: Sequence[str],
+    lam: float = 0.9375,
+) -> DataFrame:
+    """RiskMetrics EWMA covariance/correlation per key over an aligned
+    pair of return series:
+        va = lam*va + (1-lam)*a²;  vb likewise;  cab = lam*cab + (1-lam)*a*b
+    initialized va_1 = a², vb_1 = b², cab_1 = a*b.  lam = 15/16 is an
+    exact binary fraction.  Emits ``ewma_corr`` (0 when either variance
+    is 0)."""
+
+    keys = list(key_cols)
+    order = list(order_cols)
+    out = list(out_cols)
+    lm = float(lam)
+    ml = 1.0 - lm
+
+    schema_parts = [f"{c} {df.schema[c].dataType.simpleString()}" for c in out]
+    schema_parts += ["ewma_corr double"]
+    out_schema = ", ".join(schema_parts)
+
+    import math
+
+    def fold_partition(batches):
+        prev_key: tuple | None = None
+        va = vb = cab = 0.0
+        for pdf in batches:
+            avals = pdf[a_col].to_numpy().tolist()
+            bvals = pdf[b_col].to_numpy().tolist()
+            key_rows = list(zip(*(pdf[k].to_numpy().tolist() for k in keys)))
+            cs = []
+            for kv, a, b in zip(key_rows, avals, bvals):
+                if kv != prev_key:
+                    prev_key = kv
+                    va, vb, cab = a * a, b * b, a * b
+                else:
+                    va = lm * va + ml * (a * a)
+                    vb = lm * vb + ml * (b * b)
+                    cab = lm * cab + ml * (a * b)
+                cs.append(
+                    cab / math.sqrt(va * vb) if va > 0.0 and vb > 0.0 else 0.0
+                )
+            res = pdf[out].copy()
+            res["ewma_corr"] = cs
+            yield res
+
+    parts = df.repartition(*keys).sortWithinPartitions(*keys, *order)
+    return parts.mapInPandas(fold_partition, schema=out_schema)
