@@ -901,6 +901,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext146  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext147  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext148  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext149  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a
@@ -1010,9 +1011,12 @@ def _emission_order() -> list[str]:
     # window's green keys into _DRIVER_VERIFIED.  The expected window is the
     # first 50 keys of _emission_order() at the time BENCH/CORRECTNESS r6 ran
     # — re-derive it from CORRECTNESS_r06.json's actual row keys rather than
-    # trusting this note; any red row stays unverified.  After that, ~85+
-    # never-verified keys remain (through x381 plus any r6-built waves);
-    # keep rotating each round until cumulative driver coverage closes.
+    # trusting this note; any red row stays unverified.  The registry ended
+    # round 6 at 518 keys (196 driver-verified cumulative), so after a green
+    # r6 window ~272 never-verified keys remain — at 50/round the rotation
+    # needs ~6 more rounds, with the local type-strict oracle gate
+    # (tests/test_queries_oracle.py, all keys every session) as the
+    # compensating control.  Keep absorbing at round-open, every round.
     front: list[str] = []
     rank = {k: i for i, k in enumerate(front)}
 
