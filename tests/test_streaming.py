@@ -923,3 +923,77 @@ def test_stateful_sprt_stream_equals_sequential(spark, tmp_path):
     # exactly one decision per key, and they differ by design
     decs = {s: d for (s, _, d, _) in expected}
     assert decs["a"] == "reject_h0" and decs["b"] == "accept_h0"
+
+
+def test_stateful_kalman_stream_equals_batch(spark, tmp_path):
+    """Streaming Kalman estimates across micro-batches must equal the
+    batch fold bit-for-bit (shared IEEE op order; (x̂,P) state carries
+    across micro-batch boundaries)."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.operators.timeseries import (
+        kalman_local_level,
+    )
+    from aetherium_trader_datapipeline_spark.streaming.kalman import (
+        stateful_kalman,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    base = pd.Timestamp("2024-01-02 09:00:00")
+    eid = 0
+    for u in ("a", "b"):
+        level = 100.0
+        for i in range(90):
+            level += float(rng.normal(0, 0.5))
+            z = level + float(rng.normal(0, 1.0))
+            rows.append((u, base + pd.Timedelta(seconds=10 * i), eid,
+                         round(z, 4)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["sym", "ts", "event_id", "px"])
+    df = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "src")
+    bounds = ["2024-01-02 09:05:00", "2024-01-02 09:10:00", None]
+    lo = None
+    for i, hi in enumerate(bounds):
+        part = df
+        if lo is not None:
+            part = part.where(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.where(F.col("ts") < hi)
+        part.coalesce(1).write.parquet(f"{src}/c{i}")
+        _time.sleep(1.1)
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*")
+    )
+    out = stateful_kalman(stream, ["sym"], ["ts", "event_id"], "px")
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("kalman_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kalman"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    got = {
+        (r.sym, r.event_id, r.xhat, r.pvar)
+        for r in spark.sql("SELECT * FROM kalman_state").collect()
+    }
+
+    batch = kalman_local_level(
+        df, ["sym"], ["ts", "event_id"], "px",
+        out_cols=["sym", "event_id"], q=0.25, r=1.0,
+    )
+    expected = {
+        (r.sym, r.event_id, r.xhat, r.pvar) for r in batch.collect()
+    }
+    assert got == expected
+    assert len(expected) == 180
