@@ -404,6 +404,31 @@ def encode_png_interlaced(width: int, height: int, pixels,
     )
 
 
+def encode_png16(width: int, height: int, samples,
+                 cycle_filters: bool = True) -> bytes:
+    """Real 16-bit grayscale PNG (color type 0, depth 16): big-endian
+    two-byte samples, filters applied BYTEWISE with bpp = 2 per the
+    spec.  ``samples`` is w*h row-major uint16 values."""
+    import struct
+    import zlib
+
+    vals = [int(v) & 0xFFFF for v in samples]
+    if len(vals) != width * height:
+        raise ValueError(f"need {width * height} samples, got {len(vals)}")
+    px = bytearray()
+    for v in vals:
+        px.append(v >> 8)
+        px.append(v & 0xFF)
+    raw = _filter_rows(bytes(px), width, height, 2, cycle_filters)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_pixels(blob: bytes):
     """REAL raster decode, no image library: parse chunks, inflate the
     IDAT stream (stdlib zlib), invert the per-row filter (all five spec
@@ -443,7 +468,11 @@ def decode_png_pixels(blob: bytes):
         raise ValueError("missing IHDR")
     width, height, depth, color, _comp, _filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    if depth != 8 or channels is None or interlace not in (0, 1):
+    # depth 16 is supported for the truecolor/grayscale types,
+    # non-interlaced (filters run BYTEWISE with doubled bpp per spec)
+    ok8 = depth == 8 and channels is not None and interlace in (0, 1)
+    ok16 = (depth == 16 and color in (0, 2, 4, 6) and interlace == 0)
+    if not (ok8 or ok16):
         raise NotImplementedError(
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
         )
@@ -451,8 +480,13 @@ def decode_png_pixels(blob: bytes):
         raise ValueError("indexed PNG missing/invalid PLTE")
 
     raw = zlib.decompress(bytes(idat))
+    bppb = channels * (depth // 8)
     if interlace == 0:
-        arr = _unfilter(raw, width, height, channels)
+        arr = _unfilter(raw, width, height, bppb)
+        if depth == 16:
+            pairs = arr.reshape(height, width * channels, 2).astype(np.uint16)
+            wide = (pairs[:, :, 0] << 8) | pairs[:, :, 1]
+            return wide.reshape(height, width, channels)
     else:
         arr = np.zeros((height, width * channels), dtype=np.uint8)
         grid = arr.reshape(height, width, channels)

@@ -909,3 +909,40 @@ def test_png_adam7_interlaced_equals_sequential():
         lace = decode_png_pixels(encode_png_interlaced(w, h, px))
         assert seq.shape == lace.shape == (h, w, 3)
         assert (seq == lace).all(), (w, h)
+
+
+def test_png_16bit_roundtrip_all_filters():
+    """16-bit grayscale PNG (r6, closes the last PNG scope note): filters
+    run bytewise with bpp=2; cycled filters across sizes must reproduce
+    the uint16 raster exactly, and 16-bit interlace stays gated."""
+    import numpy as np
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png16,
+    )
+
+    for w, h in [(1, 1), (2, 7), (5, 3), (16, 9), (33, 4)]:
+        vals = [((x * 257 + y * 4099 + 7) * 131) % 65536
+                for y in range(h) for x in range(w)]
+        arr = decode_png_pixels(encode_png16(w, h, vals))
+        exp = np.array(vals, dtype=np.uint16).reshape(h, w, 1)
+        assert arr.dtype == np.uint16
+        assert (arr == exp).all(), (w, h)
+
+    # 16-bit + interlace remains a loud gate, not silent garbage
+    import struct
+    import zlib
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_MAGIC,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 1)
+    blob = (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+            + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png_pixels(blob)
