@@ -997,3 +997,75 @@ def test_stateful_kalman_stream_equals_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) == 180
+
+
+def test_stateful_holt_winters_stream_equals_batch(spark, tmp_path):
+    """Streaming Holt-Winters (level+trend+24-slot seasonal ring in
+    GroupState) must equal the batch fold bit-for-bit across
+    micro-batch boundaries — including mid-season splits where the
+    ring state carries half-updated slots."""
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+    from aetherium_trader_datapipeline_spark.streaming.holtwinters import (
+        stateful_holt_winters,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for u in ("a", "b"):
+        for i in range(100):
+            season = 10.0 * float(np.sin(2 * np.pi * (i % 24) / 24))
+            v = 100.0 + 0.1 * i + season + float(rng.normal(0, 1))
+            rows.append((u, base + pd.Timedelta(hours=i), i, round(v, 4)))
+    pdf = pd.DataFrame(rows, columns=["sym", "ts", "hkey", "v"])
+    df = spark.createDataFrame(pdf)
+
+    src = str(tmp_path / "src")
+    # split MID-SEASON so ring state must carry across micro-batches
+    bounds = ["2024-01-01 13:00:00", "2024-01-02 07:00:00", None]
+    lo = None
+    for i, hi in enumerate(bounds):
+        part = df
+        if lo is not None:
+            part = part.where(F.col("ts") >= lo)
+        if hi is not None:
+            part = part.where(F.col("ts") < hi)
+        part.coalesce(1).write.parquet(f"{src}/c{i}")
+        _time.sleep(1.1)
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*")
+    )
+    out = stateful_holt_winters(stream, ["sym"], ["ts", "hkey"], "v")
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("hw_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    got = {
+        (r.sym, r.hkey, r.level, r.trend, r.seasonal, r.fc)
+        for r in spark.sql("SELECT * FROM hw_state").collect()
+    }
+
+    batch = holt_winters_additive(
+        df, ["sym"], ["ts", "hkey"], "v", out_cols=["sym", "hkey"]
+    )
+    expected = {
+        (r.sym, r.hkey, r.level, r.trend, r.seasonal, r.fc)
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert len(expected) == 200
