@@ -437,8 +437,10 @@ def decode_png_pixels(blob: bytes):
     Supports bit depth 8 in color types 0 (grayscale), 2 (RGB), 4
     (gray+alpha), 6 (RGBA) and — as of r6 — 3 (indexed: PLTE mapped to
     RGB) plus Adam7 INTERLACED streams (each pass unfiltered
-    independently, then scattered to its spec grid positions); 16-bit
-    depth still raises NotImplementedError.  Closes the r2/r3 'pixel
+    independently, then scattered to its spec grid positions) and 16-BIT
+    depth for color types 0/2/4/6 non-interlaced (bytewise filters with
+    doubled bpp, uint16 output); sub-byte depths and 16-bit interlace
+    still raise NotImplementedError.  Closes the r2/r3 'pixel
     decode gated' finding for PNG: the bytes→pixels path runs here,
     verified pixel-exact against closed-form oracles (x281, x445, x446)
     and filter-cycled round-trips (tests)."""

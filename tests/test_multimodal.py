@@ -188,9 +188,11 @@ def test_png_decoder_rejects_unsupported():
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    # 16-bit depth → explicit NotImplementedError, not silent garbage
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    blob = _PNG_MAGIC + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b"")
+    # sub-byte depth → explicit NotImplementedError, not silent
+    # garbage (16-bit became a SUPPORTED tier in late r6; depth 4 and
+    # 16-bit palette remain gated)
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    blob = _PNG_MAGIC + chunk(b"IHDR", ihdr4) + chunk(b"IEND", b"")
     with _pytest.raises(NotImplementedError):
         decode_png_pixels(blob)
     with _pytest.raises(ValueError):
