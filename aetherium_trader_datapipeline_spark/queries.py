@@ -1024,9 +1024,9 @@ def _emission_order() -> list[str]:
     # first 50 keys of _emission_order() at the time BENCH/CORRECTNESS r6 ran
     # — re-derive it from CORRECTNESS_r06.json's actual row keys rather than
     # trusting this note; any red row stays unverified.  The registry ended
-    # round 6 at 518 keys (196 driver-verified cumulative), so after a green
-    # r6 window ~272 never-verified keys remain — at 50/round the rotation
-    # needs ~6 more rounds, with the local type-strict oracle gate
+    # round 6 at 551 keys (196 driver-verified cumulative), so after a green
+    # r6 window ~305 never-verified keys remain — at 50/round the rotation
+    # needs ~7 more rounds, with the local type-strict oracle gate
     # (tests/test_queries_oracle.py, all keys every session) as the
     # compensating control.  Keep absorbing at round-open, every round.
     front: list[str] = []
