@@ -921,6 +921,7 @@ def _load_extensions() -> None:
     import aetherium_trader_datapipeline_spark.queries_ext166  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext167  # noqa: F401
     import aetherium_trader_datapipeline_spark.queries_ext168  # noqa: F401
+    import aetherium_trader_datapipeline_spark.queries_ext169  # noqa: F401
 
 
 # Keys that already have a green driver-verified row (rows+schema+hash) from a

@@ -1,0 +1,346 @@
+"""Wave 169 (x573–x575): capacity, storage-encoding, and
+cardinality-estimation planners — the numbers an engine operator reads
+before touching knobs.
+
+x573 — Kingman G/G/1 wait approximation: per event type, the observed
+interarrival CV² (DECIMAL-exact moment sums over integer-µs gaps) and
+the service CV² of the synthetic service draw (the fractional part of
+`value`), priced at a fixed ρ=0.7 utilization budget:
+Wq ≈ ρ/(1−ρ) · (ca²+cs²)/2 · E[s].  The step beyond M/M/1 (x517) —
+burstiness (x251) enters through ca², and the output shows exactly how
+much the Poisson assumption under-prices the queue.
+
+x574 — columnar encoding plan: for three lineitem columns, exact NDV,
+run counts under the canonical (l_orderkey, l_linenumber, values)
+order — the value-column tiebreakers make the layout a total order
+(the synthetic (orderkey, linenumber) pair is NOT unique) —
+computed scalably as within-order runs (a parallel window partitioned
+by l_orderkey) plus order-boundary changes (one |orders|-row pass) —
+and the resulting bit costs of PLAIN vs DICT vs RLE.  Dict width is
+derived integer-exactly by joining NDV against a 2^b grid (no
+cross-engine log2 float edge).  The same decision parquet writers
+make; x419's size estimate priced bytes, this one picks the encoding.
+
+x575 — equi-depth histogram selectivity error: a 10-bucket equi-depth
+histogram on o_totalprice (boundaries = values at exact global ranks,
+the x431 order-statistic convention), probed with five fixed range
+predicates; estimated rows use uniform-within-bucket interpolation
+(per-bucket contributions 1e6-quantized before the sum) against the
+true counts, reporting absolute and q-error.  The planner-quality
+companion of x470's selectivity_error (which scored single-column
+equality; this scores ranges under equi-depth binning).
+"""
+
+from __future__ import annotations
+
+from aetherium_trader_datapipeline_spark.queries import register_sql
+
+# -- x573: Kingman G/G/1 wait under observed arrival variability -----------------
+
+_X573 = """
+    WITH arr AS (
+      SELECT event_type, ts, event_id,
+             {epoch_us} {intdiv} 1000 AS t_ms,
+             CAST(FLOOR((value - FLOOR(value)) * 1000) AS BIGINT) AS s_ms
+      FROM events WHERE value IS NOT NULL
+    ),
+    gaps AS (
+      -- within-day windows keep partitions (|types| x |days|) wide and
+      -- small; a per-type-only window is |types| single-threaded sorts
+      -- of the whole stream (31 s at the 100x replica)
+      SELECT event_type,
+             t_ms - LAG(t_ms) OVER (
+               PARTITION BY event_type, t_ms {intdiv} 86400000
+               ORDER BY ts, event_id) AS a_ms
+      FROM arr
+    ),
+    daymm AS (
+      SELECT event_type, t_ms {intdiv} 86400000 AS d,
+             CAST(MIN(t_ms) AS BIGINT) AS mn,
+             CAST(MAX(t_ms) AS BIGINT) AS mx
+      FROM arr GROUP BY event_type, t_ms {intdiv} 86400000
+    ),
+    bgaps AS (
+      -- day-boundary gaps: |types| x |days| rows, trivially sorted
+      SELECT event_type,
+             mn - LAG(mx) OVER (PARTITION BY event_type ORDER BY d)
+               AS a_ms
+      FROM daymm
+    ),
+    allgaps AS (
+      SELECT event_type, a_ms FROM gaps WHERE a_ms IS NOT NULL
+      UNION ALL
+      SELECT event_type, a_ms FROM bgaps WHERE a_ms IS NOT NULL
+    ),
+    mom AS (
+      -- millisecond units keep every moment sum inside exact BIGINT
+      -- at any replica scale (the microsecond DECIMAL form lost ulps
+      -- in Spark's precision-loss decimal multiply)
+      SELECT event_type,
+             CAST(COUNT(a_ms) AS BIGINT) AS n,
+             CAST(SUM(a_ms) AS BIGINT) AS sa,
+             CAST(SUM(a_ms * a_ms) AS BIGINT) AS sa2
+      FROM allgaps GROUP BY event_type
+    ),
+    smom AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(s_ms) AS BIGINT) AS ss,
+             CAST(SUM(s_ms * s_ms) AS BIGINT) AS ss2
+      FROM arr GROUP BY event_type
+    ),
+    cv AS (
+      SELECT m.event_type, m.n,
+             CAST(m.sa AS DOUBLE) / m.n AS mean_a,
+             -- CV^2 = (n*S2 - S^2) / S^2  (exact integer cross
+             -- products, one IEEE division)
+             (m.n * CAST(m.sa2 AS DOUBLE) - CAST(m.sa AS DOUBLE) * m.sa)
+               / (CAST(m.sa AS DOUBLE) * m.sa) AS ca2,
+             (s.ns * CAST(s.ss2 AS DOUBLE) - CAST(s.ss AS DOUBLE) * s.ss)
+               / (CAST(s.ss AS DOUBLE) * s.ss) AS cs2
+      FROM mom m JOIN smom s ON m.event_type = s.event_type
+      WHERE m.n >= 100
+    )
+    SELECT event_type, n AS n_gaps,
+           ROUND(mean_a, 2) AS mean_interarrival_ms,
+           ROUND(ca2, 6) AS ca2,
+           ROUND(cs2, 6) AS cs2,
+           -- Kingman multiplier at the rho=0.7 sizing budget, in units
+           -- of the service time E[s] = 0.7 * E[a]
+           ROUND(0.7E0 / 0.3 * (ca2 + cs2) / 2, 6) AS wq_over_s,
+           ROUND(0.7E0 / 0.3 * (ca2 + cs2) / 2 * 0.7 * mean_a, 2)
+             AS wq_ms,
+           -- what M/M/1 (ca2 = cs2 = 1) would have predicted
+           ROUND(0.7E0 / 0.3 * 0.7 * mean_a, 2) AS wq_ms_mm1
+    FROM cv ORDER BY event_type
+"""
+
+register_sql(
+    "x573_kingman_gg1",
+    spark_sql=_X573.format(epoch_us="unix_micros(ts)", intdiv="DIV"),
+    duckdb_sql=_X573.format(epoch_us="epoch_us(ts)", intdiv="//"),
+    tags=("ops", "capacity"),
+)
+
+# -- x574: PLAIN vs DICT vs RLE encoding decision --------------------------------
+
+_X574_FMT = """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             l_returnflag AS c1, l_linestatus AS c2,
+             CAST(l_quantity AS BIGINT) AS c3
+      FROM lineitem
+    ),
+    liflags AS (
+      -- change flags inside each order partition (parallel window)
+      SELECT
+        CASE WHEN c1 != LAG(c1) OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, c1, c2, c3)
+             THEN 1 ELSE 0 END AS g1,
+        CASE WHEN c2 != LAG(c2) OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, c1, c2, c3)
+             THEN 1 ELSE 0 END AS g2,
+        CASE WHEN c3 != LAG(c3) OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber, c1, c2, c3)
+             THEN 1 ELSE 0 END AS g3
+      FROM li
+    ),
+    inorder AS (
+      SELECT CAST(SUM(g1) AS BIGINT) AS chg1,
+             CAST(SUM(g2) AS BIGINT) AS chg2,
+             CAST(SUM(g3) AS BIGINT) AS chg3,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM liflags
+    ),
+    edges AS (
+      -- first/last line values per order for boundary changes
+      SELECT l_orderkey,
+             {first1} AS f1, {last1} AS l1,
+             {first2} AS f2, {last2} AS l2,
+             {first3} AS f3, {last3} AS l3
+      FROM li GROUP BY l_orderkey
+    ),
+    bflags AS (
+      SELECT
+        CASE WHEN f1 != LAG(l1) OVER (ORDER BY l_orderkey)
+             THEN 1 ELSE 0 END AS g1,
+        CASE WHEN f2 != LAG(l2) OVER (ORDER BY l_orderkey)
+             THEN 1 ELSE 0 END AS g2,
+        CASE WHEN f3 != LAG(l3) OVER (ORDER BY l_orderkey)
+             THEN 1 ELSE 0 END AS g3
+      FROM edges
+    ),
+    bnd AS (
+      SELECT CAST(SUM(g1) AS BIGINT) AS b1,
+             CAST(SUM(g2) AS BIGINT) AS b2,
+             CAST(SUM(g3) AS BIGINT) AS b3
+      FROM bflags
+    ),
+    ndv AS (
+      SELECT CAST(COUNT(DISTINCT c1) AS BIGINT) AS ndv1,
+             CAST(COUNT(DISTINCT c2) AS BIGINT) AS ndv2,
+             CAST(COUNT(DISTINCT c3) AS BIGINT) AS ndv3
+      FROM li
+    ),
+    stats AS (
+      -- single 1-row assembly so each expensive pass runs ONCE (a
+      -- UNION ALL of three projections re-executes unmaterialized
+      -- CTEs per branch: 9 scans instead of 3 at 10x)
+      SELECT * FROM inorder CROSS JOIN bnd CROSS JOIN ndv
+    ),
+    cols AS (
+      SELECT CASE g.i WHEN 1 THEN 'l_returnflag'
+                      WHEN 2 THEN 'l_linestatus'
+                      ELSE 'l_quantity' END AS col,
+             s.n,
+             CASE g.i WHEN 1 THEN s.ndv1 WHEN 2 THEN s.ndv2
+                      ELSE s.ndv3 END AS ndv,
+             CASE g.i WHEN 1 THEN s.chg1 + s.b1 + 1
+                      WHEN 2 THEN s.chg2 + s.b2 + 1
+                      ELSE s.chg3 + s.b3 + 1 END AS runs,
+             CAST(CASE g.i WHEN 3 THEN 64 ELSE 8 END AS BIGINT)
+               AS plain_bits
+      FROM stats s CROSS JOIN (VALUES (1), (2), (3)) g(i)
+    ),
+    bits AS (
+      -- dict width = min b with 2^b >= ndv (integer grid, no log2)
+      SELECT c.col, c.n, c.ndv, c.runs, c.plain_bits,
+             MIN(g.b) AS dict_bits
+      FROM cols c
+      JOIN ({grid}) g ON g.p >= c.ndv
+      GROUP BY c.col, c.n, c.ndv, c.runs, c.plain_bits
+    ),
+    cost AS (
+      SELECT col, n, ndv, runs, plain_bits, dict_bits,
+             n * plain_bits AS plain_cost,
+             n * dict_bits + ndv * plain_bits AS dict_cost,
+             runs * (dict_bits + 32) + ndv * plain_bits AS rle_cost
+      FROM bits
+    )
+    SELECT col, n, ndv, runs, dict_bits,
+           plain_cost, dict_cost, rle_cost,
+           CASE WHEN rle_cost <= dict_cost AND rle_cost <= plain_cost
+                THEN 'rle'
+                WHEN dict_cost <= plain_cost THEN 'dict'
+                ELSE 'plain' END AS recommended,
+           ROUND(CAST(plain_cost AS DOUBLE)
+                 / LEAST(plain_cost, dict_cost, rle_cost), 4)
+             AS compression_x
+    FROM cost ORDER BY col
+"""
+
+_GRID_SPARK = (
+    "SELECT b, CAST(POWER(2, b) AS BIGINT) AS p "
+    "FROM (SELECT explode(sequence(1, 40)) AS b)"
+)
+_GRID_DUCK = (
+    "SELECT b, CAST(POWER(2, b) AS BIGINT) AS p "
+    "FROM (SELECT unnest(generate_series(1, 40)) AS b)"
+)
+
+register_sql(
+    "x574_encoding_plan",
+    spark_sql=_X574_FMT.format(
+        first1="min_by(c1, struct(l_linenumber, c1, c2, c3))",
+        last1="max_by(c1, struct(l_linenumber, c1, c2, c3))",
+        first2="min_by(c2, struct(l_linenumber, c1, c2, c3))",
+        last2="max_by(c2, struct(l_linenumber, c1, c2, c3))",
+        first3="min_by(c3, struct(l_linenumber, c1, c2, c3))",
+        last3="max_by(c3, struct(l_linenumber, c1, c2, c3))",
+        grid=_GRID_SPARK,
+    ),
+    duckdb_sql=_X574_FMT.format(
+        first1="first(c1 ORDER BY l_linenumber, c1, c2, c3)",
+        last1="last(c1 ORDER BY l_linenumber, c1, c2, c3)",
+        first2="first(c2 ORDER BY l_linenumber, c1, c2, c3)",
+        last2="last(c2 ORDER BY l_linenumber, c1, c2, c3)",
+        first3="first(c3 ORDER BY l_linenumber, c1, c2, c3)",
+        last3="last(c3 ORDER BY l_linenumber, c1, c2, c3)",
+        grid=_GRID_DUCK,
+    ),
+    tags=("layout", "planner"),
+)
+
+# -- x575: equi-depth histogram range-selectivity error --------------------------
+
+_X575_FMT = """
+    WITH vals AS (
+      SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_totalprice
+    ),
+    ranked AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v) AS cum,
+             SUM(c) OVER () AS n
+      FROM vals
+    ),
+    bounds AS (
+      -- 10 equi-depth boundaries: value at global rank ceil(q*N/10)
+      SELECT b,
+             MIN(CASE WHEN cum >= (b * n + 9) {intdiv} 10 THEN v END)
+               AS ub
+      FROM ranked CROSS JOIN ({bgrid}) g
+      GROUP BY b
+    ),
+    buckets AS (
+      SELECT b,
+             COALESCE(LAG(ub) OVER (ORDER BY b), 0.0) AS lb,
+             ub,
+             (SELECT MAX(n) FROM ranked) {intdiv} 10 AS depth
+      FROM bounds
+    ),
+    preds AS (
+      SELECT * FROM ({preds}) p
+    ),
+    est AS (
+      -- uniform-within-bucket interpolation, 1e6-quantized per bucket
+      SELECT p.pid, p.lo, p.hi,
+             CAST(SUM(CAST(FLOOR(
+               GREATEST(0.0,
+                 (LEAST(p.hi, bu.ub) - GREATEST(p.lo, bu.lb))
+                 / (bu.ub - bu.lb))
+               * bu.depth * 1e6) AS BIGINT)) AS BIGINT) AS est_fp
+      FROM preds p JOIN buckets bu
+        ON bu.ub > p.lo AND bu.lb < p.hi
+      GROUP BY p.pid, p.lo, p.hi
+    ),
+    act AS (
+      SELECT p.pid,
+             CAST(COUNT(o.o_totalprice) AS BIGINT) AS actual
+      FROM preds p LEFT JOIN orders o
+        ON o.o_totalprice >= p.lo AND o.o_totalprice < p.hi
+      GROUP BY p.pid
+    )
+    SELECT e.pid, e.lo, e.hi,
+           CAST(FLOOR(e.est_fp / 1e6) AS BIGINT) AS est_rows,
+           a.actual,
+           CAST(ABS(CAST(FLOOR(e.est_fp / 1e6) AS BIGINT) - a.actual)
+                AS BIGINT) AS abs_err,
+           ROUND(GREATEST(
+             (e.est_fp / 1e6 + 1) / (a.actual + 1),
+             (CAST(a.actual AS DOUBLE) + 1) / (e.est_fp / 1e6 + 1)), 4)
+             AS q_error
+    FROM est e JOIN act a ON e.pid = a.pid
+    ORDER BY e.pid
+"""
+
+_PREDS = (
+    "SELECT 1 AS pid, CAST(0 AS DOUBLE) AS lo, CAST(50000 AS DOUBLE) AS hi "
+    "UNION ALL SELECT 2, 100000, 200000 "
+    "UNION ALL SELECT 3, 250000, 260000 "
+    "UNION ALL SELECT 4, 400000, 500000 "
+    "UNION ALL SELECT 5, 480000, 600000"
+)
+_BGRID_SPARK = "SELECT explode(sequence(1, 10)) AS b"
+_BGRID_DUCK = "SELECT unnest(generate_series(1, 10)) AS b"
+
+register_sql(
+    "x575_histogram_selectivity",
+    spark_sql=_X575_FMT.format(
+        intdiv="DIV", bgrid=_BGRID_SPARK, preds=_PREDS
+    ),
+    duckdb_sql=_X575_FMT.format(
+        intdiv="//", bgrid=_BGRID_DUCK, preds=_PREDS
+    ),
+    tags=("planner", "stats"),
+)
