@@ -1010,6 +1010,26 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x314_volume_bars", "x315_tick_rule", "x316_kyle_lambda",
         "x317_bar_return_moments", "x318_group_kfold",
         "x319_regression_metrics", "x320_drift_psi", "x114_recursive_cte",
+        # CORRECTNESS_r06.json — all 50 green (absorbed at r7 round-open;
+        # list derived from the actual r6 row keys, not the rotation note).
+        "x115_posexplode", "x116_try_fns", "x117_bitmap_distinct",
+        "x118_inline_structs", "x119_variant_json", "x120_tfidf",
+        "x121_train_split", "x122_stratified_sample", "x123_union_by_name",
+        "x124_null_safe_join", "x125_regr_aggs",
+        "x126_percentile_within_group", "x127_width_bucket_bitaggs",
+        "x128_rth_local_window", "x150_minhash_pairs", "x131_sql_variables",
+        "x132_parameterized_sql", "x133_identifier_clause", "x134_vwap",
+        "x140_sql_pivot", "x141_gap_detection_sparse", "x142_multimodal_decode",
+        "x143_doc_chunking", "x144_pii_redact", "x146_word_entropy",
+        "x147_interval_join", "x148_asof_forward", "x149_asof_nearest",
+        "x151_fk_audit", "x152_column_profile", "x153_ohlcv_cascade",
+        "x154_bigram_pmi", "x155_arrow_udf", "x158_quality_model_score",
+        "x159_shard_assign", "x160_url_canonicalize", "x161_rolling_anomaly",
+        "x162_gram_matrix", "x163_event_funnel", "x164_retention_cohorts",
+        "x165_event_transitions", "x166_weighted_sample",
+        "x175_seasonal_profile", "x177_dau_wau", "x181_mrl_truncation",
+        "x196_holt_linear", "x197_ks_test", "x198_gini", "x199_phrase_search",
+        "x200_boolean_retrieval",
     }
 )
 
@@ -1022,21 +1042,24 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Round-6 window: all 50 r5 keys came back green and were absorbed into
-    # _DRIVER_VERIFIED above, so no explicit front is needed — the tier sort
-    # fills the 50-slot window with never-verified keys in registration order
-    # (x115–x128, x131–x134, x140-series onward).
+    # Round-7 window: all 50 r6 keys came back green (CORRECTNESS_r06.json)
+    # and were absorbed into _DRIVER_VERIFIED above, so no explicit front is
+    # needed — the tier sort fills the 50-slot window with never-verified
+    # keys in registration order (x201 onward).
     #
-    # ROUND-7 TODO (absorb after CORRECTNESS_r06.json lands): move the r6
-    # window's green keys into _DRIVER_VERIFIED.  The expected window is the
-    # first 50 keys of _emission_order() at the time BENCH/CORRECTNESS r6 ran
-    # — re-derive it from CORRECTNESS_r06.json's actual row keys rather than
-    # trusting this note; any red row stays unverified.  The registry ended
-    # round 6 at 551 keys (196 driver-verified cumulative), so after a green
-    # r6 window ~305 never-verified keys remain — at 50/round the rotation
-    # needs ~7 more rounds, with the local type-strict oracle gate
+    # ROUND-8 TODO (absorb after CORRECTNESS_r07.json lands): move the r7
+    # window's green keys into _DRIVER_VERIFIED.  Re-derive the list from
+    # CORRECTNESS_r07.json's actual row keys rather than trusting this note;
+    # any red row stays unverified.  The registry ended round 6 at 575 keys
+    # (246 driver-verified cumulative after this absorption — the r6
+    # VERDICT's "296" is its own arithmetic slip; len(_DRIVER_VERIFIED) is
+    # the ground truth), so 329 never-verified keys remain — at 50/round
+    # the rotation needs ~7 more
+    # clean rounds, with the local type-strict oracle gate
     # (tests/test_queries_oracle.py, all keys every session) as the
-    # compensating control.  Keep absorbing at round-open, every round.
+    # compensating control.  Registry growth is FROZEN (VERDICT r6 ask #4)
+    # until driver coverage crosses ~60%.  Keep absorbing at round-open,
+    # every round.
     front: list[str] = []
     rank = {k: i for i, k in enumerate(front)}
 

@@ -20,7 +20,9 @@ normal approximation carries the tie-corrected variance
 n(n+1)(2n+1)/24 − Σ(t³−t)/48.
 
 x566 — Cochran's Q for k=3 related binary treatments (did the user
-click / view / purchase inside the window).  The algebra is kept
+purchase on day 5 / 15 / 25 of the month — day-based purchase
+indicators, chosen because any-event indicators degenerate to all-ones
+rows and a zero denominator).  The algebra is kept
 fully integer with the identity
 Q = (k−1)(k·ΣC_j² − N²) / (k·ΣR_i − ΣR_i²) — only the final division
 is IEEE.  dof = k−1 = 2, 5% critical value 5.991.
@@ -204,9 +206,11 @@ _X566 = """
                 THEN 1 ELSE 0 END AS reject_5pct
     FROM q
     CROSS JOIN (
-      SELECT 'click' AS treatment, c1 AS present_users FROM q
-      UNION ALL SELECT 'view', c2 FROM q
-      UNION ALL SELECT 'purchase', c3 FROM q
+      -- labels name the actual indicators (purchase on day 5/15/25 of
+      -- the month), not event types — ADVICE r6 #1
+      SELECT 'purchase_day05' AS treatment, c1 AS present_users FROM q
+      UNION ALL SELECT 'purchase_day15', c2 FROM q
+      UNION ALL SELECT 'purchase_day25', c3 FROM q
     ) t
     ORDER BY t.treatment
 """

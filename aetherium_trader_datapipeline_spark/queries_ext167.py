@@ -76,21 +76,30 @@ _X567_FMT = """
       FROM pairs
     ),
     rv AS (
-      SELECT sym, CAST(COUNT(*) AS BIGINT) AS n_iv,
-             SUM(CAST(dp * dp AS DECIMAL(38,0))) AS rv_u2
-      FROM spans GROUP BY sym
+      -- one SCALAR conditional aggregation instead of the r6 per-sym
+      -- GROUP BY + two filtered cross joins: the scalar form's BNLJ
+      -- build side is HashAggregate(keys=[]) — provably one row at any
+      -- scale — where the keyed form's bound (≤2 rows, sym in 0/1 by
+      -- the ticks filter) was true but not machine-checkable
+      -- (VERDICT r6 ask #1).
+      SELECT
+        CAST(SUM(CASE WHEN sym = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+        CAST(SUM(CASE WHEN sym = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_y,
+        SUM(CASE WHEN sym = 0
+                 THEN CAST(dp * dp AS DECIMAL(38,0)) END) AS rvx_u2,
+        SUM(CASE WHEN sym = 1
+                 THEN CAST(dp * dp AS DECIMAL(38,0)) END) AS rvy_u2
+      FROM spans
     )
     SELECT h.n_pairs,
-           x.n_iv AS n_x, y.n_iv AS n_y,
+           r.n_x, r.n_y,
            ROUND(CAST(h.cov_u2 AS DOUBLE) / 1e12, 6) AS hy_cov,
-           ROUND(CAST(x.rv_u2 AS DOUBLE) / 1e12, 6) AS rv_x,
-           ROUND(CAST(y.rv_u2 AS DOUBLE) / 1e12, 6) AS rv_y,
+           ROUND(CAST(r.rvx_u2 AS DOUBLE) / 1e12, 6) AS rv_x,
+           ROUND(CAST(r.rvy_u2 AS DOUBLE) / 1e12, 6) AS rv_y,
            ROUND(CAST(h.cov_u2 AS DOUBLE)
-                 / SQRT(CAST(x.rv_u2 AS DOUBLE)
-                        * CAST(y.rv_u2 AS DOUBLE)), 6) AS hy_corr
-    FROM hy h
-    CROSS JOIN (SELECT * FROM rv WHERE sym = 0) x
-    CROSS JOIN (SELECT * FROM rv WHERE sym = 1) y
+                 / SQRT(CAST(r.rvx_u2 AS DOUBLE)
+                        * CAST(r.rvy_u2 AS DOUBLE)), 6) AS hy_corr
+    FROM hy h CROSS JOIN rv r
 """
 
 _STAB_SPARK = "LATERAL VIEW explode(sequence(m0, m1)) t AS m"

@@ -100,40 +100,59 @@ _X571 = """
              CAST(SUBSTRING(o.o_orderpriority, 1, 1) AS BIGINT) AS sens
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ),
-    cells AS (
-      SELECT nation, sens, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM joined GROUP BY nation, sens
+    pern AS (
+      -- the sensitive attribute is the FIXED 5-level o_orderpriority
+      -- ordinal ('1-URGENT'..'5-LOW'), so the dense (nation x level)
+      -- grid is a fixed-arity pivot — one groupBy, no grid join. The
+      -- r6 form cross-joined two keyed aggregates (distinct nations x
+      -- per-level totals): bounded in fact (25 x 5) but planned as a
+      -- BNLJ the audit cannot prove bounded (VERDICT r6 ask #1).
+      SELECT nation,
+             CAST(SUM(CASE WHEN sens = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN sens = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN sens = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN sens = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+             CAST(SUM(CASE WHEN sens = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+             CAST(COUNT(*) AS BIGINT) AS n_g
+      FROM joined GROUP BY nation
     ),
-    gtot AS (
-      SELECT sens, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cells
-      GROUP BY sens
-    ),
-    grid AS (
-      -- dense (nation x sens) grid so cumulative sums line up
-      SELECT n.nation, g.sens, g.gcnt, COALESCE(c.cnt, 0) AS cnt
-      FROM (SELECT DISTINCT nation FROM cells) n
-      CROSS JOIN gtot g
-      LEFT JOIN cells c ON c.nation = n.nation AND c.sens = g.sens
-    ),
-    cums AS (
-      SELECT nation, sens,
-             SUM(cnt) OVER (PARTITION BY nation ORDER BY sens) AS cum_g,
-             SUM(gcnt) OVER (PARTITION BY nation ORDER BY sens) AS cum,
-             SUM(cnt) OVER (PARTITION BY nation) AS n_g,
-             SUM(gcnt) OVER (PARTITION BY nation) AS n_tot,
-             COUNT(*) OVER (PARTITION BY nation) AS k_levels
-      FROM grid
-    ),
-    lev AS (
-      -- integer numerator |cum_g*N - cum*n_g| per level
-      SELECT nation, ABS(cum_g * n_tot - cum * n_g) AS num_i,
-             n_g, n_tot, k_levels
-      FROM cums
+    gdist AS (
+      -- scalar aggregate: the global distribution + the count of levels
+      -- actually present (matches the r6 grid, which spanned only
+      -- globally present levels)
+      SELECT CAST(SUM(c1) AS BIGINT) AS g1, CAST(SUM(c2) AS BIGINT) AS g2,
+             CAST(SUM(c3) AS BIGINT) AS g3, CAST(SUM(c4) AS BIGINT) AS g4,
+             CAST(SUM(c5) AS BIGINT) AS g5,
+             CAST(SUM(n_g) AS BIGINT) AS n_tot,
+             CAST(CASE WHEN SUM(c1) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN SUM(c2) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN SUM(c3) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN SUM(c4) > 0 THEN 1 ELSE 0 END
+                + CASE WHEN SUM(c5) > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS k_levels
+      FROM pern
     ),
     emd AS (
-      SELECT nation, MAX(n_g) AS n_g, SUM(num_i) AS num,
-             MAX(n_tot) AS n_tot, MAX(k_levels) AS k_levels
-      FROM lev GROUP BY nation
+      -- integer numerator sum over present levels: |cum_g*N - cum*n_g|;
+      -- a globally absent level contributed no grid row in the r6 form,
+      -- so gate each term on its global count
+      SELECT p.nation, p.n_g, g.n_tot, g.k_levels,
+             CASE WHEN g.g1 > 0 THEN ABS(p.c1 * g.n_tot - g.g1 * p.n_g)
+                  ELSE 0 END
+           + CASE WHEN g.g2 > 0 THEN ABS(
+                 (p.c1 + p.c2) * g.n_tot - (g.g1 + g.g2) * p.n_g)
+                  ELSE 0 END
+           + CASE WHEN g.g3 > 0 THEN ABS(
+                 (p.c1 + p.c2 + p.c3) * g.n_tot
+                 - (g.g1 + g.g2 + g.g3) * p.n_g) ELSE 0 END
+           + CASE WHEN g.g4 > 0 THEN ABS(
+                 (p.c1 + p.c2 + p.c3 + p.c4) * g.n_tot
+                 - (g.g1 + g.g2 + g.g3 + g.g4) * p.n_g) ELSE 0 END
+           + CASE WHEN g.g5 > 0 THEN ABS(
+                 (p.c1 + p.c2 + p.c3 + p.c4 + p.c5) * g.n_tot
+                 - (g.g1 + g.g2 + g.g3 + g.g4 + g.g5) * p.n_g)
+                  ELSE 0 END AS num
+      FROM pern p CROSS JOIN gdist g
     )
     SELECT CAST(nation AS BIGINT) AS nation,
            CAST(n_g AS BIGINT) AS group_size,
@@ -191,8 +210,15 @@ _X572_FMT = """
 """
 
 _WORDS_SPARK = """
+      -- size(ws) >= 2 guard: for a 1-token document Spark's
+      -- sequence(1, 0) is the DESCENDING [1, 0] (ws[-1] indexing —
+      -- NULL-filtered in non-ANSI mode, an error under ANSI) while
+      -- DuckDB's generate_series(1, 0) is empty; filter the short
+      -- documents out before the explode so both engines agree
       SELECT concat(ws[i - 1], ' ', ws[i]) AS w
-      FROM (SELECT split(lower(text), ' ') AS ws FROM documents) d
+      FROM (SELECT ws
+            FROM (SELECT split(lower(text), ' ') AS ws FROM documents)
+            WHERE size(ws) >= 2) d
       LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
       WHERE ws[i - 1] != '' AND ws[i] != ''
 """
