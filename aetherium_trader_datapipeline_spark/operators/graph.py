@@ -318,21 +318,31 @@ def label_propagation(
 
     ``edges`` must already be symmetric (pass both directions).  Per round:
     one join (neighbor labels), one (node, label) count aggregate, one
-    rank-1 window — all key-partitioned, no driver traffic; the per-round
+    max_by vote — all key-partitioned, no driver traffic; the per-round
     localCheckpoint cut stops Catalyst re-deriving the full lineage each
     iteration (same convention as pagerank_fixed).
 
+    Scale shape (r7, VERDICT r6 ask #7 — the r6 form was the worst 100×
+    row at 111 s): the STATIC edge list is hash-partitioned by the join
+    key once and localCheckpointed — LogicalRDD preserves the physical
+    outputPartitioning, so each round's join reshuffles only the |V|-row
+    label frame, never the |E|-row edge list; and the rank-1 window
+    (full sort of the (node, label) pairs per round) is replaced by a
+    max_by hash aggregate with the identical (max count, then min label)
+    tie-break — partial aggregation map-side, no sort.  Measured at the
+    100× replica: 111 s → see SCALE.md round-7 note.
+
     Returns (node, lab) — community = shared ``lab`` value.
     """
-    from pyspark.sql import Window
 
     e = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .where(F.col("node").isNotNull() & F.col("nbr").isNotNull())
         .distinct()
+        .repartition(F.col("nbr"))
+        .localCheckpoint(eager=False)
     )
     labels = e.select("node").distinct().withColumn("lab", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lab"))
     for _ in range(rounds):
         nbr_labs = labels.withColumnRenamed("node", "nbr")
         cnt = (
@@ -340,10 +350,16 @@ def label_propagation(
             .groupBy("node", "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # min over (-count, label): largest count, then smallest label —
+        # the count is always numeric so the negation is safe for ANY
+        # orderable label type (x310's labels are strings)
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "lab")
+            cnt.groupBy("node")
+            .agg(
+                F.min_by(
+                    "lab", F.struct((-F.col("c")).alias("nc"), F.col("lab"))
+                ).alias("lab")
+            )
             .localCheckpoint(eager=False)
         )
     return labels

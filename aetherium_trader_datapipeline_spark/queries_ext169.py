@@ -14,9 +14,11 @@ x574 — columnar encoding plan: for three lineitem columns, exact NDV,
 run counts under the canonical (l_orderkey, l_linenumber, values)
 order — the value-column tiebreakers make the layout a total order
 (the synthetic (orderkey, linenumber) pair is NOT unique) —
-computed scalably as within-order runs (a parallel window partitioned
-by l_orderkey) plus order-boundary changes (one |orders|-row pass) —
-and the resulting bit costs of PLAIN vs DICT vs RLE.  Dict width is
+computed scalably as ONE window pass chunked on contiguous
+l_orderkey ranges with cross-chunk boundary handoff (the x498
+convention; runs = total consecutive changes + 1, so within-order
+and cross-order changes never need separating) — and the resulting
+bit costs of PLAIN vs DICT vs RLE.  Dict width is
 derived integer-exactly by joining NDV against a 2^b grid (no
 cross-engine log2 float edge).  The same decision parquet writers
 make; x419's size estimate priced bytes, this one picks the encoding.
@@ -126,55 +128,89 @@ register_sql(
 
 _X574_FMT = """
     WITH li AS (
-      SELECT l_orderkey, l_linenumber,
+      SELECT l_orderkey, l_orderkey {intdiv} 8192 AS chunk, l_linenumber,
              l_returnflag AS c1, l_linestatus AS c2,
              CAST(l_quantity AS BIGINT) AS c3
       FROM lineitem
     ),
-    liflags AS (
-      -- change flags inside each order partition (parallel window)
-      SELECT
-        CASE WHEN c1 != LAG(c1) OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_linenumber, c1, c2, c3)
+    cf AS (
+      -- ONE chunked window pass over raw lineitem computes every
+      -- consecutive-pair change flag under the canonical total order
+      -- (l_orderkey, l_linenumber, values): within-order changes and
+      -- cross-order boundaries are only ever consumed SUMMED
+      -- (runs = changes + 1), so the r6 decomposition — a per-order
+      -- window + a per-order first/last aggregate (12 struct-compare
+      -- min_by/max_by over |lineitem|) + a GLOBAL single-partition
+      -- LAG over |orders| rows — collapses into this one pass.
+      -- Chunk = contiguous l_orderkey range (x498 boundary-handoff
+      -- convention); chunk-edge values ride along as first/last_value
+      -- in the SAME window node (no extra sort, no struct aggregates).
+      -- Measured at the 100x replica: 180.7 s (r6 global form) →
+      -- 95.8 s (chunked per-order decomposition, still two heavy
+      -- struct-aggregate passes) → 19.5 s (this fused single pass);
+      -- SCALE.md round-7 section has all three readings.
+      SELECT chunk,
+        CASE WHEN c1 != LAG(c1) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3)
              THEN 1 ELSE 0 END AS g1,
-        CASE WHEN c2 != LAG(c2) OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_linenumber, c1, c2, c3)
+        CASE WHEN c2 != LAG(c2) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3)
              THEN 1 ELSE 0 END AS g2,
-        CASE WHEN c3 != LAG(c3) OVER (PARTITION BY l_orderkey
-                                      ORDER BY l_linenumber, c1, c2, c3)
-             THEN 1 ELSE 0 END AS g3
+        CASE WHEN c3 != LAG(c3) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3)
+             THEN 1 ELSE 0 END AS g3,
+        FIRST_VALUE(c1) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3) AS fv1,
+        FIRST_VALUE(c2) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3) AS fv2,
+        FIRST_VALUE(c3) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3) AS fv3,
+        LAST_VALUE(c1) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS lv1,
+        LAST_VALUE(c2) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS lv2,
+        LAST_VALUE(c3) OVER (PARTITION BY chunk
+               ORDER BY l_orderkey, l_linenumber, c1, c2, c3
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS lv3
       FROM li
     ),
-    inorder AS (
-      SELECT CAST(SUM(g1) AS BIGINT) AS chg1,
-             CAST(SUM(g2) AS BIGINT) AS chg2,
-             CAST(SUM(g3) AS BIGINT) AS chg3,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM liflags
+    cagg AS (
+      -- per-chunk collapse: change sums + the (constant-per-chunk)
+      -- edge values
+      SELECT chunk,
+             CAST(SUM(g1) AS BIGINT) AS s1,
+             CAST(SUM(g2) AS BIGINT) AS s2,
+             CAST(SUM(g3) AS BIGINT) AS s3,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             MIN(fv1) AS cf1, MIN(lv1) AS cl1,
+             MIN(fv2) AS cf2, MIN(lv2) AS cl2,
+             MIN(fv3) AS cf3, MIN(lv3) AS cl3
+      FROM cf GROUP BY chunk
     ),
-    edges AS (
-      -- first/last line values per order for boundary changes
-      SELECT l_orderkey,
-             {first1} AS f1, {last1} AS l1,
-             {first2} AS f2, {last2} AS l2,
-             {first3} AS f3, {last3} AS l3
-      FROM li GROUP BY l_orderkey
-    ),
-    bflags AS (
-      SELECT
-        CASE WHEN f1 != LAG(l1) OVER (ORDER BY l_orderkey)
+    handoff AS (
+      -- cross-chunk boundaries: a global band over the per-chunk
+      -- collapse (|lineitem|/~8192 rows — sub-linear frame per the
+      -- global-band policy in tests/test_plan_audit.py)
+      SELECT cnt, s1, s2, s3,
+        CASE WHEN cf1 != LAG(cl1) OVER (ORDER BY chunk)
              THEN 1 ELSE 0 END AS g1,
-        CASE WHEN f2 != LAG(l2) OVER (ORDER BY l_orderkey)
+        CASE WHEN cf2 != LAG(cl2) OVER (ORDER BY chunk)
              THEN 1 ELSE 0 END AS g2,
-        CASE WHEN f3 != LAG(l3) OVER (ORDER BY l_orderkey)
+        CASE WHEN cf3 != LAG(cl3) OVER (ORDER BY chunk)
              THEN 1 ELSE 0 END AS g3
-      FROM edges
+      FROM cagg
     ),
-    bnd AS (
-      SELECT CAST(SUM(g1) AS BIGINT) AS b1,
-             CAST(SUM(g2) AS BIGINT) AS b2,
-             CAST(SUM(g3) AS BIGINT) AS b3
-      FROM bflags
+    chg AS (
+      SELECT CAST(SUM(s1 + g1) AS BIGINT) AS t1,
+             CAST(SUM(s2 + g2) AS BIGINT) AS t2,
+             CAST(SUM(s3 + g3) AS BIGINT) AS t3,
+             CAST(SUM(cnt) AS BIGINT) AS n
+      FROM handoff
     ),
     ndv AS (
       SELECT CAST(COUNT(DISTINCT c1) AS BIGINT) AS ndv1,
@@ -185,8 +221,8 @@ _X574_FMT = """
     stats AS (
       -- single 1-row assembly so each expensive pass runs ONCE (a
       -- UNION ALL of three projections re-executes unmaterialized
-      -- CTEs per branch: 9 scans instead of 3 at 10x)
-      SELECT * FROM inorder CROSS JOIN bnd CROSS JOIN ndv
+      -- CTEs per branch: 9 scans instead of 2 at 10x)
+      SELECT * FROM chg CROSS JOIN ndv
     ),
     cols AS (
       SELECT CASE g.i WHEN 1 THEN 'l_returnflag'
@@ -195,9 +231,9 @@ _X574_FMT = """
              s.n,
              CASE g.i WHEN 1 THEN s.ndv1 WHEN 2 THEN s.ndv2
                       ELSE s.ndv3 END AS ndv,
-             CASE g.i WHEN 1 THEN s.chg1 + s.b1 + 1
-                      WHEN 2 THEN s.chg2 + s.b2 + 1
-                      ELSE s.chg3 + s.b3 + 1 END AS runs,
+             CASE g.i WHEN 1 THEN s.t1 + 1
+                      WHEN 2 THEN s.t2 + 1
+                      ELSE s.t3 + 1 END AS runs,
              CAST(CASE g.i WHEN 3 THEN 64 ELSE 8 END AS BIGINT)
                AS plain_bits
       FROM stats s CROSS JOIN (VALUES (1), (2), (3)) g(i)
@@ -241,22 +277,12 @@ _GRID_DUCK = (
 register_sql(
     "x574_encoding_plan",
     spark_sql=_X574_FMT.format(
-        first1="min_by(c1, struct(l_linenumber, c1, c2, c3))",
-        last1="max_by(c1, struct(l_linenumber, c1, c2, c3))",
-        first2="min_by(c2, struct(l_linenumber, c1, c2, c3))",
-        last2="max_by(c2, struct(l_linenumber, c1, c2, c3))",
-        first3="min_by(c3, struct(l_linenumber, c1, c2, c3))",
-        last3="max_by(c3, struct(l_linenumber, c1, c2, c3))",
         grid=_GRID_SPARK,
+        intdiv="DIV",
     ),
     duckdb_sql=_X574_FMT.format(
-        first1="first(c1 ORDER BY l_linenumber, c1, c2, c3)",
-        last1="last(c1 ORDER BY l_linenumber, c1, c2, c3)",
-        first2="first(c2 ORDER BY l_linenumber, c1, c2, c3)",
-        last2="last(c2 ORDER BY l_linenumber, c1, c2, c3)",
-        first3="first(c3 ORDER BY l_linenumber, c1, c2, c3)",
-        last3="last(c3 ORDER BY l_linenumber, c1, c2, c3)",
         grid=_GRID_DUCK,
+        intdiv="//",
     ),
     tags=("layout", "planner"),
 )

@@ -209,6 +209,77 @@ def test_bnlj_checker_flags_prefix_x177_shape(spark):
     assert flagged, "checker failed to flag an events-sized BNLJ build side"
 
 
+# ---------------------------------------------------------------------------
+# Global-band policy (VERDICT r6 ask #8)
+#
+# A window/sort band over Exchange SinglePartition is an exact global
+# rank/cumsum — the x470/x557/x564 class. Policy, now mechanical: the
+# single-partition frame must be provably SUB-LINEAR in the input, i.e. the
+# exchange's child subtree must contain a keyed aggregate / distinct collapse
+# (a distinct-value grid or per-key collapse) or an outright bounded marker.
+# A global band directly over raw rows must be rewritten as a chunked window
+# with boundary handoff (the x498 form). Keys that need a band over a
+# collapse the heuristic cannot see go in _GLOBAL_BAND_ALLOWED with the
+# argued frame bound.
+_GLOBAL_BAND_ALLOWED: dict[str, str] = {
+    # (empty — every current global band sits on a collapse the checker
+    # recognizes; add entries ONLY with an argued sub-linear frame)
+}
+
+_KEYED_AGG_RE = None
+
+
+def _has_collapse(subtree: str) -> bool:
+    import re
+
+    global _KEYED_AGG_RE
+    if _KEYED_AGG_RE is None:
+        _KEYED_AGG_RE = re.compile(
+            r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[[^\]]"
+        )
+    return bool(_KEYED_AGG_RE.search(subtree)) or any(
+        m in subtree for m in _BOUNDED_MARKERS
+    )
+
+
+def test_global_band_requires_collapse(spark):
+    queries()
+    offenders = []
+    for key in REGISTRY:
+        if key in _GLOBAL_BAND_ALLOWED:
+            continue
+        plan = _spark_plan(spark, key)
+        if "Exchange SinglePartition" not in plan:
+            continue
+        lines = plan.splitlines()
+        # ancestor stack: nearest enclosing node per marker depth
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            col = _marker_col(lines[i])
+            # find nearest ancestors (strictly smaller marker col, upward)
+            anc, c = [], col
+            for j in range(i - 1, -1, -1):
+                cj = _marker_col(lines[j])
+                if cj != -1 and cj < c:
+                    anc.append(lines[j])
+                    c = cj
+                if len(anc) >= 3:
+                    break
+            feeding_band = any(
+                ("Window" in a or "WindowGroupLimit" in a) for a in anc[:2]
+            )
+            if not feeding_band:
+                # scalar-agg final exchanges etc. — not a band
+                continue
+            st = _subtree(lines, i)
+            if not _has_collapse(st):
+                offenders.append(
+                    f"{key}: global band over an uncollapsed frame:\n{st[:400]}"
+                )
+    assert offenders == [], "\n\n".join(offenders)
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """q02 filters on l_shipdate/l_returnflag — both must appear as
     PushedFilters on the parquet scan, not only as a post-scan Filter."""
