@@ -248,3 +248,63 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def grid_rank(
+    df: DataFrame,
+    bucket: str,
+    order_cols: list[str],
+    out: str,
+) -> DataFrame:
+    """Append the exact global ROW_NUMBER rank under the total order
+    (bucket, *order_cols) — decomposed scalably (r7, VERDICT r6 ask #8):
+    a global ``ROW_NUMBER() OVER (ORDER BY ...)`` is a single-partition
+    sort of the whole frame; this computes the identical rank as
+    ``cum_before(bucket) + rank within bucket``, where the cumulative
+    offsets live on the collapsed bucket grid (sub-linear — a
+    distinct-value or contiguous-range grid per the global-band policy
+    in tests/test_plan_audit.py) and the within-bucket window is
+    key-partitioned.
+
+    ``bucket`` is a SQL expression string; it must be the LEADING
+    component of the intended total order (or a monotone function of it,
+    e.g. ``l_orderkey DIV 8192`` for an ``ORDER BY l_orderkey, ...``).
+    Rank ties inside (bucket, *order_cols) groups permute arbitrarily —
+    exactly as they do in the single-sort form.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.expr(bucket).alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wg = Window.orderBy("__b")
+    grid = counts.select(
+        "__b", (F.sum("__c").over(wg) - F.col("__c")).alias("__cb")
+    )
+    w = Window.partitionBy("__b").orderBy(*order_cols)
+    return (
+        df.withColumn("__b", F.expr(bucket))
+        .join(F.broadcast(grid), "__b")
+        .withColumn(out, F.col("__cb") + F.row_number().over(w))
+        .drop("__b", "__cb")
+    )
+
+
+def ntile_from_rank(rank: Column, n_total: int, k: int) -> Column:
+    """Reconstruct NTILE(k) from an exact global rank, integer-exactly:
+    the first ``n_total % k`` buckets hold ``n_total DIV k + 1`` rows,
+    the rest ``n_total DIV k`` — the standard semantics both Spark and
+    DuckDB implement."""
+    q, r = divmod(n_total, k)
+    if q == 0:
+        return rank.cast("int")
+    threshold = r * (q + 1)
+    big = (rank + F.lit(q)) / F.lit(q + 1)
+    small = F.lit(r) + (rank - F.lit(threshold) + F.lit(q - 1)) / F.lit(q)
+    return (
+        F.when(rank <= F.lit(threshold), F.floor(big))
+        .otherwise(F.floor(small))
+        .cast("int")
+    )

@@ -113,7 +113,21 @@ def _block_pair_sims(
         svals = sims[i_idx, j_idx]
         return _topk_frame(pa, pb, svals, kl, thr)
 
-    return rep.groupBy("ga", "gb").applyInPandas(score, schema="a long, b long, sim double")
+    # Pre-partition on the grouping keys to EXACTLY the group count:
+    # applyInPandas otherwise inherits spark.sql.shuffle.partitions tasks,
+    # and every task — including the empty ones — claims a Python worker.
+    # A burst of fresh workers each pays ~2-3 s of one-time pandas/numpy/
+    # BLAS init, which showed up as q35's bimodal 0.7 s / 2.4-5 s bench
+    # readings (r7 profile, BASELINE.md). With the child already
+    # hash-partitioned on (ga, gb), EnsureRequirements inserts no further
+    # exchange, so the stage runs one task per real block pair — also the
+    # right task count on a cluster (each task is one bounded dense GEMM).
+    n_groups = n_blocks * (n_blocks + 1) // 2
+    return (
+        rep.repartition(n_groups, "ga", "gb")
+        .groupBy("ga", "gb")
+        .applyInPandas(score, schema="a long, b long, sim double")
+    )
 
 
 def _topk_frame(pa, pb, svals, kl, thr):

@@ -214,17 +214,22 @@ _X470 = """
                           AS BIGINT), 9)
     ),
     depth_bounds AS (
-      -- equi-depth decile boundaries by exact rank
-      SELECT d.idx, MIN(r.v) AS v FROM (
-        SELECT o_totalprice AS v,
-               ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rk,
-               COUNT(*) OVER () AS n
-        FROM orders
+      -- equi-depth decile boundaries by exact rank over the
+      -- DISTINCT-VALUE grid (the x575 device; sub-linear frame per the
+      -- global-band policy). The value at global rank ceil(idx*n/10)
+      -- is the smallest v whose cumulative count reaches idx*n/10 —
+      -- identical to the r6 per-row ROW_NUMBER form, which
+      -- single-partition-sorted every order row.
+      SELECT d.idx, MIN(CASE WHEN r.cum * 10 >= d.idx * r.n
+                             THEN r.v END) AS v
+      FROM (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        FROM (SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders GROUP BY o_totalprice)
       ) r
-      JOIN (SELECT 1 AS idx UNION ALL SELECT 2 UNION ALL SELECT 3
+      CROSS JOIN (SELECT 1 AS idx UNION ALL SELECT 2 UNION ALL SELECT 3
             UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
             UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9) d
-        ON r.rk * 10 >= d.idx * r.n
       GROUP BY d.idx
     ),
     preds AS (

@@ -120,17 +120,37 @@ register_sql(
 
 _X557 = """
     WITH booked AS (
-      SELECT o_orderkey,
+      SELECT o_orderkey, o_orderkey {intdiv} 8192 AS chunk,
              CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
              CASE WHEN o_orderkey % 97 < 3 THEN 1 ELSE 0 END AS misstated
       FROM orders
     ),
-    cum AS (
-      SELECT o_orderkey, cents, misstated,
-             SUM(cents) OVER (ORDER BY o_orderkey) AS cum_hi,
-             SUM(cents) OVER (ORDER BY o_orderkey) - cents AS cum_lo,
-             SUM(cents) OVER () AS pop_cents
+    inchunk AS (
+      -- within-chunk running monetary total: parallel windows over
+      -- contiguous o_orderkey ranges (~8192 keys each). The r6 form
+      -- was one global SUM(cents) OVER (ORDER BY o_orderkey) — a
+      -- single-partition sort of every order row.
+      SELECT chunk, o_orderkey, cents, misstated,
+             SUM(cents) OVER (PARTITION BY chunk
+                              ORDER BY o_orderkey) AS c_run
       FROM booked
+    ),
+    offs AS (
+      -- chunk offsets: a global band over the per-chunk collapse
+      -- (|orders|/8192 rows — sub-linear frame per the global-band
+      -- policy)
+      SELECT chunk,
+             SUM(csum) OVER (ORDER BY chunk) - csum AS coff,
+             SUM(csum) OVER () AS pop_cents
+      FROM (SELECT chunk, CAST(SUM(cents) AS BIGINT) AS csum
+            FROM booked GROUP BY chunk)
+    ),
+    cum AS (
+      SELECT i.o_orderkey, i.cents, i.misstated,
+             o.coff + i.c_run AS cum_hi,
+             o.coff + i.c_run - i.cents AS cum_lo,
+             o.pop_cents
+      FROM inchunk i JOIN offs o ON i.chunk = o.chunk
     ),
     selected AS (
       -- systematic PPS: an order is selected when its cumulative band

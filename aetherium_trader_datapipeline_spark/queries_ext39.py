@@ -62,10 +62,48 @@ _X222_BODY = """
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
       FROM events
     ),
+    byscore AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY score
+    ),
+    grid AS (
+      -- global-rank offsets over the distinct-score grid (sub-linear
+      -- frame per the global-band policy); the r7 rewrite of the r6
+      -- NTILE(10) OVER (ORDER BY score, event_id) — a single-partition
+      -- sort of every event
+      SELECT score,
+             SUM(c) OVER (ORDER BY score) - c AS cum_before,
+             SUM(c) OVER () AS n_tot
+      FROM byscore
+    ),
     b AS (
-      SELECT y, score,
-             CAST(NTILE(10) OVER (ORDER BY score, event_id) AS BIGINT) AS decile
-      FROM s
+      -- global rank = offset of the score bucket + within-bucket rank;
+      -- NTILE(10) reconstructed integer-exactly: the first N%10
+      -- buckets hold N DIV 10 + 1 rows, the rest N DIV 10
+      SELECT s.y, s.score,
+             CAST(CASE
+               WHEN g.n_tot {intdiv} 10 = 0 THEN
+                 g.cum_before
+                 + ROW_NUMBER() OVER (PARTITION BY s.score
+                                      ORDER BY s.event_id)
+               WHEN g.cum_before
+                    + ROW_NUMBER() OVER (PARTITION BY s.score
+                                         ORDER BY s.event_id)
+                    <= (g.n_tot % 10) * (g.n_tot {intdiv} 10 + 1) THEN
+                 (g.cum_before
+                  + ROW_NUMBER() OVER (PARTITION BY s.score
+                                       ORDER BY s.event_id)
+                  + g.n_tot {intdiv} 10)
+                 {intdiv} (g.n_tot {intdiv} 10 + 1)
+               ELSE
+                 g.n_tot % 10
+                 + (g.cum_before
+                    + ROW_NUMBER() OVER (PARTITION BY s.score
+                                         ORDER BY s.event_id)
+                    - (g.n_tot % 10) * (g.n_tot {intdiv} 10 + 1)
+                    + g.n_tot {intdiv} 10 - 1)
+                   {intdiv} (g.n_tot {intdiv} 10)
+             END AS BIGINT) AS decile
+      FROM s JOIN grid g ON s.score = g.score
     )
     SELECT decile,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -77,8 +115,8 @@ _X222_BODY = """
 
 register_sql(
     "x222_calibration",
-    spark_sql=_X222_BODY,
-    duckdb_sql=_X222_BODY,
+    spark_sql=_X222_BODY.format(intdiv="DIV"),
+    duckdb_sql=_X222_BODY.format(intdiv="//"),
     tags=("ml", "eval", "window"),
 )
 

@@ -173,10 +173,23 @@ _X246_BODY = """
              COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM s
     ),
+    bycents AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY cents
+    ),
+    cgrid AS (
+      -- pooled-rank offsets over the distinct-cents grid (sub-linear
+      -- frame per the global-band policy); the r7 rewrite of the r6
+      -- ROW_NUMBER() OVER (ORDER BY cents, event_id) — a
+      -- single-partition sort of every event
+      SELECT cents, SUM(c) OVER (ORDER BY cents) - c AS cum_before
+      FROM bycents
+    ),
     pooled AS (
-      SELECT cents AS ref_cents,
-             ROW_NUMBER() OVER (ORDER BY cents, event_id) AS prk
-      FROM s
+      SELECT s.cents AS ref_cents,
+             cg.cum_before
+             + ROW_NUMBER() OVER (PARTITION BY s.cents
+                                  ORDER BY s.event_id) AS prk
+      FROM s JOIN cgrid cg ON s.cents = cg.cents
     ),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM s),
     mapped AS (

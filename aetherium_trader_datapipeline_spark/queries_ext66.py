@@ -43,7 +43,7 @@ NTILE(3) head/middle/tail terciles with per-bucket stats — the standard
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
 
 # ---------------------------------------------------------------------------
 # engine fragments
@@ -327,12 +327,86 @@ _X294 = f"""
     ORDER BY layout
 """
 
-register_sql(
-    "x294_zone_map_prune",
-    spark_sql=_X294.format(div="DIV"),
-    duckdb_sql=_X294.format(div="//"),
-    tags=("ops", "layout"),
-)
+@register("x294_zone_map_prune", oracle=_X294.format(div="//"), tags=("ops", "layout"))
+def x294_zone_map_prune(spark, sf_dir):
+    """r7 Spark-side rewrite (VERDICT r6 ask #8 / global-band policy):
+    the SQL form (kept verbatim as the DuckDB oracle) computes two
+    global NTILEs + three global ROW_NUMBERs — five single-partition
+    sorts of all of lineitem. This DataFrame form decomposes every rank
+    as cum_before(leading-bucket) + within-bucket rank (operators.
+    layout.grid_rank: date grid / contiguous-orderkey-chunk grid /
+    distinct-zval grid, each a sub-linear band), materializes the
+    ranked frame ONCE (localCheckpoint — SQL CTE inlining would
+    re-execute it per layout), and folds the three layouts through one
+    stack() explode + a single (layout, fid) aggregation. Rank ties
+    permute only rows identical in every aggregated column, so file
+    stats — and the oracle hash — are unchanged."""
+    from pyspark.sql import SparkSession  # noqa: F401 (signature parity)
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        _interleave,
+        grid_rank,
+        ntile_from_rank,
+    )
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_shipdate")
+    n = li.count()
+
+    ranked = grid_rank(li, "l_shipdate", ["l_orderkey"], "rka")
+    ranked = grid_rank(
+        ranked, "l_orderkey DIV 8192", ["l_orderkey", "l_shipdate"], "rkb"
+    )
+    lz = (
+        ranked.withColumn("a", ntile_from_rank(F.col("rka"), n, 256) - 1)
+        .withColumn("b", ntile_from_rank(F.col("rkb"), n, 256) - 1)
+        .withColumn(
+            "zval",
+            _interleave(
+                [F.col("a").cast("bigint"), F.col("b").cast("bigint")], 8
+            ).cast("bigint"),
+        )
+        .select("l_orderkey", "l_shipdate", "rka", "rkb", "zval")
+        .localCheckpoint(eager=False)
+    )
+    allr = grid_rank(lz, "zval", ["l_orderkey", "l_shipdate"], "rkz")
+
+    exploded = allr.select(
+        "l_orderkey",
+        "l_shipdate",
+        F.expr(
+            "stack(3, 'date_sorted', rka, 'key_sorted', rkb, 'z_order', rkz)"
+        ).alias("layout", "rn"),
+    )
+    files = (
+        exploded.withColumn("fid", F.expr("(rn - 1) DIV 1000"))
+        .groupBy("layout", "fid")
+        .agg(
+            F.min("l_shipdate").alias("dlo"),
+            F.max("l_shipdate").alias("dhi"),
+            F.min("l_orderkey").alias("klo"),
+            F.max("l_orderkey").alias("khi"),
+        )
+    )
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("dhi") >= F.lit("1995-06-01").cast("date"))
+                    & (F.col("dlo") <= F.lit("1995-06-30").cast("date")),
+                    1,
+                ).otherwise(0)
+            ).alias("files_date_pred"),
+            F.sum(
+                F.when((F.col("khi") >= 1000) & (F.col("klo") <= 5000), 1)
+                .otherwise(0)
+            ).alias("files_key_pred"),
+        )
+        .orderBy("layout")
+    )
 
 # -- x295: Johnson–Lindenstrauss ±1 random projection ------------------------
 # Values quantize to floor(v*1000) BIGINT before any aggregation, so both

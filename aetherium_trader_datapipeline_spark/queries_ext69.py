@@ -107,17 +107,34 @@ _X304_ORACLE = f"""
 
 @register("x304_hilbert_vs_zorder", oracle=_X304_ORACLE, tags=("ops", "layout"))
 def x304_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7 rewrite (VERDICT r6 ask #8 / global-band policy): the r5 form
+    ran two global NTILE windows + one global ROW_NUMBER per layout —
+    four single-partition sorts of all of lineitem. Every rank now
+    decomposes as cum_before(leading-bucket) + within-bucket rank
+    (operators.layout.grid_rank: date grid / orderkey-chunk grid /
+    distinct hval+zval grids), the keyed frame materializes once, and
+    both layouts fold through one stack() explode + a single
+    (layout, fid) aggregation. Rank ties permute only rows identical in
+    every aggregated column, so the file stats — and the DuckDB oracle
+    (unchanged, still the NTILE form) — hash identically."""
     from aetherium_trader_datapipeline_spark.operators.layout import (
         _interleave,
+        grid_rank,
         hilbert_key,
+        ntile_from_rank,
     )
 
     li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_shipdate")
-    g = li.select(
+    n = li.count()
+    ranked = grid_rank(li, "l_shipdate", ["l_orderkey"], "rka")
+    ranked = grid_rank(
+        ranked, "l_orderkey DIV 8192", ["l_orderkey", "l_shipdate"], "rkb"
+    )
+    g = ranked.select(
         "l_orderkey",
         "l_shipdate",
-        (F.ntile(256).over(Window.orderBy("l_shipdate", "l_orderkey")) - 1).alias("a"),
-        (F.ntile(256).over(Window.orderBy("l_orderkey", "l_shipdate")) - 1).alias("b"),
+        (ntile_from_rank(F.col("rka"), n, 256) - 1).alias("a"),
+        (ntile_from_rank(F.col("rkb"), n, 256) - 1).alias("b"),
     )
     keyed = (
         hilbert_key(g, "a", "b", bits=8, out_col="hval")
@@ -129,22 +146,27 @@ def x304_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_shipdate", "zval", "hval")
         .localCheckpoint(eager=False)
     )
+    allr = grid_rank(keyed, "hval", ["l_orderkey", "l_shipdate"], "rnh")
+    allr = grid_rank(allr, "zval", ["l_orderkey", "l_shipdate"], "rnz")
 
-    def layout(name: str, key: str) -> DataFrame:
-        w = Window.orderBy(key, "l_orderkey", "l_shipdate")
-        files = (
-            keyed.withColumn("rn", F.row_number().over(w))
-            .withColumn("fid", F.expr("(rn - 1) DIV 1000"))
-            .groupBy("fid")
-            .agg(
-                F.min("l_shipdate").alias("dlo"),
-                F.max("l_shipdate").alias("dhi"),
-                F.min("l_orderkey").alias("klo"),
-                F.max("l_orderkey").alias("khi"),
-            )
+    exploded = allr.select(
+        "l_orderkey",
+        "l_shipdate",
+        F.expr("stack(2, 'hilbert', rnh, 'z_order', rnz)").alias("layout", "rn"),
+    )
+    files = (
+        exploded.withColumn("fid", F.expr("(rn - 1) DIV 1000"))
+        .groupBy("layout", "fid")
+        .agg(
+            F.min("l_shipdate").alias("dlo"),
+            F.max("l_shipdate").alias("dhi"),
+            F.min("l_orderkey").alias("klo"),
+            F.max("l_orderkey").alias("khi"),
         )
-        return files.agg(
-            F.lit(name).alias("layout"),
+    )
+    return (
+        files.groupBy("layout")
+        .agg(
             F.count(F.lit(1)).alias("n_files"),
             F.sum(
                 F.when(
@@ -161,5 +183,5 @@ def x304_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("khi") - F.col("klo")).alias("key_span_total"),
             F.sum(F.datediff("dhi", "dlo")).cast("bigint").alias("date_span_days"),
         )
-
-    return layout("hilbert", "hval").union(layout("z_order", "zval")).orderBy("layout")
+        .orderBy("layout")
+    )

@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Single-threaded BLAS in Python workers. Each Spark task is the
+        # parallelism unit; letting OpenBLAS spawn a per-core thread pool
+        # inside every worker (a) oversubscribes N_tasks x N_cores threads
+        # at scale and (b) costs 2-3 s of one-time pool init on the FIRST
+        # matmul in every fresh worker — measured as q35's bimodal
+        # 0.7 s / 2.4-5 s bench readings (r7 profile, BASELINE.md).
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

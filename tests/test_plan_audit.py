@@ -32,6 +32,14 @@ def _spark_plan(spark, key: str) -> str:
     return df._jdf.queryExecution().sparkPlan().toString()
 
 
+def _executed_plan(spark, key: str) -> str:
+    """Post-exchange-insertion plan (AQE initial): the only plan text in
+    which Exchange nodes exist — sparkPlan() is PRE-EnsureRequirements, so
+    any check that greps for 'Exchange' against it passes vacuously."""
+    df = REGISTRY[key].run(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_no_cartesian_product_anywhere(spark):
     queries()
     offenders = []
@@ -235,7 +243,8 @@ def _has_collapse(subtree: str) -> bool:
     global _KEYED_AGG_RE
     if _KEYED_AGG_RE is None:
         _KEYED_AGG_RE = re.compile(
-            r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[[^\]]"
+            # SortAggregate prints the singular "key=[" — match both
+            r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys?=\[[^\]]"
         )
     return bool(_KEYED_AGG_RE.search(subtree)) or any(
         m in subtree for m in _BOUNDED_MARKERS
@@ -248,7 +257,7 @@ def test_global_band_requires_collapse(spark):
     for key in REGISTRY:
         if key in _GLOBAL_BAND_ALLOWED:
             continue
-        plan = _spark_plan(spark, key)
+        plan = _executed_plan(spark, key)
         if "Exchange SinglePartition" not in plan:
             continue
         lines = plan.splitlines()
@@ -278,6 +287,54 @@ def test_global_band_requires_collapse(spark):
                     f"{key}: global band over an uncollapsed frame:\n{st[:400]}"
                 )
     assert offenders == [], "\n\n".join(offenders)
+
+
+def test_global_band_checker_flags_raw_row_band(spark):
+    """Proof-case: a cumulative sum directly over raw lineitem rows (the
+    banned x574-r6 shape — a single-partition sort of the full table)
+    must be flagged by the global-band checker, while the same band over
+    a distinct-value collapse must pass."""
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
+
+    def offends(sql: str) -> bool:
+        plan = (
+            spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        )
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            anc, c = [], _marker_col(lines[i])
+            for j in range(i - 1, -1, -1):
+                cj = _marker_col(lines[j])
+                if cj != -1 and cj < c:
+                    anc.append(lines[j])
+                    c = cj
+                if len(anc) >= 3:
+                    break
+            if not any("Window" in a or "WindowGroupLimit" in a for a in anc[:2]):
+                continue
+            if not _has_collapse(_subtree(lines, i)):
+                return True
+        return False
+
+    raw_band = (
+        "SELECT l_orderkey, SUM(l_quantity) OVER (ORDER BY l_orderkey, "
+        "l_linenumber ROWS UNBOUNDED PRECEDING) AS cum FROM lineitem"
+    )
+    assert offends(raw_band), "checker failed to flag a raw-row global band"
+
+    collapsed_band = (
+        "WITH g AS (SELECT l_quantity AS v, COUNT(*) AS c FROM lineitem "
+        "GROUP BY l_quantity) "
+        "SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum "
+        "FROM g"
+    )
+    assert not offends(collapsed_band), (
+        "checker flagged a band over a distinct-value collapse"
+    )
 
 
 def test_filter_pushdown_reaches_scan(spark):
