@@ -112,6 +112,14 @@ def connected_components(
     # would never pick broadcast here)
     n_nodes = labels.count()
     bc = F.broadcast if n_nodes <= broadcast_threshold_rows else (lambda d: d)
+    if n_nodes > broadcast_threshold_rows:
+        # large-graph path (label side too big to broadcast): hash-
+        # partition the STATIC symmetrized edge list by the join key once
+        # — LogicalRDD preserves outputPartitioning through the
+        # checkpoint, so each round's neighbor-min join reshuffles only
+        # the |V|-row label frame, never the |E|-row edge list (the x297
+        # r7 lesson, 111 s → 2.3 s at the 100× replica)
+        sym = sym.repartition(F.col("v")).localCheckpoint(eager=False)
 
     def _lbl_sum(lb: DataFrame) -> int:
         # labels only decrease, so the exact sum strictly decreases until
@@ -274,6 +282,13 @@ def pagerank_fixed(
     # reference
     deg = outdeg.withColumnRenamed("src", "node").localCheckpoint(eager=False)
     e_s = e.withColumnRenamed("src", "s")
+    if not small:
+        # large-graph path (share side too big to broadcast): hash-
+        # partition the static edge list by the join key once so each
+        # round's share join reshuffles only the |V|-row share frame,
+        # never |E| edges (the x297 r7 lesson). On the small path the
+        # share broadcast already streams e_s unshuffled.
+        e_s = e_s.repartition(F.col("s")).localCheckpoint(eager=False)
     p = nodes.withColumn("p", F.lit(base))
     for _ in range(iterations):
         share = p.join(_b(deg), "node").select(
