@@ -78,6 +78,10 @@ def test_no_cartesian_product_anywhere(spark):
         ("x287_zorder_keys", "orders", "o_comment"),
         # x288 probes custkeys; address/comment must prune on both sides
         ("x288_portable_bloom", "customer", "c_address"),
+        # (x294/x304 can't be audited here: their ranked frame
+        # localCheckpoints, so the final plan reads a LogicalRDD with no
+        # FileScan — the 2-column projection happens before the
+        # checkpoint job via an explicit .select.)
     ],
 )
 def test_column_pruning_reaches_scan(spark, key, table, must_be_absent):
