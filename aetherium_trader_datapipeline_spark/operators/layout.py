@@ -103,6 +103,7 @@ def hilbert_key(
     y_col: str,
     bits: int = 8,
     out_col: str = "__hkey",
+    method: str = "auto",
 ) -> DataFrame:
     """Append a Hilbert-curve distance column for grid coordinates
     (x_col, y_col) in [0, 2^bits) — the standard iterative xy2d transform
@@ -121,7 +122,34 @@ def hilbert_key(
     between quadrants, so consecutive key ranges are tighter rectangles —
     measurably fewer files scanned per zone-map predicate (x304 reports
     the comparison; Delta/Iceberg expose the same layout choice).
+
+    ``method``: "lookup" broadcast-joins a driver-built 4^bits table
+    (the curve's whole domain — 65,536 rows at bits=8; the r7 fast path:
+    the 8-level CASE projection chain over 60M rows was a large share of
+    x304's keyed pass, where the hash join costs one probe per row),
+    "expr" keeps the pure-Column fold (no driver table — required once
+    4^bits stops being broadcastable, bits > 12), "auto" picks lookup
+    for bits <= 10.
     """
+    if method not in ("auto", "expr", "lookup"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "lookup" or (method == "auto" and bits <= 10):
+        n = 1 << bits
+        rows = [
+            (x * n + y, hilbert_xy2d(x, y, bits))
+            for x in range(n)
+            for y in range(n)
+        ]
+        lut = df.sparkSession.createDataFrame(rows, "__hk bigint, __hd bigint")
+        return (
+            df.withColumn(
+                "__hk",
+                F.col(x_col).cast("bigint") * n + F.col(y_col).cast("bigint"),
+            )
+            .join(F.broadcast(lut), "__hk")
+            .withColumn(out_col, F.col("__hd"))
+            .drop("__hk", "__hd")
+        )
     n = 1 << bits
     out = df.withColumns(
         {

@@ -146,8 +146,26 @@ def x304_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_shipdate", "zval", "hval")
         .localCheckpoint(eager=False)
     )
-    allr = grid_rank(keyed, "hval", ["l_orderkey", "l_shipdate"], "rnh")
-    allr = grid_rank(allr, "zval", ["l_orderkey", "l_shipdate"], "rnz")
+    # Both curve-rank grids derive from the CHECKPOINTED frame, and both
+    # within-bucket ranks ride one pass over it — chaining grid_rank
+    # twice would rebuild the hval join+window to aggregate the zval
+    # counts (allr is lazy), doubling the heavy pass.
+    def _grid(col):
+        wg = Window.orderBy(col)
+        return (
+            keyed.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .select(col, (F.sum("__c").over(wg) - F.col("__c")).alias(f"__cb_{col}"))
+        )
+
+    wh = Window.partitionBy("hval").orderBy("l_orderkey", "l_shipdate")
+    wz = Window.partitionBy("zval").orderBy("l_orderkey", "l_shipdate")
+    allr = (
+        keyed.join(F.broadcast(_grid("hval")), "hval")
+        .join(F.broadcast(_grid("zval")), "zval")
+        .withColumn("rnh", F.col("__cb_hval") + F.row_number().over(wh))
+        .withColumn("rnz", F.col("__cb_zval") + F.row_number().over(wz))
+    )
 
     exploded = allr.select(
         "l_orderkey",

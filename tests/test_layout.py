@@ -67,12 +67,15 @@ def test_hilbert_expr_matches_python_reference(spark):
     pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(500)]
     pts += [(0, 0), (255, 255), (0, 255), (255, 0), (1, 0), (0, 1)]
     df = spark.createDataFrame(pd.DataFrame(pts, columns=["x", "y"]))
-    got = {
-        (r.x, r.y): r.d
-        for r in hilbert_key(df, "x", "y", 8, out_col="d").collect()
-    }
-    for x, y in pts:
-        assert got[(x, y)] == hilbert_xy2d(x, y, 8), (x, y)
+    for method in ("expr", "lookup"):
+        got = {
+            (r.x, r.y): r.d
+            for r in hilbert_key(
+                df, "x", "y", 8, out_col="d", method=method
+            ).collect()
+        }
+        for x, y in pts:
+            assert got[(x, y)] == hilbert_xy2d(x, y, 8), (method, x, y)
 
 
 def test_hilbert_is_bijective_on_16_grid(spark):
