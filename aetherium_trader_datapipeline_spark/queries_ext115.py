@@ -91,7 +91,14 @@ _X419 = """
         CASE WHEN l_partkey = LAG(l_partkey) OVER w
              THEN 0 ELSE 1 END AS chg_pk
       FROM lineitem
-      WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+      -- value-column tiebreakers make the layout a TOTAL order (the
+      -- synthetic (l_orderkey, l_linenumber) pair is NOT unique — the
+      -- x574 convention): without them the LAG order inside ties is
+      -- engine-nondeterministic and the run counts diverged at sf0.01
+      -- (caught by the r7 full-registry driver-style sweep)
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_returnflag, l_linestatus,
+                            l_quantity, l_partkey)
     ),
     runs AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -89,11 +89,11 @@ _X468 = """
     ds AS (
       SELECT i.sym, i.s, i.sigma, st.krel, i.s * st.krel AS k,
              (LN(1.0 / st.krel) + (0.02 + i.sigma * i.sigma / 2)
-                                  * (30.0 / 365))
-               / (i.sigma * SQRT(30.0 / 365)) AS d1,
+                                  * (30.0E0 / 365))
+               / (i.sigma * SQRT(30.0E0 / 365)) AS d1,
              (LN(1.0 / st.krel) + (0.02 - i.sigma * i.sigma / 2)
-                                  * (30.0 / 365))
-               / (i.sigma * SQRT(30.0 / 365)) AS d2
+                                  * (30.0E0 / 365))
+               / (i.sigma * SQRT(30.0E0 / 365)) AS d2
       FROM inputs i CROSS JOIN strikes st
       WHERE i.sigma > 0
     ),
@@ -104,7 +104,7 @@ _X468 = """
       SELECT sym, krel, s, sigma, k,
              CAST(FLOOR({nd1} * 1e8) AS BIGINT) AS nd1_q,
              CAST(FLOOR({nd2} * 1e8) AS BIGINT) AS nd2_q,
-             CAST(FLOOR(EXP(-0.02 * 30.0 / 365) * 1e8) AS BIGINT) AS disc_q,
+             CAST(FLOOR(EXP(-0.02E0 * 30.0E0 / 365) * 1e8) AS BIGINT) AS disc_q,
              CAST(FLOOR(EXP(-d1 * d1 / 2) * 1e10) AS BIGINT) AS pdf_q
       FROM ds
     )
@@ -117,7 +117,7 @@ _X468 = """
                 AS BIGINT) AS call_price_x1e4,
            CAST(nd1_q {intdiv} 100 AS BIGINT) AS delta_micro,
            CAST(FLOOR(pdf_q / 1e10 / SQRT(2 * PI())
-                      / (s * sigma * SQRT(30.0 / 365)) * 1e9) AS BIGINT)
+                      / (s * sigma * SQRT(30.0E0 / 365)) * 1e9) AS BIGINT)
              AS gamma_nano
     FROM quantized ORDER BY sym, strike_rel
 """
