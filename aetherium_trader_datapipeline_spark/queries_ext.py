@@ -58,7 +58,10 @@ def x40_udf_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x41_grouped_demean",
     oracle="""
     SELECT event_id,
-           ROUND(value - AVG(value) OVER (PARTITION BY user_id), 4) AS dvalue
+           FLOOR((value - SUM(CAST(FLOOR(value * 1e6) AS BIGINT))
+                            OVER (PARTITION BY user_id)
+                          / COUNT(value) OVER (PARTITION BY user_id)
+                          / 1e6) * 1e4 + 0.5) / 1e4 AS dvalue
     FROM events ORDER BY event_id LIMIT 500
     """,
     tags=("udf",),
@@ -198,7 +201,13 @@ def x45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) g
     ),
     freq AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh),
-    sh AS (SELECT id, sh0.sh FROM sh0 JOIN freq USING (sh) WHERE freq.df <= 100),
+    -- df cap scales with the corpus (r7): an absolute 100 collapsed at
+    -- sf0.1 (only 250 of 5000 docs kept ANY shingle, sets of size 1,
+    -- and the "truth" became docs sharing one rare shingle); GREATEST
+    -- keeps sf0.001/sf0.01 behavior bit-identical (cap stays 100 there)
+    sh AS (SELECT id, sh0.sh FROM sh0 JOIN freq USING (sh)
+           WHERE freq.df <= GREATEST(100,
+                 CEIL(0.2 * (SELECT COUNT(*) FROM documents)))),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
@@ -385,7 +394,13 @@ _EXACT_PAIRS_CTE = """
       ) g
     ),
     freq AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY sh),
-    sh AS (SELECT id, sh0.sh FROM sh0 JOIN freq USING (sh) WHERE freq.df <= 100),
+    -- df cap scales with the corpus (r7): an absolute 100 collapsed at
+    -- sf0.1 (only 250 of 5000 docs kept ANY shingle, sets of size 1,
+    -- and the "truth" became docs sharing one rare shingle); GREATEST
+    -- keeps sf0.001/sf0.01 behavior bit-identical (cap stays 100 there)
+    sh AS (SELECT id, sh0.sh FROM sh0 JOIN freq USING (sh)
+           WHERE freq.df <= GREATEST(100,
+                 CEIL(0.2 * (SELECT COUNT(*) FROM documents)))),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
@@ -395,11 +410,19 @@ _EXACT_PAIRS_CTE = """
 """
 
 
-def _exact_jaccard_pairs(docs, p: int, q: int, max_freq: int = 100):
+def _exact_jaccard_pairs(docs, p: int, q: int, max_freq: int | None = None):
     """(a, b) doc pairs with exact 2-gram Jaccard >= p/q (integer test),
-    over shingles with document frequency <= ``max_freq`` (see CTE note)."""
+    over shingles with document frequency <= ``max_freq``.
+
+    ``max_freq`` defaults to GREATEST(100, 0.2 * n_docs) — the r7 fix for
+    the scale collapse the absolute cap caused at sf0.1 (see CTE note);
+    identical to the old cap at sf0.001/sf0.01."""
+    import math
+
     from aetherium_trader_datapipeline_spark.operators.dedup import _shingles
 
+    if max_freq is None:
+        max_freq = max(100, math.ceil(0.2 * docs.count()))
     sh0 = _shingles(docs, "doc_id", "text", 2)
     freq = sh0.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     sh = (

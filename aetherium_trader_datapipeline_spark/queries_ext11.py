@@ -118,7 +118,7 @@ register_sql(
 SELECT o_orderkey, kind, amt
 FROM (SELECT o_orderkey,
              array(named_struct('kind', 'base', 'amt', ROUND(o_totalprice, 2)),
-                   named_struct('kind', 'tax',  'amt', ROUND(o_totalprice * 0.05, 2))) AS parts
+                   named_struct('kind', 'tax',  'amt', CAST(FLOOR(o_totalprice * 0.05 * 100 + 0.5) AS BIGINT) / 100.0E0)) AS parts
       FROM orders WHERE o_orderkey <= 400)
 LATERAL VIEW inline(parts) AS kind, amt
 ORDER BY o_orderkey, kind
@@ -128,7 +128,7 @@ SELECT o_orderkey, kind, amt FROM (
   SELECT o_orderkey, 'base' AS kind, ROUND(o_totalprice, 2) AS amt
   FROM orders WHERE o_orderkey <= 400
   UNION ALL
-  SELECT o_orderkey, 'tax' AS kind, ROUND(o_totalprice * 0.05, 2) AS amt
+  SELECT o_orderkey, 'tax' AS kind, CAST(FLOOR(o_totalprice * 0.05 * 100 + 0.5) AS BIGINT) / 100.0E0 AS amt
   FROM orders WHERE o_orderkey <= 400)
 ORDER BY o_orderkey, kind
 """,

@@ -130,7 +130,7 @@ _X463 = (
              ROUND((CAST(sr AS DOUBLE) / n / 1e9)
                    / (CAST(srr AS DOUBLE) / n / 1e18
                       - (CAST(sr AS DOUBLE) / n / 1e9)
-                        * (CAST(sr AS DOUBLE) / n / 1e9)), 4)
+                        * (CAST(sr AS DOUBLE) / n / 1e9)), 4) + 0.0E0
            END AS kelly_fraction,
            CASE WHEN CAST(srr AS DOUBLE) / n / 1e18
                      - (CAST(sr AS DOUBLE) / n / 1e9)
@@ -138,7 +138,7 @@ _X463 = (
              ROUND((CAST(sr AS DOUBLE) / n / 1e9)
                    / (CAST(srr AS DOUBLE) / n / 1e18
                       - (CAST(sr AS DOUBLE) / n / 1e9)
-                        * (CAST(sr AS DOUBLE) / n / 1e9)) / 2, 4)
+                        * (CAST(sr AS DOUBLE) / n / 1e9)) / 2, 4) + 0.0E0
            END AS half_kelly,
            CASE WHEN CAST(srr AS DOUBLE) / n / 1e18
                      - (CAST(sr AS DOUBLE) / n / 1e9)
@@ -146,7 +146,7 @@ _X463 = (
              ROUND(POWER(CAST(sr AS DOUBLE) / n / 1e9, 2) / 2
                    / (CAST(srr AS DOUBLE) / n / 1e18
                       - (CAST(sr AS DOUBLE) / n / 1e9)
-                        * (CAST(sr AS DOUBLE) / n / 1e9)), 12)
+                        * (CAST(sr AS DOUBLE) / n / 1e9)), 12) + 0.0E0
            END AS growth_rate
     FROM moms WHERE n > 10 ORDER BY sym
 """

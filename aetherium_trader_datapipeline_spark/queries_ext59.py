@@ -81,13 +81,19 @@ register_sql(
 _X272_BODY = """
     WITH px AS (
       SELECT l_partkey AS pk,
-             CAST(l_extendedprice / l_quantity AS DECIMAL(19,4)) AS unit_px
+             -- explicit half-up FLOOR quantization to 1e-4 units: the r6
+             -- CAST(double AS DECIMAL(18,4)) hit engine-divergent rounding
+             -- on .00005 boundaries at sf0.1 (r7 sweep), and Spark's
+             -- DECIMAL(19,4) square exceeded precision 38 and silently
+             -- rounded scale 8 -> 7 (allowPrecisionLoss)
+             CAST(FLOOR(l_extendedprice / l_quantity * 1e4 + 0.5)
+                  AS BIGINT) AS q
       FROM lineitem WHERE l_quantity > 0
     ),
     m AS (
       SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(unit_px) AS DOUBLE) AS sx,
-             CAST(SUM(unit_px * unit_px) AS DOUBLE) AS sxx
+             CAST(SUM(q) AS DOUBLE) / 1e4 AS sx,
+             CAST(SUM(CAST(q AS DECIMAL(18,0)) * q) AS DOUBLE) / 1e8 AS sxx
       FROM px GROUP BY pk
     )
     SELECT pk, n,

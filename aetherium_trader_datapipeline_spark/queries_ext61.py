@@ -229,7 +229,11 @@ _X280_ORACLE = (
     _X129_CTES
     + """,
     freq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
-    shc AS (SELECT id, sh.sh FROM sh JOIN freq USING (sh) WHERE freq.df <= 100),
+    -- relative df cap (r7): GREATEST keeps sf0.001/sf0.01 at the old 100
+    -- while scaling with the corpus (the absolute cap collapsed at sf0.1)
+    shc AS (SELECT id, sh.sh FROM sh JOIN freq USING (sh)
+            WHERE freq.df <= GREATEST(100,
+                  CEIL(0.2 * (SELECT COUNT(*) FROM documents)))),
     sizes AS (SELECT id, COUNT(*) AS sz FROM shc GROUP BY id),
     inter AS (
       SELECT a.id AS a, b.id AS b, COUNT(*) AS inter
