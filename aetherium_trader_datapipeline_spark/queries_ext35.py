@@ -34,7 +34,7 @@ from aetherium_trader_datapipeline_spark.tables import load_tables
 
 _X206_ORACLE = """
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS total_value
+           ROUND(CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -61,7 +61,10 @@ def x206_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         final_aggs=[
             F.sum("n").cast("bigint").alias("n"),
-            F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+            # Decimal combine stays internal (salt-order-proof exactness);
+            # the FINAL column is double — decimal finals hash-diverge on
+            # the driver (r7 red family).
+            F.round(F.sum("total_value").cast("double"), 2).alias("total_value"),
         ],
     )
     return out.orderBy("event_type")

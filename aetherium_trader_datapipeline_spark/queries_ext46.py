@@ -33,7 +33,7 @@ _X239_BODY = """
       FROM events WHERE value >= 0 AND value < 100
     )
     SELECT b.tier, e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(ROUND(e.value, 2) AS DECIMAL(18,2))) AS total_value
+           ROUND(CAST(SUM(CAST(ROUND(e.value, 2) AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
     FROM e JOIN bands b ON e.band_id = b.band_id
     GROUP BY b.tier, e.event_type
     ORDER BY b.tier, e.event_type
@@ -54,7 +54,7 @@ _X240_FMT = """
            CAST(GROUPING({d}) AS INT) AS g_day,
            {y} AS yr, {m} AS mo, {d} AS dy,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
     FROM orders
     GROUP BY GROUPING SETS (({y}, {m}, {d}), ({y}, {m}), ({y}))
     ORDER BY yr NULLS FIRST, mo NULLS FIRST, dy NULLS FIRST

@@ -50,7 +50,7 @@ _X242_BODY = """
       FROM a FULL OUTER JOIN b ON a.k = b.k
     )
     SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(delta) AS DECIMAL(18,2)) AS value_delta
+           ROUND(CAST(SUM(delta) AS DOUBLE), 2) AS value_delta
     FROM d GROUP BY status ORDER BY status
 """
 

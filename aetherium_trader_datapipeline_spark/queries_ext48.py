@@ -46,10 +46,11 @@ _X244_BODY = """
                          THEN 1 ELSE 0 END AS INT) AS k
       FROM px
     )
-    SELECT user_id, event_id, p AS raw_px, k AS n_future_splits,
-           CAST(CASE k WHEN 0 THEN p
-                       WHEN 1 THEN p / 2
-                       ELSE p / 4 END AS DECIMAL(18,6)) AS adj_px
+    SELECT user_id, event_id,
+           ROUND(CAST(p AS DOUBLE), 4) AS raw_px, k AS n_future_splits,
+           ROUND(CAST(CASE k WHEN 0 THEN p
+                             WHEN 1 THEN p / 2
+                             ELSE p / 4 END AS DOUBLE), 6) AS adj_px
     FROM adj ORDER BY user_id, event_id LIMIT 500
 """
 

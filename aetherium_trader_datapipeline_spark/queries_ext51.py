@@ -26,7 +26,7 @@ from aetherium_trader_datapipeline_spark.tables import load_tables
 _X253_ORACLE = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS net_rev
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS net_rev
     FROM lineitem
     GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -50,7 +50,7 @@ def x253_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(net_price(l_extendedprice, l_discount)) AS net_rev
+               ROUND(CAST(SUM(net_price(l_extendedprice, l_discount)) AS DOUBLE), 2) AS net_rev
         FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
@@ -61,13 +61,22 @@ def x253_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # all-decimal chain after the one established double->DECIMAL(18,4) cast:
 # tax and gross are exact decimal products/sums, so no per-row ROUND (whose
-# tie-breaks differ across engines) appears anywhere
+# tie-breaks differ across engines) appears anywhere in the MATH; the FINAL
+# projection casts each exact decimal to double (repr-stable — decimal
+# finals hash-diverge on the driver, r7 red family) via an outer SELECT so
+# the lateral-alias chain under test stays all-decimal
 _X254_BODY = """
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net,
-           CAST(net * CAST(0.07 AS DECIMAL(4,2)) AS DECIMAL(18,6)) AS tax,
-           CAST(net + tax AS DECIMAL(18,6)) AS gross
-    FROM lineitem
+           ROUND(CAST(net AS DOUBLE), 4) AS net,
+           ROUND(CAST(tax AS DOUBLE), 6) AS tax,
+           ROUND(CAST(gross AS DOUBLE), 6) AS gross
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS net,
+             CAST(net * CAST(0.07 AS DECIMAL(4,2)) AS DECIMAL(18,6)) AS tax,
+             CAST(net + tax AS DECIMAL(18,6)) AS gross
+      FROM lineitem
+    )
     ORDER BY l_orderkey, l_linenumber LIMIT 300
 """
 

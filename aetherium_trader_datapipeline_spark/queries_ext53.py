@@ -36,9 +36,9 @@ _X257_FMT = """
       FROM py a JOIN py b ON a.pk = b.pk AND a.yr = 1996 AND b.yr = 1997
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(r1d) AS DECIMAL(18,4)) AS rev_1996,
-           CAST(SUM(r2d) AS DECIMAL(18,4)) AS rev_1997,
-           CAST(SUM(r2d) - SUM(r1d) AS DECIMAL(18,4)) AS delta_exact,
+           ROUND(CAST(SUM(r1d) AS DOUBLE), 4) AS rev_1996,
+           ROUND(CAST(SUM(r2d) AS DOUBLE), 4) AS rev_1997,
+           ROUND(CAST(SUM(r2d) - SUM(r1d) AS DOUBLE), 4) AS delta_exact,
            CAST(FLOOR(SUM((q2 - q1) * (r1 / q1))) AS BIGINT) AS volume_effect_floor,
            CAST(FLOOR(SUM(((r2 / q2) - (r1 / q1)) * q2)) AS BIGINT) AS price_effect_floor
     FROM both_years
@@ -73,7 +73,7 @@ _X258_BODY = """
       FROM ranked
     )
     SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(r) AS DECIMAL(18,4)) AS revenue
+           ROUND(CAST(SUM(r) AS DOUBLE), 4) AS revenue
     FROM classed GROUP BY abc ORDER BY abc
 """
 

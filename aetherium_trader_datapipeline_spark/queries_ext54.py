@@ -88,8 +88,8 @@ _X260_FMT = """
       GROUP BY prev.m + 1
     )
     SELECT m AS period_key, n_base_users,
-           CAST(base_rev AS DECIMAL(18,2)) AS base_rev,
-           CAST(retained_rev AS DECIMAL(18,2)) AS retained_rev,
+           ROUND(CAST(base_rev AS DOUBLE), 2) AS base_rev,
+           ROUND(CAST(retained_rev AS DOUBLE), 2) AS retained_rev,
            CAST(FLOOR(1e6 * (CAST(retained_rev AS DOUBLE) / CAST(base_rev AS DOUBLE)))
                 AS BIGINT) AS nrr_micro
     FROM paired ORDER BY m

@@ -36,8 +36,8 @@ _X267_FMT = """
       FROM spend GROUP BY d0, day_offset
     )
     SELECT cohort_day, day_offset,
-           CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
-                               ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2))
+           ROUND(CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                                     ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
              AS cum_revenue
     FROM cells
     ORDER BY cohort_day, day_offset LIMIT 400

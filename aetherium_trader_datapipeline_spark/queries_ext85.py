@@ -59,12 +59,12 @@ _X339_FMT = """
            CAST(COUNT(*) AS BIGINT) AS n_labels,
            CAST(SUM(CASE WHEN last_feat_micro IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_with_feature,
-           CAST(SUM(CASE WHEN staleness_us IS NOT NULL
-                         THEN CAST(staleness_us AS DECIMAL(28,0)) END)
-             AS DECIMAL(38,0)) AS total_staleness_us,
-           CAST(SUM(CASE WHEN last_feat_micro IS NOT NULL
-                         THEN CAST(last_feat_micro AS DECIMAL(28,0)) END)
-             AS DECIMAL(38,0)) AS feat_checksum_micro
+           CAST(CAST(SUM(CASE WHEN staleness_us IS NOT NULL
+                              THEN CAST(staleness_us AS DECIMAL(28,0)) END)
+                AS DECIMAL(38,0)) AS STRING) AS total_staleness_us,
+           CAST(CAST(SUM(CASE WHEN last_feat_micro IS NOT NULL
+                              THEN CAST(last_feat_micro AS DECIMAL(28,0)) END)
+                AS DECIMAL(38,0)) AS STRING) AS feat_checksum_micro
     FROM labels GROUP BY user_id % 100 ORDER BY user_bucket
 """
 

@@ -81,11 +81,21 @@ def _duck_kind(t: str) -> str:
     """Reduce a DuckDB logical type to the driver-hash-relevant KIND.
 
     Empirically (CORRECTNESS_r03), the driver's value hash tolerates width
-    differences within a kind (x139: Spark INT vs DuckDB BIGINT green; x253:
-    decimal(28,4) vs decimal(38,4) green) but fails when the fetched value
-    REPR changes: DuckDB exports HUGEINT as float64 (x138's 165-row exact
-    match still hash-failed), and a decimal scale or int/float/decimal kind
-    flip changes the canonical string ('3' vs '3.0' vs '3.00')."""
+    differences within a kind (x139: Spark INT vs DuckDB BIGINT green) but
+    fails when the fetched value REPR changes: DuckDB exports HUGEINT as
+    float64 (x138's 165-row exact match still hash-failed), and a decimal
+    scale or int/float/decimal kind flip changes the canonical string
+    ('3' vs '3.0' vs '3.00').
+
+    DECIMAL finals are banned outright (see no_decimal_final_problems):
+    CORRECTNESS_r07 proved the driver hashes Decimal finals through a repr
+    the local Decimal.normalize() canonicalization erases — all 7 keys in
+    the r7 window whose final schema carried a DECIMAL column (x203 x204
+    x206 x239 x240 x242 x244) were rows+schema-green but hash-red, and the
+    43 non-decimal keys were all green.  (An earlier revision of this
+    docstring claimed the driver green-lit x253 at decimal(28,4); that was
+    wrong — no CORRECTNESS file has ever had an x253 row, and no
+    decimal-final key had been driver-tested before r7.)"""
     t = t.strip()
     u = t.upper()
     if u in ("HUGEINT", "UHUGEINT", "UUID", "INTERVAL", "BIT"):
@@ -149,9 +159,29 @@ def type_problems(spark_df, d_cols, d_types, key: str = "") -> list[str]:
     return problems
 
 
+def no_decimal_final_problems(spark_df, key: str = "") -> list[str]:
+    """Hard ban on DECIMAL columns in an oracle-paired key's FINAL schema.
+
+    The r7 driver window proved decimal finals hash-red even when every
+    value matches (see _duck_kind docstring).  Decimal math must stay
+    INTERNAL; finals are double (ROUND(CAST(x AS DOUBLE), s)), fixed-point
+    BIGINT, or STRING (for >2^53 exact checksums)."""
+    out = []
+    for f in spark_df.schema.fields:
+        if f.dataType.simpleString().startswith("decimal"):
+            out.append(
+                f"{key}: DECIMAL-final column '{f.name}' "
+                f"({f.dataType.simpleString()}) — the driver's value hash "
+                "diverges on decimal finals (CORRECTNESS_r07 red family); "
+                "finalize as double/bigint/string"
+            )
+    return out
+
+
 def compare(spark_df, oracle_sql_text: str, sf_dir: str, key: str = "") -> list[str]:
     """Returns a list of mismatch descriptions (empty = pass)."""
     problems = []
+    problems.extend(no_decimal_final_problems(spark_df, key=key))
     s_cols, s_rows = spark_run(spark_df)
     d_cols, d_rows, d_types = duckdb_run_typed(oracle_sql_text, sf_dir)
     problems.extend(type_problems(spark_df, d_cols, d_types, key=key))
