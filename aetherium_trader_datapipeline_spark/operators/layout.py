@@ -141,12 +141,18 @@ def hilbert_key(
             for y in range(n)
         ]
         lut = df.sparkSession.createDataFrame(rows, "__hk bigint, __hd bigint")
+        # LEFT join so malformed input (NULL or out-of-[0, 2^bits)
+        # coordinates) yields a NULL key instead of silently dropping the
+        # row — keeps "lookup" behaviorally interchangeable with "expr",
+        # which also emits NULL for NULL coords (and garbage-but-present
+        # keys for out-of-range ones; out-of-range is a caller bug either
+        # way, but losing rows from a layout operator is never acceptable).
         return (
             df.withColumn(
                 "__hk",
                 F.col(x_col).cast("bigint") * n + F.col(y_col).cast("bigint"),
             )
-            .join(F.broadcast(lut), "__hk")
+            .join(F.broadcast(lut), "__hk", "left")
             .withColumn(out_col, F.col("__hd"))
             .drop("__hk", "__hd")
         )
@@ -309,14 +315,19 @@ def grid_rank(
     )
     wg = Window.orderBy("__b")
     grid = counts.select(
-        "__b", (F.sum("__c").over(wg) - F.col("__c")).alias("__cb")
+        F.col("__b").alias("__gb"),
+        (F.sum("__c").over(wg) - F.col("__c")).alias("__cb"),
     )
     w = Window.partitionBy("__b").orderBy(*order_cols)
+    # eqNullSafe: the grid's groupBy already carries the NULL-bucket group,
+    # so a NULL bucket expression ranks (first — Spark's NULLS FIRST window
+    # order) instead of silently vanishing, matching what a single global
+    # ROW_NUMBER would do.
     return (
         df.withColumn("__b", F.expr(bucket))
-        .join(F.broadcast(grid), "__b")
+        .join(F.broadcast(grid), F.col("__b").eqNullSafe(F.col("__gb")))
         .withColumn(out, F.col("__cb") + F.row_number().over(w))
-        .drop("__b", "__cb")
+        .drop("__b", "__gb", "__cb")
     )
 
 
@@ -324,15 +335,18 @@ def ntile_from_rank(rank: Column, n_total: int, k: int) -> Column:
     """Reconstruct NTILE(k) from an exact global rank, integer-exactly:
     the first ``n_total % k`` buckets hold ``n_total DIV k + 1`` rows,
     the rest ``n_total DIV k`` — the standard semantics both Spark and
-    DuckDB implement."""
+    DuckDB implement.
+
+    All arithmetic is bigint (``div`` — Spark's IntegralDivide), so the
+    reconstruction is exact at ANY n_total, not just below the ~2^40
+    boundary where double-division FLOOR(x/y) starts mis-rounding."""
     q, r = divmod(n_total, k)
     if q == 0:
         return rank.cast("int")
     threshold = r * (q + 1)
-    big = (rank + F.lit(q)) / F.lit(q + 1)
-    small = F.lit(r) + (rank - F.lit(threshold) + F.lit(q - 1)) / F.lit(q)
-    return (
-        F.when(rank <= F.lit(threshold), F.floor(big))
-        .otherwise(F.floor(small))
-        .cast("int")
+    rk = rank.cast("bigint")
+    big = F.call_function("div", rk + F.lit(q), F.lit(q + 1).cast("bigint"))
+    small = F.lit(r) + F.call_function(
+        "div", rk - F.lit(threshold) + F.lit(q - 1), F.lit(q).cast("bigint")
     )
+    return F.when(rank <= F.lit(threshold), big).otherwise(small).cast("int")

@@ -120,8 +120,11 @@ def _block_pair_sims(
     # BLAS init, which showed up as q35's bimodal 0.7 s / 2.4-5 s bench
     # readings (r7 profile, BASELINE.md). With the child already
     # hash-partitioned on (ga, gb), EnsureRequirements inserts no further
-    # exchange, so the stage runs one task per real block pair — also the
-    # right task count on a cluster (each task is one bounded dense GEMM).
+    # exchange, so the stage runs at most n_groups tasks, ~one group per
+    # task (hash partitioning permits collisions — two groups can land in
+    # one task — and empty partitions; the bound that matters is that no
+    # task exceeds a handful of bounded dense GEMMs, also the right shape
+    # on a cluster).
     n_groups = n_blocks * (n_blocks + 1) // 2
     return (
         rep.repartition(n_groups, "ga", "gb")
