@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Mechanical full-registry oracle sweep with per-key timeout + resume.
+
+The r7 sf0.1 sweep stalled inside the heavy pure-Python codec keys
+(x500+) and stopped at registry key 500 (SCALE.md round-7 note); this
+script makes the sweep completable unattended (VERDICT r7 ask #8):
+
+- per-key wall-clock budget: the key runs in a worker thread under a
+  Spark job group; on timeout the group is cancelled (kills the Python
+  workers too) and the key is recorded as "timeout" instead of wedging
+  the whole sweep;
+- resume: results append to a JSONL state file; keys already recorded
+  ok in the state file are skipped on re-run, so an interrupted sweep
+  continues where it stopped;
+- Arrow batch size pinned (spark.sql.execution.arrow.maxRecordsPerBatch)
+  so the pure-Python codec keys stream bounded batches instead of one
+  giant per-partition batch.
+
+Usage:
+  python scripts/sweep_oracle.py [sf_dir] [--start N] [--end M]
+         [--timeout SECS] [--state FILE] [--fresh]
+Defaults: sf_dir=/root/testdata/sf0.1, start/end = whole registry
+(REGISTRATION order, 1-based inclusive slice — matches SCALE.md's
+"registry keys 1-500" wording), timeout=300 s/key,
+state=.data/sweep_<sfname>_state.jsonl.
+
+Each state line: {"key":..., "idx":..., "status":"ok|fail|timeout|error",
+"wall_s":..., "problems":[...]}.  Exit code 0 iff every swept key is ok.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutTimeout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--start", type=int, default=1, help="1-based registry index")
+    ap.add_argument("--end", type=int, default=None, help="inclusive")
+    ap.add_argument("--timeout", type=float, default=300.0)
+    ap.add_argument("--state", default=None)
+    ap.add_argument("--fresh", action="store_true", help="ignore existing state")
+    args = ap.parse_args()
+
+    sfname = os.path.basename(os.path.normpath(args.sf_dir)) or "sf"
+    state_path = args.state or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".data",
+        f"sweep_{sfname}_state.jsonl",
+    )
+    os.makedirs(os.path.dirname(state_path), exist_ok=True)
+
+    done: set[str] = set()
+    if not args.fresh and os.path.exists(state_path):
+        with open(state_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("status") == "ok":
+                    done.add(rec["key"])
+
+    # tws streaming modules self-activate the protoshim at import; keep the
+    # import order contract (shim before SparkSession) by loading the FULL
+    # registry (extensions included) before building the session.
+    from aetherium_trader_datapipeline_spark.queries import (
+        REGISTRY,
+        _load_extensions,
+    )
+
+    _load_extensions()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate())
+
+    from tests.oracle import compare  # noqa: E402
+
+    keys = list(REGISTRY)
+    end = args.end if args.end is not None else len(keys)
+    todo = [
+        (i + 1, k)
+        for i, k in enumerate(keys)
+        if args.start <= i + 1 <= end and k not in done
+    ]
+    print(
+        f"sweep {args.sf_dir}: {len(todo)} keys "
+        f"(registry {args.start}..{end}, {len(done)} already ok in state)",
+        flush=True,
+    )
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    n_bad = 0
+    with open(state_path, "a") as out:
+        for idx, key in enumerate_keys(todo):
+            spec = REGISTRY[key]
+            t0 = time.time()
+
+            def run() -> list[str]:
+                spark.sparkContext.setJobGroup(key, f"sweep {key}", True)
+                df = spec.run(spark, args.sf_dir)
+                if spec.oracle is None:
+                    n = df.count()  # rows-only keys: execution smoke
+                    return [] if n >= 0 else [f"{key}: negative count"]
+                return compare(df, spec.oracle, args.sf_dir, key=key)
+
+            rec: dict = {"key": key, "idx": idx}
+            try:
+                problems = pool.submit(run).result(timeout=args.timeout)
+                rec["status"] = "ok" if not problems else "fail"
+                rec["problems"] = problems[:5]
+            except FutTimeout:
+                spark.sparkContext.cancelJobGroup(key)
+                rec["status"] = "timeout"
+                rec["problems"] = [f"exceeded {args.timeout}s"]
+                # the worker thread unblocks once the job group dies; give
+                # it a moment, then replace the pool if it is still wedged
+                pool.shutdown(wait=False)
+                pool = ThreadPoolExecutor(max_workers=1)
+            except Exception as ex:  # noqa: BLE001
+                spark.sparkContext.cancelJobGroup(key)
+                rec["status"] = "error"
+                rec["problems"] = [repr(ex)[:300]]
+            rec["wall_s"] = round(time.time() - t0, 2)
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+            if rec["status"] != "ok":
+                n_bad += 1
+            print(f"[{idx}] {key}: {rec['status']} ({rec['wall_s']}s)", flush=True)
+            for p in rec["problems"][:3] if rec["status"] not in ("ok",) else []:
+                print("    ", p, flush=True)
+    print(f"sweep done: {len(todo) - n_bad}/{len(todo)} ok, state={state_path}")
+    return 1 if n_bad else 0
+
+
+def enumerate_keys(todo):
+    for idx, key in todo:
+        yield idx, key
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -341,6 +341,52 @@ def test_global_band_checker_flags_raw_row_band(spark):
     )
 
 
+# ---------------------------------------------------------------------------
+# Argued-bound proofs for the two scalar-broadcast keys (VERDICT r7 ask #7).
+#
+# x567 and x571 carry a CROSS JOIN by design: a per-group frame joined to ONE
+# row of global moments. Their boundedness argument used to live only in
+# docstrings; these tests make it executable. The invariant is stronger than
+# test_no_large_side_bnlj's generic marker scan: EVERY nested-loop build side
+# in these two plans must be a SCALAR aggregate subtree (HashAggregate with
+# empty grouping — exactly one row at ANY data scale), not merely "contains
+# some bounded marker". If a future edit reshapes the build side (e.g. back
+# to the r6 keyed-aggregate cross join whose ≤2-row / 25×5-row bounds were
+# true but not machine-checkable), this fails loudly.
+_SCALAR_BROADCAST_PROOFS = {
+    # build side = `rv`: one SCALAR conditional aggregation over spans
+    # (SUM(CASE WHEN sym=...)), so the broadcast is exactly 1 row; the pair
+    # fan-out is bounded separately by the minute-bucket equi-join.
+    "x567_hayashi_yoshida",
+    # build side = `gdist`: scalar global distribution (SUM over the
+    # fixed-arity 5-level pivot), exactly 1 row at any scale; the probe side
+    # is the |nations|-row per-group frame.
+    "x571_t_closeness",
+}
+
+
+@pytest.mark.parametrize("key", sorted(_SCALAR_BROADCAST_PROOFS))
+def test_scalar_broadcast_build_side_proof(spark, key):
+    queries()
+    plan = _spark_plan(spark, key)
+    lines = plan.splitlines()
+    bnlj_rows = [i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln]
+    assert bnlj_rows, (
+        f"{key}: expected the scalar-broadcast CROSS JOIN shape; plan has no "
+        "BroadcastNestedLoopJoin — the argued bound no longer applies, "
+        "re-derive it (or drop this proof if the cross join is gone)"
+    )
+    for i in bnlj_rows:
+        kids = _direct_children(lines, i)
+        assert len(kids) == 2, f"{key}: malformed BNLJ node:\n{lines[i]}"
+        build_idx = kids[1] if "BuildRight" in lines[i] else kids[0]
+        st = _subtree(lines, build_idx)
+        assert "HashAggregate(keys=[], " in st or "SortAggregate(key=[], " in st, (
+            f"{key}: BNLJ build side is no longer a SCALAR aggregate — the "
+            f"one-row broadcast bound is broken:\n{st[:400]}"
+        )
+
+
 def test_filter_pushdown_reaches_scan(spark):
     """q02 filters on l_shipdate/l_returnflag — both must appear as
     PushedFilters on the parquet scan, not only as a post-scan Filter."""
