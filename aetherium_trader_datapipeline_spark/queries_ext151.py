@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from aetherium_trader_datapipeline_spark.queries import register, register_sql
 from aetherium_trader_datapipeline_spark.tables import load_tables
@@ -42,15 +43,28 @@ _ARM_IDX_SQL = (
 )
 
 
+# Fixed evaluation horizon (Li et al. replay runs on a fixed step budget):
+# the replay folds only the first _X522_HORIZON steps per symbol.  This is
+# what keeps BOTH engines scale-safe — the recursive-CTE oracle's depth is
+# the max per-sym step count, and each recursion level rejoins `logged`,
+# i.e. cost O(depth x |events|): unbounded depth measured 163 s at sf0.01
+# and timed out the 600 s sf0.1 sweep budget (r8).  A constant horizon
+# makes oracle cost O(H x |events|) and the Spark fold's per-group loop
+# O(H) regardless of SF.  (sf0.001 has ~100 steps/sym — far below H, so
+# the cap is inactive there and results are unchanged.)
+_X522_HORIZON = 500
+
 _X522_ORACLE_TEMPLATE = """
-    WITH RECURSIVE logged AS (
-      SELECT user_id % 10 AS sym,
-             {arm_idx} AS arm,
-             CASE WHEN (value - FLOOR(value)) >= 0.5 THEN 1 ELSE 0 END
-               AS reward,
-             ROW_NUMBER() OVER (PARTITION BY user_id % 10
-                                ORDER BY ts, event_id) AS rn
-      FROM events WHERE value IS NOT NULL
+    WITH RECURSIVE logged AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT user_id % 10 AS sym,
+               {arm_idx} AS arm,
+               CASE WHEN (value - FLOOR(value)) >= 0.5 THEN 1 ELSE 0 END
+                 AS reward,
+               ROW_NUMBER() OVER (PARTITION BY user_id % 10
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE value IS NOT NULL
+      ) t WHERE rn <= {horizon}
     ),
     rec AS (
       SELECT sym, CAST(0 AS BIGINT) AS rn,
@@ -120,7 +134,7 @@ def _x522_chosen(intdiv: str) -> str:
 @register(
     "x522_bandit_replay",
     oracle=_X522_ORACLE_TEMPLATE.format(
-        arm_idx=_ARM_IDX_SQL, chosen=_x522_chosen("//")
+        arm_idx=_ARM_IDX_SQL, chosen=_x522_chosen("//"), horizon=_X522_HORIZON
     ),
     tags=("eval", "pandas"),
 )
@@ -145,10 +159,21 @@ def x522_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS reward",
             "ts", "event_id",
         )
+        # horizon cut JVM-side (WindowGroupLimit rank pushdown): only
+        # H rows per symbol ever reach the Python fold, so the Arrow
+        # transfer is O(syms x H) at any SF
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("sym").orderBy("ts", "event_id")
+            ),
+        )
+        .where(F.col("__rn") <= _X522_HORIZON)
+        .drop("__rn")
     )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf = pdf.sort_values(["ts", "event_id"]).head(_X522_HORIZON)
         c = [0] * 5
         s = [0] * 5
         matched = 0
