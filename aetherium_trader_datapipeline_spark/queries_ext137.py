@@ -33,12 +33,19 @@ def _x481_oracle() -> str:
         + " ".join(f"WHEN {j} THEN r.s{j}" for j in range(_M))
         + " END"
     )
+    # l_new is computed ONCE per level as a subquery column (z.lnew) and
+    # referenced 26 times by name — the r8 rewrite of the original form
+    # that textually expanded the l_new expression into every seasonal
+    # CASE (24 copies), which made each recursion level's projection tree
+    # enormous. Same operations in the same order on the same values →
+    # IEEE-identical doubles; verified hash-equal at all three SFs.
+    prev_cols = ", ".join(f"r.s{j} AS ps{j}" for j in range(_M))
     l_new = f"(0.5 * (o.v - {s_old}) + 0.5 * (r.l + r.t))"
-    t_new = f"(0.25 * ({l_new} - r.l) + 0.75 * r.t)"
+    t_new = "(0.25 * (z.lnew - z.pl) + 0.75 * z.pt)"
     s_upd = ",\n             ".join(
-        f"CASE WHEN o.rn > 24 AND (o.rn - 1) % 24 = {j} "
-        f"THEN 0.25 * (o.v - {l_new}) + 0.75 * r.s{j} "
-        f"ELSE r.s{j} END AS s{j}"
+        f"CASE WHEN z.rn > 24 AND (z.rn - 1) % 24 = {j} "
+        f"THEN 0.25 * (z.v - z.lnew) + 0.75 * z.ps{j} "
+        f"ELSE z.ps{j} END AS s{j}"
         for j in range(_M)
     )
     s_at_slot = (
@@ -60,21 +67,34 @@ def _x481_oracle() -> str:
       FROM events WHERE value IS NOT NULL
       GROUP BY user_id % 10, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600
     ),
-    ordered AS (
-      SELECT sym, hkey, v,
-             ROW_NUMBER() OVER (PARTITION BY sym ORDER BY hkey) AS rn
-      FROM hourly
+    ordered AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing (r8, the x522/x551 lesson): the
+      -- recursive member rejoins `ordered` every level and DuckDB
+      -- inlines unmaterialized CTEs, re-running the hourly groupBy +
+      -- window per recursion step — 382 s at sf0.01 vs ~1 s materialized.
+      -- rn <= 500: prefix cap, output-identical under the final
+      -- ORDER BY sym, rn LIMIT 500 (see the Spark side's note).
+      SELECT * FROM (
+        SELECT sym, hkey, v,
+               ROW_NUMBER() OVER (PARTITION BY sym ORDER BY hkey) AS rn
+        FROM hourly
+      ) t WHERE rn <= 500
     ),
     rec AS (
       SELECT sym, hkey, rn, v AS l, CAST(0.0 AS DOUBLE) AS t, {zeros}
       FROM ordered WHERE rn = 1
       UNION ALL
-      SELECT o.sym, o.hkey, o.rn,
-             CASE WHEN o.rn <= 24 THEN o.v ELSE {l_new} END,
-             CASE WHEN o.rn <= 24 THEN CAST(0.0 AS DOUBLE)
+      SELECT z.sym, z.hkey, z.rn,
+             CASE WHEN z.rn <= 24 THEN z.v ELSE z.lnew END,
+             CASE WHEN z.rn <= 24 THEN CAST(0.0 AS DOUBLE)
                   ELSE {t_new} END,
              {s_upd}
-      FROM ordered o JOIN rec r ON o.sym = r.sym AND o.rn = r.rn + 1
+      FROM (
+        SELECT o.sym, o.hkey, o.rn, o.v, r.l AS pl, r.t AS pt,
+               {prev_cols},
+               {l_new} AS lnew
+        FROM ordered o JOIN rec r ON o.sym = r.sym AND o.rn = r.rn + 1
+      ) z
     )
     SELECT CAST(sym AS BIGINT) AS sym, CAST(rn AS BIGINT) AS rn,
            CAST(FLOOR(1e4 * l) AS BIGINT) AS level_bp,
@@ -107,6 +127,18 @@ def x481_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("sym", "hkey")
         .agg((F.sum("vol_fp").cast("double") / F.lit(1e6)).alias("v"))
+        # prefix cap (r8): the final ORDER BY sym, rn LIMIT 500 can never
+        # emit a row with rn > 500 (its >500 same-sym predecessors would
+        # fill the limit first), and the HW fold's state at step k depends
+        # only on steps 1..k — so folding only the first 500 hours per sym
+        # is OUTPUT-IDENTICAL while making both engines' cost
+        # horizon-bound, not data-bound. The oracle applies the same cap.
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("sym").orderBy("hkey")),
+        )
+        .where(F.col("__rn") <= 500)
+        .drop("__rn")
     )
     out = holt_winters_additive(
         hourly, ["sym"], ["hkey"], "v", out_cols=["sym", "hkey"]

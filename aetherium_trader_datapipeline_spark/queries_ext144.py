@@ -39,7 +39,11 @@ _HOURLY_DUCK = """
       FROM events WHERE value IS NOT NULL
       GROUP BY user_id % 10, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600
     ),
-    ordered AS (
+    ordered AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing (r8): x501/x502/x503's recursive
+      -- members rejoin `ordered` every level; unmaterialized, DuckDB
+      -- inlines and recomputes the hourly groupBy + window per step
+      -- (5-10 s each at sf0.01, ~20 s at sf0.1; sub-second materialized).
       SELECT sym, hkey, v,
              ROW_NUMBER() OVER (PARTITION BY sym ORDER BY hkey) AS rn
       FROM hourly
@@ -224,7 +228,10 @@ _X503_ORACLE = (
         ON a.hkey = b.hkey AND b.sym = a.sym + 1
       WHERE a.sym IN (0, 2, 4)
     ),
-    ordered2 AS (
+    ordered2 AS MATERIALIZED (
+      -- MATERIALIZED: x503's recursive member rejoins ordered2 (and
+      -- through it the pairs self-join) every level — see the note on
+      -- `ordered` above.
       SELECT sa, sb, hkey, av, bv,
              ROW_NUMBER() OVER (PARTITION BY sa ORDER BY hkey) AS rn
       FROM pairs

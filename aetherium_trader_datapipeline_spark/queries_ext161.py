@@ -58,7 +58,12 @@ def _x551_oracle() -> str:
              ROW_NUMBER() OVER (PARTITION BY sym ORDER BY hkey) AS rn
       FROM hourly
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
+      -- MATERIALIZED is load-bearing (r8, the x522 lesson): the recursive
+      -- term below rejoins `pairs` every level, and DuckDB inlines
+      -- unmaterialized CTEs — re-running these window/join scans at every
+      -- recursion step made the oracle O(depth x |events|): 326 s at
+      -- sf0.1 vs ~17 s materialized.
       SELECT a.sym AS sa, a.sym + 1 AS sb, a.rn, a.v AS av,
              b0.v AS bv, bl.v AS bvl, br.v AS bvr,
              MIN(LEAST(amax.n, bmax.n)) OVER (PARTITION BY a.sym) AS n
