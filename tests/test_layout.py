@@ -78,6 +78,84 @@ def test_hilbert_expr_matches_python_reference(spark):
             assert got[(x, y)] == hilbert_xy2d(x, y, 8), (method, x, y)
 
 
+def test_hilbert_lookup_keeps_malformed_rows(spark):
+    # ADVICE r7: the 'lookup' path LEFT-joins the broadcast LUT, so rows
+    # with NULL or out-of-range coordinates survive with a NULL key
+    # (behaviorally interchangeable with 'expr' on NULLs) — a layout
+    # operator must never silently drop rows.
+    import pandas as pd
+
+    from aetherium_trader_datapipeline_spark.operators.layout import hilbert_key
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"x": [3, None, 999], "y": [5, 7, 2]}, dtype="Int64"
+        )
+    )
+    rows = hilbert_key(df, "x", "y", 8, out_col="d", method="lookup").collect()
+    assert len(rows) == 3, "lookup path dropped rows"
+    by_x = {r.x: r.d for r in rows}
+    assert by_x[3] is not None
+    assert by_x[None] is None  # NULL coord -> NULL key
+    assert by_x[999] is None  # out-of-domain coord -> NULL key
+
+
+def test_grid_rank_ranks_null_buckets(spark):
+    # ADVICE r7: grid_rank joins the bucket grid with eqNullSafe so a
+    # NULL bucket expression ranks (NULLS FIRST) instead of vanishing.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import grid_rank
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": pd.array([None, 2, 1, 2], dtype="Int64"),
+                      "v": [10, 20, 30, 40]})
+    )
+    out = grid_rank(df, "k", ["v"], "rk").collect()
+    assert len(out) == 4, "NULL-bucket row vanished"
+    got = sorted((r.rk, r.k) for r in out)
+    # NULL bucket first (rank 1), then k=1, then the two k=2 rows
+    assert [g[0] for g in got] == [1, 2, 3, 4]
+    assert got[0][1] is None and got[1][1] == 1
+
+
+def test_ntile_from_rank_exact_at_huge_n(spark):
+    # ADVICE r7: the bigint 'div' reconstruction has no ~2^40 double
+    # boundary. Check ranks around bucket edges at n_total = 2^52 + 3,
+    # where FLOOR(double-division) mis-rounds.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        ntile_from_rank,
+    )
+
+    n_total, k = (1 << 52) + 3, 7
+    q, r = divmod(n_total, k)
+    threshold = r * (q + 1)
+
+    def py_ntile(rank: int) -> int:
+        if rank <= threshold:
+            return (rank + q) // (q + 1)
+        return r + (rank - threshold + q - 1) // q
+
+    probes = [1, q, q + 1, q + 2, threshold, threshold + 1,
+              n_total - 1, n_total]
+    df = spark.createDataFrame(
+        pd.DataFrame({"rank": pd.array(probes, dtype="Int64")})
+    )
+    got = {
+        row.rank: row.b
+        for row in df.select(
+            "rank",
+            ntile_from_rank(F.col("rank"), n_total, k).alias("b"),
+        ).collect()
+    }
+    for p in probes:
+        assert got[p] == py_ntile(p), (p, got[p], py_ntile(p))
+
+
 def test_hilbert_is_bijective_on_16_grid(spark):
     # every cell of a 16x16 grid maps to a distinct d in [0, 256)
     from aetherium_trader_datapipeline_spark.operators.layout import hilbert_xy2d
