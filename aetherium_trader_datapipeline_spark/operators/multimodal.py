@@ -429,21 +429,126 @@ def encode_png16(width: int, height: int, samples,
     )
 
 
+def encode_png16_interlaced(width: int, height: int, samples,
+                            cycle_filters: bool = True) -> bytes:
+    """Real 16-bit grayscale Adam7-interlaced PNG (depth 16, color 0,
+    interlace 1): each spec pass's big-endian 2-byte samples filtered
+    independently with bpp = 2."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    vals = np.asarray([int(v) & 0xFFFF for v in samples], dtype=np.uint16)
+    if vals.size != width * height:
+        raise ValueError(f"need {width * height} samples, got {vals.size}")
+    img = vals.reshape(height, width)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape
+        if ph == 0 or pw == 0:
+            continue
+        raw += _filter_rows(
+            np.ascontiguousarray(sub).astype(">u2").tobytes(),
+            pw, ph, 2, cycle_filters,
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, 0, 0, 0, 1)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _pack_bitrow(row_vals, depth: int) -> bytes:
+    """Pack one scanline of sub-byte samples big-endian, zero-padded to a
+    byte boundary (PNG spec §7.2 pixel packing)."""
+    out, acc, nbits = bytearray(), 0, 0
+    mask = (1 << depth) - 1
+    for v in row_vals:
+        acc = (acc << depth) | (int(v) & mask)
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc, nbits = 0, 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+def encode_png_subbyte(width: int, height: int, samples, depth: int,
+                       palette=None, interlaced: bool = False,
+                       cycle_filters: bool = True) -> bytes:
+    """Real sub-byte PNG (depth 1/2/4): grayscale (color 0) by default,
+    indexed (color 3) when ``palette`` is given. Samples are w*h
+    row-major values in [0, 2^depth); rows pack big-endian and filter
+    with bpp = 1 per spec §9; ``interlaced`` emits the Adam7 form with
+    each pass packed and filtered independently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if depth not in (1, 2, 4):
+        raise ValueError("depth must be 1, 2 or 4")
+    vals = np.asarray([int(v) for v in samples], dtype=np.uint8)
+    if vals.size != width * height:
+        raise ValueError(f"need {width * height} samples, got {vals.size}")
+    if int(vals.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample out of range for depth {depth}")
+    color = 0 if palette is None else 3
+    img = vals.reshape(height, width)
+
+    def pass_bytes(sub) -> bytes:
+        ph, pw = sub.shape
+        packed = b"".join(_pack_bitrow(sub[y], depth) for y in range(ph))
+        rowbytes = (pw * depth + 7) // 8
+        return bytes(_filter_rows(packed, rowbytes, ph, 1, cycle_filters))
+
+    raw = bytearray()
+    if interlaced:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += pass_bytes(np.ascontiguousarray(sub))
+    else:
+        raw += pass_bytes(img)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color, 0, 0, 1 if interlaced else 0
+    )
+    chunks = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        if not 1 <= len(palette) <= (1 << depth):
+            raise ValueError("palette size must fit the bit depth")
+        chunks += _png_chunk(
+            b"PLTE", bytes(c & 0xFF for rgb in palette for c in rgb)
+        )
+    return (
+        chunks
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_png_pixels(blob: bytes):
     """REAL raster decode, no image library: parse chunks, inflate the
     IDAT stream (stdlib zlib), invert the per-row filter (all five spec
     predictors), return an (h, w, channels) uint8 numpy array.
 
-    Supports bit depth 8 in color types 0 (grayscale), 2 (RGB), 4
-    (gray+alpha), 6 (RGBA) and — as of r6 — 3 (indexed: PLTE mapped to
-    RGB) plus Adam7 INTERLACED streams (each pass unfiltered
-    independently, then scattered to its spec grid positions) and 16-BIT
-    depth for color types 0/2/4/6 non-interlaced (bytewise filters with
-    doubled bpp, uint16 output); sub-byte depths and 16-bit interlace
-    still raise NotImplementedError.  Closes the r2/r3 'pixel
-    decode gated' finding for PNG: the bytes→pixels path runs here,
-    verified pixel-exact against closed-form oracles (x281, x445, x446)
-    and filter-cycled round-trips (tests)."""
+    Supports bit depth 8 in all five color types (0 grayscale, 2 RGB,
+    3 indexed via PLTE, 4 gray+alpha, 6 RGBA), 16-BIT depth for types
+    0/2/4/6 (bytewise filters with doubled bpp per spec, uint16 output),
+    and — as of r8 — SUB-BYTE depths 1/2/4 for grayscale and indexed
+    (filters run on the packed row bytes with bpp=1 per spec §9, then
+    big-endian bit-field unpack; grayscale returns RAW 0..2^depth-1
+    samples), each in BOTH non-interlaced and Adam7 INTERLACED form
+    (every pass is an independent sub-image through one shared decoder).
+    This closes the PNG support matrix — no PNG shape raises
+    NotImplementedError anymore except malformed streams.  The
+    bytes→pixels path is verified pixel-exact against closed-form
+    oracles (x281, x445, x446) and filter-cycled round-trips (tests)."""
     import struct
     import zlib
 
@@ -470,48 +575,77 @@ def decode_png_pixels(blob: bytes):
         raise ValueError("missing IHDR")
     width, height, depth, color, _comp, _filt, interlace = ihdr
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
-    # depth 16 is supported for the truecolor/grayscale types,
-    # non-interlaced (filters run BYTEWISE with doubled bpp per spec)
-    ok8 = depth == 8 and channels is not None and interlace in (0, 1)
-    ok16 = (depth == 16 and color in (0, 2, 4, 6) and interlace == 0)
-    if not (ok8 or ok16):
+    # support matrix (r8 closes the last two PNG gates): depth 8 for all
+    # five color types; depth 16 for types 0/2/4/6; depths 1/2/4 for
+    # grayscale and indexed — each in BOTH non-interlaced and Adam7 form
+    # (every Adam7 pass is an independent sub-image, so one decoder
+    # handles all passes).  Sub-byte grayscale returns RAW sample values
+    # (0..2^depth-1), not 8-bit-rescaled — callers that need luminance
+    # scale by 255/(2^depth-1).
+    ok8 = depth == 8 and channels is not None
+    ok16 = depth == 16 and color in (0, 2, 4, 6)
+    ok_sub = depth in (1, 2, 4) and color in (0, 3)
+    if not ((ok8 or ok16 or ok_sub) and interlace in (0, 1)):
         raise NotImplementedError(
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
         )
     if color == 3 and (plte is None or len(plte) == 0 or len(plte) % 3 != 0):
         raise ValueError("indexed PNG missing/invalid PLTE")
 
-    raw = zlib.decompress(bytes(idat))
-    bppb = channels * (depth // 8)
-    if interlace == 0:
-        arr = _unfilter(raw, width, height, bppb)
+    def subimage(seg: bytes, w: int, h: int):
+        """Decode one filtered (sub)image to an (h, w*channels) sample
+        array — uint16 for depth 16, uint8 otherwise."""
+        if depth == 8:
+            return _unfilter(seg, w, h, channels)
         if depth == 16:
-            pairs = arr.reshape(height, width * channels, 2).astype(np.uint16)
-            wide = (pairs[:, :, 0] << 8) | pairs[:, :, 1]
-            return wide.reshape(height, width, channels)
+            arr16 = _unfilter(seg, w, h, channels * 2)
+            pairs = arr16.reshape(h, w * channels, 2).astype(np.uint16)
+            return (pairs[:, :, 0] << 8) | pairs[:, :, 1]
+        # sub-byte: filters operate on the packed BYTES with bpp=1 (spec
+        # §9: "bpp is rounded up to one"), so unfilter the row bytes then
+        # unpack big-endian bit fields to one sample per pixel
+        rowbytes = (w * depth + 7) // 8
+        rows = _unfilter(seg, rowbytes, h, 1)
+        shifts = np.arange(8 - depth, -1, -depth)
+        mask = (1 << depth) - 1
+        s = (rows[:, :, None] >> shifts[None, None, :]) & mask
+        return s.reshape(h, -1)[:, :w].astype(np.uint8)
+
+    def span(w: int, h: int) -> int:
+        rowbytes = (
+            (w * depth + 7) // 8 if depth < 8 else w * channels * (depth // 8)
+        )
+        return (rowbytes + 1) * h
+
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        grid = subimage(raw, width, height).reshape(height, width, channels)
     else:
-        arr = np.zeros((height, width * channels), dtype=np.uint8)
-        grid = arr.reshape(height, width, channels)
+        grid = np.zeros(
+            (height, width, channels),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx if width > x0 else 0
             ph = (height - y0 + dy - 1) // dy if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            span = (pw * channels + 1) * ph
-            sub = _unfilter(raw[off : off + span], pw, ph, channels)
-            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
-            off += span
+            s = span(pw, ph)
+            grid[y0::dy, x0::dx, :] = subimage(
+                raw[off : off + s], pw, ph
+            ).reshape(ph, pw, channels)
+            off += s
         if off != len(raw):
             raise ValueError("interlaced IDAT length mismatch")
 
     if color == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-        idx = arr.reshape(height, width)
+        idx = grid.reshape(height, width)
         if idx.size and int(idx.max()) >= pal.shape[0]:
             raise ValueError("palette index out of range")
         return pal[idx]
-    return arr.reshape(height, width, channels)
+    return grid
 
 
 def encode_jpeg(width: int, height: int) -> bytes:

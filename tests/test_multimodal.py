@@ -188,15 +188,83 @@ def test_png_decoder_rejects_unsupported():
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
         )
 
-    # sub-byte depth → explicit NotImplementedError, not silent
-    # garbage (16-bit became a SUPPORTED tier in late r6; depth 4 and
-    # 16-bit palette remain gated)
-    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
-    blob = _PNG_MAGIC + chunk(b"IHDR", ihdr4) + chunk(b"IEND", b"")
+    # every LEGAL (depth, color, interlace) combo decodes as of r8; a
+    # spec-ILLEGAL combo (depth 4 truecolor — depths 1/2/4 are only
+    # valid for color types 0 and 3) still gates loudly instead of
+    # producing silent garbage
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    blob = _PNG_MAGIC + chunk(b"IHDR", ihdr_bad) + chunk(b"IEND", b"")
     with _pytest.raises(NotImplementedError):
         decode_png_pixels(blob)
     with _pytest.raises(ValueError):
         decode_png_pixels(b"GIF89a\x01\x00\x01\x00")
+
+
+def test_png16_interlaced_roundtrip():
+    """16-bit Adam7 PNG (the last r7 codec gate): every pass filtered
+    bytewise with bpp=2, samples reassembled pixel-exact as uint16."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png16_interlaced,
+    )
+
+    rng = np.random.RandomState(11)
+    w, h = 13, 9  # odd dims exercise ragged Adam7 passes
+    vals = rng.randint(0, 65536, size=w * h, dtype=np.uint16)
+    out = decode_png_pixels(encode_png16_interlaced(w, h, vals.tolist()))
+    assert out.shape == (h, w, 1) and out.dtype == np.uint16
+    assert out.reshape(h, w).tolist() == vals.reshape(h, w).tolist()
+
+
+def test_png_subbyte_gray_roundtrips():
+    """Depths 1/2/4 grayscale, non-interlaced AND Adam7: packed-byte
+    filters (bpp=1) + big-endian bit unpack give back raw samples."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_subbyte,
+    )
+
+    rng = np.random.RandomState(3)
+    for depth in (1, 2, 4):
+        for w, h in ((17, 6), (8, 8), (3, 11)):  # ragged + exact-byte rows
+            vals = rng.randint(0, 1 << depth, size=w * h)
+            for interlaced in (False, True):
+                blob = encode_png_subbyte(
+                    w, h, vals.tolist(), depth, interlaced=interlaced
+                )
+                out = decode_png_pixels(blob)
+                assert out.shape == (h, w, 1), (depth, w, h, interlaced)
+                assert out.reshape(h, w).tolist() == vals.reshape(
+                    h, w
+                ).tolist(), (depth, w, h, interlaced)
+
+
+def test_png_subbyte_palette_roundtrip():
+    """Depth-4 indexed PNG: sub-byte indices map through PLTE to RGB."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_subbyte,
+    )
+
+    rng = np.random.RandomState(5)
+    w, h = 10, 7
+    palette = [(i * 16, 255 - i * 16, (i * 37) % 256) for i in range(16)]
+    idx = rng.randint(0, 16, size=w * h)
+    for interlaced in (False, True):
+        out = decode_png_pixels(
+            encode_png_subbyte(
+                w, h, idx.tolist(), 4, palette=palette, interlaced=interlaced
+            )
+        )
+        assert out.shape == (h, w, 3)
+        expect = np.array(palette, dtype=np.uint8)[idx.reshape(h, w)]
+        assert out.tolist() == expect.tolist(), interlaced
 
 
 def test_paeth_predictor_spec_cases():
@@ -916,7 +984,9 @@ def test_png_adam7_interlaced_equals_sequential():
 def test_png_16bit_roundtrip_all_filters():
     """16-bit grayscale PNG (r6, closes the last PNG scope note): filters
     run bytewise with bpp=2; cycled filters across sizes must reproduce
-    the uint16 raster exactly, and 16-bit interlace stays gated."""
+    the uint16 raster exactly. (16-bit interlace became a SUPPORTED tier
+    in r8 — test_png16_interlaced_roundtrip covers it; a truncated
+    interlaced stream must still fail loudly, not return garbage.)"""
     import numpy as np
     import pytest as _pytest
 
@@ -933,7 +1003,7 @@ def test_png_16bit_roundtrip_all_filters():
         assert arr.dtype == np.uint16
         assert (arr == exp).all(), (w, h)
 
-    # 16-bit + interlace remains a loud gate, not silent garbage
+    # malformed (wrong-length) interlaced stream fails loudly
     import struct
     import zlib
 
@@ -946,5 +1016,5 @@ def test_png_16bit_roundtrip_all_filters():
     blob = (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
             + _png_chunk(b"IEND", b""))
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_png_pixels(blob)
