@@ -77,26 +77,38 @@ _X522_ORACLE_TEMPLATE = """
              CAST(0 AS BIGINT) AS matched, CAST(0 AS BIGINT) AS total_r
       FROM (SELECT DISTINCT sym FROM logged) syms
       UNION ALL
-      SELECT o.sym, o.rn,
-             r.c0 + CASE WHEN {chosen} = 0 AND o.arm = 0 THEN 1 ELSE 0 END,
-             r.c1 + CASE WHEN {chosen} = 1 AND o.arm = 1 THEN 1 ELSE 0 END,
-             r.c2 + CASE WHEN {chosen} = 2 AND o.arm = 2 THEN 1 ELSE 0 END,
-             r.c3 + CASE WHEN {chosen} = 3 AND o.arm = 3 THEN 1 ELSE 0 END,
-             r.c4 + CASE WHEN {chosen} = 4 AND o.arm = 4 THEN 1 ELSE 0 END,
-             r.s0 + CASE WHEN {chosen} = 0 AND o.arm = 0
-                         THEN o.reward ELSE 0 END,
-             r.s1 + CASE WHEN {chosen} = 1 AND o.arm = 1
-                         THEN o.reward ELSE 0 END,
-             r.s2 + CASE WHEN {chosen} = 2 AND o.arm = 2
-                         THEN o.reward ELSE 0 END,
-             r.s3 + CASE WHEN {chosen} = 3 AND o.arm = 3
-                         THEN o.reward ELSE 0 END,
-             r.s4 + CASE WHEN {chosen} = 4 AND o.arm = 4
-                         THEN o.reward ELSE 0 END,
-             r.matched + CASE WHEN {chosen} = o.arm THEN 1 ELSE 0 END,
-             r.total_r + CASE WHEN {chosen} = o.arm
-                              THEN o.reward ELSE 0 END
-      FROM rec r JOIN logged o ON o.sym = r.sym AND o.rn = r.rn + 1
+      -- the ε-greedy choice is computed ONCE per level as a subquery
+      -- column (z.ch) and referenced 12 times by name — the r8 hoist
+      -- (same device as x481): textually expanding the GREATEST/argmax
+      -- expression into every state update made each recursion level's
+      -- projection tree enormous
+      SELECT z.sym, z.rn,
+             z.c0 + CASE WHEN z.ch = 0 AND z.arm = 0 THEN 1 ELSE 0 END,
+             z.c1 + CASE WHEN z.ch = 1 AND z.arm = 1 THEN 1 ELSE 0 END,
+             z.c2 + CASE WHEN z.ch = 2 AND z.arm = 2 THEN 1 ELSE 0 END,
+             z.c3 + CASE WHEN z.ch = 3 AND z.arm = 3 THEN 1 ELSE 0 END,
+             z.c4 + CASE WHEN z.ch = 4 AND z.arm = 4 THEN 1 ELSE 0 END,
+             z.s0 + CASE WHEN z.ch = 0 AND z.arm = 0
+                         THEN z.reward ELSE 0 END,
+             z.s1 + CASE WHEN z.ch = 1 AND z.arm = 1
+                         THEN z.reward ELSE 0 END,
+             z.s2 + CASE WHEN z.ch = 2 AND z.arm = 2
+                         THEN z.reward ELSE 0 END,
+             z.s3 + CASE WHEN z.ch = 3 AND z.arm = 3
+                         THEN z.reward ELSE 0 END,
+             z.s4 + CASE WHEN z.ch = 4 AND z.arm = 4
+                         THEN z.reward ELSE 0 END,
+             z.matched + CASE WHEN z.ch = z.arm THEN 1 ELSE 0 END,
+             z.total_r + CASE WHEN z.ch = z.arm
+                              THEN z.reward ELSE 0 END
+      FROM (
+        SELECT o.sym, o.rn, o.arm, o.reward,
+               r.c0, r.c1, r.c2, r.c3, r.c4,
+               r.s0, r.s1, r.s2, r.s3, r.s4,
+               r.matched, r.total_r,
+               {chosen} AS ch
+        FROM rec r JOIN logged o ON o.sym = r.sym AND o.rn = r.rn + 1
+      ) z
     ),
     finals AS (
       SELECT sym, matched, total_r,
