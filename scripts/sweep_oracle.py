@@ -146,7 +146,15 @@ def main() -> int:
             for p in rec["problems"][:3] if rec["status"] not in ("ok",) else []:
                 print("    ", p, flush=True)
     print(f"sweep done: {len(todo) - n_bad}/{len(todo)} ok, state={state_path}")
-    return 1 if n_bad else 0
+    # A timed-out key's worker thread may still be stuck inside DuckDB
+    # (job-group cancel kills Spark jobs, but a running DuckDB query is
+    # not interruptible from outside).  concurrent.futures joins its
+    # non-daemon threads at interpreter exit, which left the r8 tail
+    # sweep's process alive for an hour after "sweep done" — hard-exit
+    # instead; all results are already flushed to the state file.
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(1 if n_bad else 0)
 
 
 def enumerate_keys(todo):
