@@ -59,15 +59,16 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, str]:
 
 def decode_image(blob: bytes):
     """Full pixel decode → (h, w[, c]) uint8 array. PNG decodes natively
-    (:func:`decode_png_pixels` — stdlib zlib + spec predictors), JPEG
-    natively in baseline grayscale, baseline YCbCr 4:4:4 color, AND
-    progressive grayscale (SOF2 spectral selection — multi-scan
-    coefficient accumulation with EOB-run coding), and GIF natively,
-    interlaced or not (:func:`decode_gif_pixels` — variable-width LZW +
-    palette + 4-pass de-interlace); the remaining tiers
-    (successive-approximation/color progressive, 4:2:0/4:2:2 chroma
-    subsampling, everything else) require PIL and raise
-    NotImplementedError without it."""
+    (:func:`decode_png_pixels` — every legal depth/color/interlace
+    combination), JPEG natively in baseline (grayscale + 4:4:4 / 4:2:0 /
+    4:2:2 / 4:4:0 color, restart intervals) AND progressive (SOF2:
+    spectral selection, successive approximation, color, chroma
+    subsampling, restart intervals — r8 closed the subsampled-progressive
+    and progressive-DRI gates), and GIF natively, interlaced or not
+    (:func:`decode_gif_pixels` — variable-width LZW + palette + 4-pass
+    de-interlace); the remaining tiers (arithmetic entropy coding,
+    16-bit quant tables, hierarchical/lossless JPEG modes) require PIL
+    and raise NotImplementedError without it."""
     b = bytes(blob or b"")
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
@@ -1210,6 +1211,186 @@ def encode_jpeg_progressive_color(
     return out + b"\xff\xd9"
 
 
+def encode_jpeg_progressive_subsampled(
+    width: int, height: int, y_px, cb_px, cr_px,
+    factors: tuple[int, int] = (2, 2), restart_interval: int = 0,
+) -> bytes:
+    """Encode three full-resolution planes as a CHROMA-SUBSAMPLED
+    spectral-selection progressive JFIF (SOF2) — the r8 closure of the
+    'subsampled progressive' residual: an interleaved DC scan in MCU
+    order (fh x fv Y blocks then Cb then Cr, per-component predictors),
+    then one non-interleaved AC 1-63 scan per component covering only
+    that component's ACTUAL blocks (spec A.1.1 ceil dims — pad blocks of
+    the MCU grid carry DC only).  ``restart_interval`` > 0 emits DRI and
+    splits every scan at Ri MCUs (DC) / Ri blocks (AC) with cycling RSTn,
+    predictor resets, and per-restart EOB-run flushes.  Chroma prep
+    (box-mean downsample + edge padding) matches encode_jpeg_subsampled,
+    so decoding this file is pixel-identical to decoding that baseline
+    file for the same planes — the round-trip oracle the tests use."""
+    import struct
+
+    import numpy as np
+
+    fh, fv = factors
+    if (fh, fv) not in ((2, 2), (2, 1), (1, 2)):
+        raise ValueError("factors must be (2,2), (2,1) or (1,2)")
+
+    def as_plane(p):
+        return np.asarray(
+            list(p) if not hasattr(p, "shape") else p, dtype=np.uint8
+        ).reshape(height, width)
+
+    y, cb, cr = as_plane(y_px), as_plane(cb_px), as_plane(cr_px)
+    ph = -(-height // fv) * fv
+    pw = -(-width // fh) * fh
+
+    def pad_f(p):
+        return np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+
+    def down(p):
+        return np.rint(
+            pad_f(p).astype(float).reshape(ph // fv, fv, pw // fh, fh)
+            .mean(axis=(1, 3))
+        ).astype(np.uint8)
+
+    cb_s, cr_s = down(cb), down(cr)
+    mcu_w, mcu_h = 8 * fh, 8 * fv
+    mcols, mrows = -(-width // mcu_w), -(-height // mcu_h)
+    y_p = np.pad(y, ((0, mrows * mcu_h - height), (0, mcols * mcu_w - width)),
+                 mode="edge")
+    cb_p = np.pad(cb_s, ((0, mrows * 8 - cb_s.shape[0]),
+                         (0, mcols * 8 - cb_s.shape[1])), mode="edge")
+    cr_p = np.pad(cr_s, ((0, mrows * 8 - cr_s.shape[0]),
+                         (0, mcols * 8 - cr_s.shape[1])), mode="edge")
+
+    # per component: quantized blocks over the PADDED grid, padded grid
+    # width, sampling pair, and the ACTUAL block dims AC scans cover
+    comps_meta = []
+    for plane, hh, vv in ((y_p, fh, fv), (cb_p, 1, 1), (cr_p, 1, 1)):
+        blocks = _quantized_zz_blocks(plane)
+        pbw = plane.shape[1] // 8
+        cw = -(-(width * hh) // fh)
+        ch = -(-(height * vv) // fv)
+        comps_meta.append(
+            (blocks, pbw, hh, vv, -(-cw // 8), -(-ch // 8))
+        )
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_ACP_BITS, _ACP_VALS)
+    ri = restart_interval
+
+    # interleaved DC scan (Ss=Se=0, Al=0)
+    dc_scan = bytearray()
+    w_ = _BitWriter()
+    prev = [0, 0, 0]
+    rst = 0
+    mcu_idx = 0
+    for my in range(mrows):
+        for mx in range(mcols):
+            if ri and mcu_idx and mcu_idx % ri == 0:
+                dc_scan += w_.flush()
+                dc_scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                w_ = _BitWriter()
+                prev = [0, 0, 0]
+            mcu_idx += 1
+            for ci, (blocks, pbw, hh, vv, _aw, _ah) in enumerate(comps_meta):
+                for by in range(vv):
+                    for bx in range(hh):
+                        v0 = blocks[(my * vv + by) * pbw + mx * hh + bx][0]
+                        diff = v0 - prev[ci]
+                        prev[ci] = v0
+                        s = _category(diff)
+                        code, length = dc_codes[s]
+                        w_.write(code, length)
+                        if s:
+                            w_.write(
+                                diff if diff > 0 else diff + (1 << s) - 1, s
+                            )
+    dc_scan += w_.flush()
+
+    # one AC 1-63 scan per component over its ACTUAL blocks
+    def ac_scan(blocks, pbw, abw, abh) -> bytes:
+        out = bytearray()
+        w2 = _BitWriter()
+        eobrun = 0
+        rst2 = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            r = eobrun.bit_length() - 1
+            code, length = ac_codes[r << 4]
+            w2.write(code, length)
+            if r:
+                w2.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+        indices = [r * pbw + c for r in range(abh) for c in range(abw)]
+        for blk, idx in enumerate(indices):
+            if ri and blk and blk % ri == 0:
+                flush_eob()
+                out.extend(w2.flush())
+                out.extend(bytes([0xFF, 0xD0 + rst2]))
+                rst2 = (rst2 + 1) % 8
+                w2 = _BitWriter()
+            zz = blocks[idx]
+            nz = [k for k in range(1, 64) if zz[k]]
+            if not nz:
+                eobrun += 1
+                if eobrun == 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    w2.write(code, length)
+                    run -= 16
+                s = _category(v)
+                code, length = ac_codes[(run << 4) | s]
+                w2.write(code, length)
+                w2.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if nz[-1] < 63:
+                eobrun = 1
+        flush_eob()
+        out.extend(w2.flush())
+        return bytes(out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qtab = bytes(_JPEG_Q for _ in range(64))
+    dri = seg(0xDD, struct.pack(">H", ri)) if ri else b""
+    out = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, b"\x00" + qtab)
+        + seg(
+            0xC2,
+            struct.pack(">BHHB", 8, height, width, 3)
+            + bytes([0x01, (fh << 4) | fv, 0x00])
+            + b"\x02\x11\x00\x03\x11\x00",
+        )
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_ACP_BITS) + bytes(_ACP_VALS))
+        + dri
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x00]))
+        + bytes(dc_scan)
+    )
+    for ci, (blocks, pbw, _hh, _vv, abw, abh) in enumerate(comps_meta):
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, 0x00]))
+        out += ac_scan(blocks, pbw, abw, abh)
+    return out + b"\xff\xd9"
+
+
 def encode_jpeg_progressive_sa(
     width: int, height: int, pixels, first_al: int = 1
 ) -> bytes:
@@ -1478,16 +1659,23 @@ class _BitReader:
 
     def expect_rst(self, n: int) -> None:
         """Byte-align (discarding pad bits) and consume the RSTn marker
-        a restart interval ends with."""
+        a restart interval ends with.  An encoder whose 1-bit padding
+        lands on 0xFF must byte-stuff it (FF 00), and FF fill bytes may
+        precede any marker — skip both forms before matching."""
         self._n = 0
         self._acc = 0
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0x00:
+            p += 2  # stuffed pad byte
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1  # fill byte
         if (
-            self.pos + 1 >= len(self.data)
-            or self.data[self.pos] != 0xFF
-            or self.data[self.pos + 1] != 0xD0 + (n & 7)
+            p + 1 >= len(self.data)
+            or self.data[p] != 0xFF
+            or self.data[p + 1] != 0xD0 + (n & 7)
         ):
             raise ValueError(f"expected RST{n & 7} marker")
-        self.pos += 2
+        self.pos = p + 2
 
 
 def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -1518,13 +1706,17 @@ def _next_marker(b: bytes, p: int) -> int:
 
 
 def _decode_jpeg_progressive(b: bytes):
-    """Progressive (SOF2) JPEG decode, spectral-selection subset: a DC
-    scan plus any number of single-component AC band scans accumulate
-    the quantized coefficient plane scan by scan; dequantize + IDCT run
-    once at EOI.  Supports 8-bit single-component (grayscale) frames
-    with Ah=Al=0 in every scan; raises NotImplementedError for
-    successive approximation (Ah/Al nonzero), progressive color, and
-    restart intervals — the documented residual of the decode tier."""
+    """Progressive (SOF2) JPEG decode: DC scans (interleaved or not)
+    plus any number of single-component AC band scans accumulate the
+    quantized coefficient planes scan by scan; dequantize + IDCT run
+    once at EOI.  Supports 8-bit grayscale and 3-component color at
+    4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 sampling (per-component padded-MCU
+    coefficient grids; non-interleaved scans cover only each
+    component's ACTUAL ceil-dim blocks per spec A.1.1), spectral
+    selection AND successive approximation (DC/AC refinement scans,
+    spec G.1.2.3), and restart intervals (byte-align + cycling RSTn,
+    DC-predictor and EOB-run resets).  Still gated: arithmetic entropy
+    coding and 16-bit quant tables."""
     import struct
 
     import numpy as np
@@ -1533,7 +1725,10 @@ def _decode_jpeg_progressive(b: bytes):
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
-    coefs = None  # (n_blocks, 64) int64, zigzag order
+    coefs = None  # per comp: (padded_blocks, 64) int64, zigzag order
+    geo = None  # per comp: (padded_bw, padded_bh, actual_bw, actual_bh)
+    hmax = vmax = mcols = mrows = 0
+    restart_interval = 0
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -1576,19 +1771,41 @@ def _decode_jpeg_progressive(b: bytes):
             comps = []
             for ci in range(nc):
                 cid, sampling, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError("subsampled progressive JPEG")
-                comps.append((cid, tq))
+                comps.append((cid, sampling >> 4, sampling & 0xF, tq))
+            samplings = [(hh, vv) for _c, hh, vv, _t in comps]
+            if not (
+                all(s == (1, 1) for s in samplings)
+                or (
+                    nc == 3
+                    and samplings[0] in ((2, 2), (2, 1), (1, 2))
+                    and samplings[1] == samplings[2] == (1, 1)
+                )
+            ):
+                # same envelope as baseline: 4:4:4, 4:2:0, 4:2:2, 4:4:0
+                raise NotImplementedError("unsupported sampling factors")
             sof = (h, w, comps)
-            bw, bh = -(-w // 8), -(-h // 8)
-            coefs = [np.zeros((bw * bh, 64), dtype=np.int64) for _ in range(nc)]
+            hmax = max(hh for _c, hh, _v, _t in comps)
+            vmax = max(vv for _c, _h, vv, _t in comps)
+            mcols, mrows = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            # per component: PADDED MCU-grid dims (interleaved-scan
+            # geometry + coefficient storage) and ACTUAL block dims
+            # (ceil of the component's own sampling-scaled size, spec
+            # A.1.1 — non-interleaved scans cover only these)
+            geo = []
+            coefs = []
+            for _cid, hh, vv, _tq in comps:
+                pbw, pbh = mcols * hh, mrows * vv
+                cw, ch = -(-(w * hh) // hmax), -(-(h * vv) // vmax)
+                geo.append((pbw, pbh, -(-cw // 8), -(-ch // 8)))
+                coefs.append(np.zeros((pbw * pbh, 64), dtype=np.int64))
         elif marker == 0xDD:
-            if struct.unpack(">H", payload[:2])[0] != 0:
-                raise NotImplementedError("restart intervals")
+            restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:
             if sof is None or coefs is None:
                 raise ValueError("SOS before SOF2")
-            cid_to_ci = {cid: ci for ci, (cid, _tq) in enumerate(sof[2])}
+            cid_to_ci = {
+                cid: ci for ci, (cid, _h, _v, _tq) in enumerate(sof[2])
+            }
             ns = payload[0]
             scan_comps = []
             for si in range(ns):
@@ -1604,31 +1821,96 @@ def _decode_jpeg_progressive(b: bytes):
                 # SOF2 is malformed (e.g. a marker-flipped file)
                 raise ValueError("malformed progressive scan header")
             reader = _BitReader(b, pos + 2 + ln)
+            n_rst = [0]  # restarts consumed so far in THIS scan
+
+            def maybe_restart(unit_idx: int, on_reset) -> None:
+                """Byte-align + consume RSTn every restart_interval MCUs
+                (interleaved scans) / blocks (non-interleaved scans),
+                resetting DC predictors / the EOB run via on_reset."""
+                if (
+                    restart_interval
+                    and unit_idx
+                    and unit_idx % restart_interval == 0
+                ):
+                    reader.expect_rst(n_rst[0] % 8)
+                    n_rst[0] += 1
+                    on_reset()
+
+            def dc_units():
+                """Yield (ci, block_index, is_new_unit) in scan order: MCU
+                raster order with per-component h x v sub-blocks when the
+                scan is interleaved (ns > 1), the single component's
+                ACTUAL block raster when not — the two geometries of
+                spec B.2.3/A.2."""
+                if ns > 1:
+                    unit = 0
+                    for my in range(mrows):
+                        for mx in range(mcols):
+                            first = True
+                            for ci, _td, _ta in scan_comps:
+                                _cid, hh, vv, _tq = sof[2][ci]
+                                pbw = geo[ci][0]
+                                for by in range(vv):
+                                    for bx in range(hh):
+                                        yield (
+                                            ci,
+                                            (my * vv + by) * pbw
+                                            + mx * hh + bx,
+                                            first,
+                                        )
+                                        first = False
+                            unit += 1
+                else:
+                    ci = scan_comps[0][0]
+                    pbw, _pbh, abw, abh = geo[ci]
+                    for r in range(abh):
+                        for c in range(abw):
+                            yield ci, r * pbw + c, True
+
             if ss == 0 and ah == 0:
                 # DC first scan (possibly interleaved); values are
                 # point-transformed by Al (arithmetic shift), stored at
                 # full scale (<< Al) so refinements just add bit << Al
                 prevs = {ci: 0 for ci, _td, _ta in scan_comps}
-                for i in range(len(coefs[0])):
-                    for ci, td, _ta in scan_comps:
-                        dc_tab = htabs[(0, td)]
-                        s = _decode_huffman(reader, dc_tab)
-                        diff = _extend(reader.read_bits(s), s) if s else 0
-                        prevs[ci] += diff
-                        coefs[ci][i, 0] = prevs[ci] << al
+                tds = {ci: td for ci, td, _ta in scan_comps}
+                unit = 0
+                for ci, i, is_new in dc_units():
+                    if is_new:
+                        maybe_restart(
+                            unit,
+                            lambda: prevs.update(
+                                {c: 0 for c, _t, _a in scan_comps}
+                            ),
+                        )
+                        unit += 1
+                    s = _decode_huffman(reader, htabs[(0, tds[ci])])
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    prevs[ci] += diff
+                    coefs[ci][i, 0] = prevs[ci] << al
             elif ss == 0:  # DC refinement: one raw bit per block/component
-                for i in range(len(coefs[0])):
-                    for ci, _td, _ta in scan_comps:
-                        if reader.read_bit():
-                            coefs[ci][i, 0] += 1 << al
+                unit = 0
+                for ci, i, is_new in dc_units():
+                    if is_new:
+                        maybe_restart(unit, lambda: None)
+                        unit += 1
+                    if reader.read_bit():
+                        coefs[ci][i, 0] += 1 << al
             elif ah == 0:  # AC first scan (single-component by spec)
                 if ns != 1:
                     raise ValueError("interleaved progressive AC scan")
                 ci, _td, ta = scan_comps[0]
                 ac_tab = htabs[(1, ta)]
                 plane = coefs[ci]
+                pbw, _pbh, abw, abh = geo[ci]
+                ac_indices = [
+                    r * pbw + c for r in range(abh) for c in range(abw)
+                ]
                 eobrun = 0
-                for i in range(len(plane)):
+                for blk, i in enumerate(ac_indices):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        reader.expect_rst(n_rst[0] % 8)
+                        n_rst[0] += 1
+                        eobrun = 0
                     if eobrun:
                         eobrun -= 1
                         continue
@@ -1653,6 +1935,10 @@ def _decode_jpeg_progressive(b: bytes):
                 ci, _td, ta = scan_comps[0]
                 ac_tab = htabs[(1, ta)]
                 plane = coefs[ci]
+                pbw, _pbh, abw, abh = geo[ci]
+                ac_indices = [
+                    r * pbw + c for r in range(abh) for c in range(abw)
+                ]
                 p1, m1_ = 1 << al, -1 << al
                 eobrun = 0
 
@@ -1664,7 +1950,11 @@ def _decode_jpeg_progressive(b: bytes):
                                     p1 if plane[row, kk] > 0 else m1_
                                 )
 
-                for i in range(len(plane)):
+                for blk, i in enumerate(ac_indices):
+                    if restart_interval and blk and blk % restart_interval == 0:
+                        reader.expect_rst(n_rst[0] % 8)
+                        n_rst[0] += 1
+                        eobrun = 0
                     if eobrun:
                         refine_tail(i, ss)
                         eobrun -= 1
@@ -1711,21 +2001,29 @@ def _decode_jpeg_progressive(b: bytes):
         raise ValueError("missing SOF2/SOS")
     height, width, comps = sof
     m = _dct_mat()
-    bw, bh = -(-width // 8), -(-height // 8)
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, (_cid, hh, vv, tq) in enumerate(comps):
         quant = np.array(qtabs[tq], dtype=float)
-        out = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
-        for i in range(len(coefs[ci])):
-            coef = np.zeros(64, dtype=float)
-            for k in range(64):
-                coef[_ZZ[k]] = coefs[ci][i, k] * quant[k]
-            block = m.T @ coef.reshape(8, 8) @ m + 128.0
-            by, bx = divmod(i, bw)
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
-        planes.append(out[:height, :width])
+        pbw, pbh, abw, abh = geo[ci]
+        out = np.zeros((pbh * 8, pbw * 8), dtype=np.uint8)
+        for r in range(abh):  # pad-only blocks stay flat; cropped anyway
+            for c in range(abw):
+                i = r * pbw + c
+                coef = np.zeros(64, dtype=float)
+                for k in range(64):
+                    coef[_ZZ[k]] = coefs[ci][i, k] * quant[k]
+                block = m.T @ coef.reshape(8, 8) @ m + 128.0
+                out[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8] = np.clip(
+                    np.rint(block), 0, 255
+                ).astype(np.uint8)
+        cw = -(-(width * hh) // hmax)
+        ch = -(-(height * vv) // vmax)
+        plane = out[:ch, :cw]
+        if (hh, vv) != (hmax, vmax):  # replicate subsampled chroma
+            plane = np.repeat(
+                np.repeat(plane, vmax // vv, axis=0), hmax // hh, axis=1
+            )
+        planes.append(plane[:height, :width])
     if len(planes) == 1:
         return planes[0]
     # JFIF YCbCr -> RGB, same floor(x+0.5) convention as baseline color
@@ -1745,15 +2043,17 @@ def decode_jpeg_pixels(blob: bytes):
     float IDCT, level shift, clamp — returns an (h, w) uint8 array.
 
     Supports the scope the repo's encoders emit and verify: 8-bit
-    baseline SOF0, either single grayscale component → (h, w) or three
-    4:4:4 components decoded as interleaved MCUs with per-component DC
-    predictors and converted JFIF YCbCr → RGB (BT.601, floor(x+0.5)
-    rounding so SQL oracles can reproduce the exact doubles) → (h, w, 3).
-    Raises NotImplementedError beyond it (progressive, 4:2:0/4:2:2
-    subsampling, DRI) — those still need a full image library. Closes
-    the r4 'JPEG raster gated on PIL' finding and the r5 color residual:
-    the bytes→pixels path executes here, pixel-exact on
-    constant-per-block fixtures (x289/x382 oracles) and
+    baseline SOF0, single grayscale component → (h, w) or three
+    components at 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 decoded as interleaved
+    MCUs with per-component DC predictors and restart intervals, then
+    converted JFIF YCbCr → RGB (BT.601, floor(x+0.5) rounding so SQL
+    oracles can reproduce the exact doubles) → (h, w, 3).  Progressive
+    (SOF2) frames route to :func:`_decode_jpeg_progressive` (same
+    sampling envelope, plus successive approximation).  Still gated:
+    arithmetic entropy coding, 16-bit quant tables, hierarchical /
+    lossless modes.  Closes the r4 'JPEG raster gated on PIL' finding
+    and the r5 color residual: the bytes→pixels path executes here,
+    pixel-exact on constant-per-block fixtures (x289/x382 oracles) and
     tolerance-checked on gradients (tests)."""
     import struct
 

@@ -888,6 +888,46 @@ def test_jpeg_successive_approximation_equals_baseline():
         assert (base == sa).all()
 
 
+def test_jpeg_progressive_subsampled_equals_baseline_subsampled():
+    """The r8 closure of the 'subsampled progressive' residual: a
+    progressive 4:2:0/4:2:2/4:4:0 file must decode pixel-identically to
+    the BASELINE subsampled file of the same planes (same quant table,
+    same chroma prep, same coefficients — only the scan script differs).
+    Also exercises restart intervals in every progressive scan type:
+    ri=3 splits the interleaved DC scan at MCU boundaries and each AC
+    scan at block boundaries, and must change nothing."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_progressive_subsampled,
+        encode_jpeg_subsampled,
+    )
+
+    rng = np.random.RandomState(23)
+    for factors in ((2, 2), (2, 1), (1, 2)):
+        for w, h in ((21, 13), (16, 16), (9, 18)):
+            y = rng.randint(0, 256, size=w * h, dtype=np.uint8)
+            cb = rng.randint(0, 256, size=w * h, dtype=np.uint8)
+            cr = rng.randint(0, 256, size=w * h, dtype=np.uint8)
+            base = decode_jpeg_pixels(
+                encode_jpeg_subsampled(w, h, y, cb, cr, factors=factors)
+            )
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive_subsampled(
+                    w, h, y, cb, cr, factors=factors
+                )
+            )
+            assert prog.shape == (h, w, 3)
+            assert (prog == base).all(), (factors, w, h)
+            rst = decode_jpeg_pixels(
+                encode_jpeg_progressive_subsampled(
+                    w, h, y, cb, cr, factors=factors, restart_interval=3
+                )
+            )
+            assert (rst == base).all(), ("restart", factors, w, h)
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI + RSTn resync (late r6): a scan split into byte-aligned
     restart chunks with cycling RST0-7 markers and DC-predictor resets
