@@ -67,8 +67,8 @@ def decode_image(blob: bytes):
     and progressive-DRI gates), and GIF natively, interlaced or not
     (:func:`decode_gif_pixels` — variable-width LZW + palette + 4-pass
     de-interlace); the remaining tiers (arithmetic entropy coding,
-    16-bit quant tables, hierarchical/lossless JPEG modes) require PIL
-    and raise NotImplementedError without it."""
+    hierarchical/lossless JPEG modes) require PIL and raise
+    NotImplementedError without it."""
     b = bytes(blob or b"")
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
@@ -1716,7 +1716,7 @@ def _decode_jpeg_progressive(b: bytes):
     selection AND successive approximation (DC/AC refinement scans,
     spec G.1.2.3), and restart intervals (byte-align + cycling RSTn,
     DC-predictor and EOB-run resets).  Still gated: arithmetic entropy
-    coding and 16-bit quant tables."""
+    coding and hierarchical/lossless modes."""
     import struct
 
     import numpy as np
@@ -1741,10 +1741,17 @@ def _decode_jpeg_progressive(b: bytes):
             i = 0
             while i < len(payload):
                 pq, tq = payload[i] >> 4, payload[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qtabs[tq] = list(payload[i + 1 : i + 65])
-                i += 65
+                if pq == 0:  # 8-bit entries
+                    qtabs[tq] = list(payload[i + 1 : i + 65])
+                    i += 65
+                elif pq == 1:  # 16-bit big-endian entries (spec B.2.4.1)
+                    v = payload[i + 1 : i + 129]
+                    qtabs[tq] = [
+                        (v[2 * k] << 8) | v[2 * k + 1] for k in range(64)
+                    ]
+                    i += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
         elif marker == 0xC4:
             i = 0
             while i < len(payload):
@@ -2050,7 +2057,7 @@ def decode_jpeg_pixels(blob: bytes):
     oracles can reproduce the exact doubles) → (h, w, 3).  Progressive
     (SOF2) frames route to :func:`_decode_jpeg_progressive` (same
     sampling envelope, plus successive approximation).  Still gated:
-    arithmetic entropy coding, 16-bit quant tables, hierarchical /
+    arithmetic entropy coding, hierarchical /
     lossless modes.  Closes the r4 'JPEG raster gated on PIL' finding
     and the r5 color residual: the bytes→pixels path executes here,
     pixel-exact on constant-per-block fixtures (x289/x382 oracles) and
@@ -2081,10 +2088,17 @@ def decode_jpeg_pixels(blob: bytes):
             i = 0
             while i < len(payload):
                 pq, tq = payload[i] >> 4, payload[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qtabs[tq] = list(payload[i + 1 : i + 65])
-                i += 65
+                if pq == 0:  # 8-bit entries
+                    qtabs[tq] = list(payload[i + 1 : i + 65])
+                    i += 65
+                elif pq == 1:  # 16-bit big-endian entries (spec B.2.4.1)
+                    v = payload[i + 1 : i + 129]
+                    qtabs[tq] = [
+                        (v[2 * k] << 8) | v[2 * k + 1] for k in range(64)
+                    ]
+                    i += 129
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
         elif marker == 0xC4:  # DHT — canonical rebuild from BITS/HUFFVAL
             i = 0
             while i < len(payload):

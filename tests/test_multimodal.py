@@ -928,6 +928,45 @@ def test_jpeg_progressive_subsampled_equals_baseline_subsampled():
             assert (rst == base).all(), ("restart", factors, w, h)
 
 
+def test_jpeg_16bit_quant_table_decodes():
+    """Pq=1 DQT (16-bit big-endian entries, spec B.2.4.1): rewriting a
+    baseline file's 8-bit quant table as the identical 16-bit table must
+    decode to the identical pixels — the table parse is the only
+    difference."""
+    import struct
+
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    def widen_dqt(blob: bytes) -> bytes:
+        # find the DQT segment (FFDB), re-emit its 64 one-byte entries as
+        # 16-bit big-endian with Pq=1
+        i = blob.index(b"\xff\xdb")
+        (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
+        payload = blob[i + 4 : i + 2 + ln]
+        pq_tq, entries = payload[0], payload[1:65]
+        assert pq_tq >> 4 == 0 and len(entries) == 64
+        wide = bytes([0x10 | (pq_tq & 0xF)]) + b"".join(
+            struct.pack(">H", e) for e in entries
+        )
+        seg = b"\xff\xdb" + struct.pack(">H", len(wide) + 2) + wide
+        return blob[:i] + seg + blob[i + 2 + ln :]
+
+    rng = np.random.RandomState(31)
+    px = rng.randint(0, 256, size=24 * 16, dtype=np.uint8)
+    base = encode_jpeg_baseline(24, 16, px)
+    assert (decode_jpeg_pixels(widen_dqt(base))
+            == decode_jpeg_pixels(base)).all()
+    prog = encode_jpeg_progressive(24, 16, px)
+    assert (decode_jpeg_pixels(widen_dqt(prog))
+            == decode_jpeg_pixels(prog)).all()
+
+
 def test_jpeg_restart_intervals_roundtrip():
     """DRI + RSTn resync (late r6): a scan split into byte-aligned
     restart chunks with cycling RST0-7 markers and DC-predictor resets
