@@ -1049,6 +1049,26 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x245_power_iteration", "x246_quantile_normalize",
         "x247_seasonal_index", "x248_dup_rate_by_source", "x249_hhi",
         "x250_ship_latency",
+        # CORRECTNESS_r08.json — all 50 green (derived from the actual row
+        # keys; zero reds).  Includes the 7 re-run decimal-final fixes (x203
+        # x204 x206 x239 x240 x242 x244) and 43 first-time keys.
+        "x203_incremental_agg", "x204_skyline", "x206_salted_agg",
+        "x239_band_join", "x240_time_rollup", "x242_snapshot_diff",
+        "x244_split_adjust", "x251_burstiness", "x252_set_jaccard_exact",
+        "x253_sql_udf", "x254_lateral_alias", "x255_decile_migration",
+        "x256_user_lifetime", "x257_revenue_bridge", "x258_abc_class",
+        "x259_growth_accounting", "x260_nrr", "x261_table_checksum",
+        "x262_bounce_rate", "x263_price_elasticity", "x264_promo_lift_did",
+        "x265_velocity_flags", "x266_share_trend", "x267_cohort_ltv",
+        "x268_welch_t", "x269_catalog_coverage", "x270_lines_histogram",
+        "x271_repurchase_interval", "x272_price_dispersion", "x273_zipf_fit",
+        "x274_interarrival_cv", "x321_amihud_illiquidity", "x322_roll_spread",
+        "x323_benford_digits", "x324_feature_hashing",
+        "x325_target_encoding_loo", "x326_mutual_information", "x327_acf",
+        "x328_variance_ratio", "x329_hurst_rs", "x330_l_diversity",
+        "x331_assortativity", "x332_systematic_sample", "x333_gini_stump",
+        "x334_chi2_tokens", "x335_corwin_schultz", "x336_vpin",
+        "x337_woe_iv", "x338_triple_barrier", "x339_pit_feature_join",
     }
 )
 
@@ -1061,30 +1081,23 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Round-8 window: CORRECTNESS_r07.json came back 43 green / 7 red.  The
-    # 43 greens are absorbed into _DRIVER_VERIFIED above (derived from the
-    # actual row keys); the 7 reds — the decimal-final-schema family (x203,
-    # x204, x206, x239, x240, x242, x244), fixed this round by finalizing
-    # every output column as double/bigint on BOTH engine sides — lead the
-    # r8 window via `front` so they re-earn a green driver row, followed by
-    # 43 never-verified keys in registration order (x251 onward).
+    # Round-9 window: CORRECTNESS_r08.json came back 50/50 green (the 7
+    # re-run decimal-final fixes plus 43 first-timers).  All 50 are absorbed
+    # into _DRIVER_VERIFIED above (derived from the actual row keys) —
+    # cumulative driver-green is now 339/575 (59.0%).  No reds, so no `front`
+    # re-run list this round: the r9 window is simply the next 50
+    # never-verified keys in registration order (x340–x389).
     #
-    # ROUND-9 TODO (absorb after CORRECTNESS_r08.json lands): move the r8
+    # ROUND-10 TODO (absorb after CORRECTNESS_r09.json lands): move the r9
     # window's green keys into _DRIVER_VERIFIED.  Re-derive the list from
-    # CORRECTNESS_r08.json's actual row keys; any red row stays unverified.
-    # Cumulative driver-green after the r7 absorption: 289/575 (50.3%); 279
-    # never-verified keys + 7 fixed reds remain — at 50/round the rotation
-    # needs ~6 more clean rounds, with the local type-strict oracle gate
+    # CORRECTNESS_r09.json's actual row keys; any red row stays unverified
+    # and leads the r10 window via a `front` list.  236 keys remain
+    # never-verified after r8 — at 50/round the rotation needs ~5 more clean
+    # rounds, with the local type-strict oracle gate
     # (tests/test_queries_oracle.py, all keys every session) as the
     # compensating control.  Registry growth is FROZEN (VERDICT r6 ask #4,
-    # reaffirmed r7 ask #5) until driver coverage crosses ~60%.  Keep
-    # absorbing at round-open, every round.
-    front: list[str] = [
-        "x203_incremental_agg", "x204_skyline", "x206_salted_agg",
-        "x239_band_join", "x240_time_rollup", "x242_snapshot_diff",
-        "x244_split_adjust",
-    ]
-    rank = {k: i for i, k in enumerate(front)}
+    # reaffirmed r7/r8) until driver coverage crosses ~80%.  Keep absorbing
+    # at round-open, every round.
 
     def tier(k: str) -> int:
         if k in _DRIVER_VERIFIED:
@@ -1092,7 +1105,7 @@ def _emission_order() -> list[str]:
         return 0 if REGISTRY[k].oracle is not None else 1
 
     keys = list(REGISTRY)
-    return sorted(keys, key=lambda k: (tier(k), rank.get(k, len(front)), keys.index(k)))
+    return sorted(keys, key=lambda k: (tier(k), keys.index(k)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
