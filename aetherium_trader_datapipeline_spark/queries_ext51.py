@@ -23,10 +23,16 @@ from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # -- x253: SQL-defined scalar UDF -------------------------------------------
 
+# net_rev rounds the scale-4 decimal sum to 2 places IN DECIMAL SPACE first
+# (exact, identical tie-breaks: Spark HALF_UP and DuckDB half-away-from-zero
+# agree on decimals), THEN casts to double; the outer ROUND(...,2) is a no-op
+# on the already-2-place value but keeps the double repr canonical.  Rounding
+# after the double cast instead would let a genuine .xx50 tie resolve
+# differently per engine (advisor r8, queries_ext51).
 _X253_ORACLE = """
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS net_rev
+           ROUND(CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE), 2) AS net_rev
     FROM lineitem
     GROUP BY l_returnflag ORDER BY l_returnflag
 """
@@ -50,7 +56,7 @@ def x253_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                CAST(COUNT(*) AS BIGINT) AS n,
-               ROUND(CAST(SUM(net_price(l_extendedprice, l_discount)) AS DOUBLE), 2) AS net_rev
+               ROUND(CAST(CAST(ROUND(SUM(net_price(l_extendedprice, l_discount)), 2) AS DECIMAL(18,2)) AS DOUBLE), 2) AS net_rev
         FROM lineitem
         GROUP BY l_returnflag ORDER BY l_returnflag
         """
