@@ -14,6 +14,8 @@ DuckDB oracle folds in the same order).
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -415,9 +417,29 @@ def exact_jaccard_pairs(
     same exactness contract as the reference's dedup verify pass
     (dedup.rs candidate verification), expressed as a dense kernel
     instead of a row join.
+
+    Block count = max(memory bound, PARALLELISM FLOOR).  The memory
+    bound alone (ceil(n / block_size)) degenerates at small-to-mid n:
+    x307's sf0.1 input is 4,991 reps, so block_size=2048 gave B=3 — six
+    GEMM tasks for 32 cores, each a multi-GFLOP kernel pinned to ONE
+    core (workers run OPENBLAS_NUM_THREADS=1 by design, session.py).  A
+    stage of 6 serial kernels tracks the HOST'S PER-CORE speed, not the
+    cluster's parallelism — measured as the r7/r8 driver-bench anomaly
+    where x307 read ~11.4 s in the driver suite vs 3-4 s on quiet hosts
+    while the whole-suite ratio was only ~1.3x (slow contended cores
+    hurt a 6-task stage 4x, a 300-task stage 1.3x).  The floor sizes B
+    so the triangle offers >= 2x defaultParallelism tasks; total GEMM
+    flops are invariant in B (each block pair computed once), so extra
+    blocks cost only O(B) row replication — bounded by the floor being
+    O(sqrt(cores)).  At large n the memory bound dominates and nothing
+    changes: n=1M, block_size=2048 -> B=489 >> the floor of 11.
     """
     n = df.count()
-    n_blocks = max(1, -(-n // block_size))
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    b_mem = max(1, -(-n // block_size))
+    # smallest B with B(B+1)/2 >= 2*par  (exact integer form)
+    b_par = int(math.ceil((math.sqrt(16.0 * par + 1.0) - 1.0) / 2.0))
+    n_blocks = min(max(b_mem, b_par), max(n, 1))
 
     v = df.select(
         F.col(id_col).alias("id"),
@@ -480,6 +502,21 @@ def exact_jaccard_pairs(
             {"a": pa2, "b": pb2, "n_common": cc, "sz_a": ra2, "sz_b": rb2}
         )
 
-    return rep.groupBy("ga", "gb").applyInPandas(
-        score, schema="a long, b long, n_common long, sz_a long, sz_b long"
+    # Pin the exchange width: the grouped rows total only a few tens of
+    # MB at test SFs, so AQE's coalescePartitions folds the groupBy
+    # shuffle down to ~3 partitions (>= 1 MB each) and the B(B+1)/2 GEMM
+    # groups execute 3-at-a-time regardless of B — observed as 3-task
+    # stages even after the parallelism floor raised the group count to
+    # 66.  An explicit numbered repartition on the grouping keys is
+    # preserved by AQE (REPARTITION_BY_NUM origin) and already satisfies
+    # applyInPandas's ClusteredDistribution, so no second shuffle is
+    # added.  Width 2x parallelism (capped by the group count) keeps
+    # per-task group counts balanced at any n.
+    tri = n_blocks * (n_blocks + 1) // 2
+    return (
+        rep.repartition(min(tri, 2 * par), "ga", "gb")
+        .groupBy("ga", "gb")
+        .applyInPandas(
+            score, schema="a long, b long, n_common long, sz_a long, sz_b long"
+        )
     )

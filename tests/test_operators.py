@@ -666,3 +666,59 @@ def test_expectations_count_seeded_violations(spark):
     assert out["status_enum"] == (2, False)       # 'bad' and NULL
     assert out["fk_ref"] == (1, False)            # fk=99 (NULL fk exempt)
     assert out["qty_odd"] == (2, False)           # -2 and 200 are even
+
+
+def test_exact_jaccard_pairs_matches_brute_force(spark):
+    """The triangle block-GEMM kernel is EXACT: its surviving pairs must
+    equal a brute-force Jaccard sweep — including at the small-n edge
+    where the parallelism floor caps n_blocks at n (blocks of ~1 row),
+    and across the diagonal/off-diagonal group split."""
+    import itertools
+    import random
+
+    from aetherium_trader_datapipeline_spark.operators.similarity import (
+        exact_jaccard_pairs,
+    )
+
+    rng = random.Random(307)
+    rows = []
+    for i in range(60):
+        base = set(rng.sample(range(40), rng.randint(5, 15)))
+        rows.append((i, sorted(base)))
+        if rng.random() < 0.4:  # plant a near-dup one token off
+            near = set(base)
+            near.add(40 + i)
+            rows.append((1000 + i, sorted(near)))
+    df = spark.createDataFrame(rows, "id long, toks array<long>")
+
+    got = {
+        (r.a, r.b, r.n_common, r.sz_a, r.sz_b)
+        for r in exact_jaccard_pairs(
+            df, "id", "toks", threshold_num=7, threshold_den=10
+        ).collect()
+    }
+
+    sets = {i: set(t) for i, t in rows}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        c = len(sets[a] & sets[b])
+        if c * 10 >= 7 * (len(sets[a]) + len(sets[b]) - c):
+            want.add((a, b, c, len(sets[a]), len(sets[b])))
+    assert got == want and len(want) > 0
+
+
+def test_exact_jaccard_pairs_tiny_n(spark):
+    """n smaller than the parallelism floor: n_blocks must cap at n and
+    still produce the exact pair set (regression for the r9 floor)."""
+    from aetherium_trader_datapipeline_spark.operators.similarity import (
+        exact_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [1, 2, 3, 4, 5]), (3, [9, 10])],
+        "id long, toks array<long>",
+    )
+    got = {(r.a, r.b, r.n_common) for r in exact_jaccard_pairs(
+        df, "id", "toks", threshold_num=8, threshold_den=10
+    ).collect()}
+    assert got == {(1, 2, 4)}  # J = 4/5 = 0.8 exactly; (x,3) pairs J=0
