@@ -143,14 +143,24 @@ def hilbert_key(
         lut = df.sparkSession.createDataFrame(rows, "__hk bigint, __hd bigint")
         # LEFT join so malformed input (NULL or out-of-[0, 2^bits)
         # coordinates) yields a NULL key instead of silently dropping the
-        # row — keeps "lookup" behaviorally interchangeable with "expr",
-        # which also emits NULL for NULL coords (and garbage-but-present
-        # keys for out-of-range ones; out-of-range is a caller bug either
-        # way, but losing rows from a layout operator is never acceptable).
+        # row — losing rows from a layout operator is never acceptable.
+        # The probe key is RANGE-GUARDED per coordinate: without the
+        # guard, an out-of-range y with in-range x (n=256, x=3, y=300 →
+        # 1068) aliases x*n + y onto a DIFFERENT cell's LUT entry and
+        # returns a wrong non-NULL key (advisor r8) — only overflows
+        # past n² would have missed the join.  With the guard, every
+        # out-of-range or NULL coordinate yields a NULL key, strictly
+        # safer than "expr"'s garbage-but-present keys for the same
+        # caller bug.
+        xb = F.col(x_col).cast("bigint")
+        yb = F.col(y_col).cast("bigint")
+        in_range = (
+            (xb >= 0) & (xb < F.lit(n)) & (yb >= 0) & (yb < F.lit(n))
+        )
         return (
             df.withColumn(
                 "__hk",
-                F.col(x_col).cast("bigint") * n + F.col(y_col).cast("bigint"),
+                F.when(in_range, xb * n + yb),
             )
             .join(F.broadcast(lut), "__hk", "left")
             .withColumn(out_col, F.col("__hd"))

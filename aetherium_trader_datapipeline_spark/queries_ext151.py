@@ -151,10 +151,18 @@ def _x522_chosen(intdiv: str) -> str:
     tags=("eval", "pandas"),
 )
 def x522_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-greedy replay per symbol: Arrow fold with 10 integer state
-    slots, exactly mirroring the recursive-CTE oracle (exploration from
-    a deterministic step hash; argmax by scaled integer division with
-    lowest-index tie-break)."""
+    """ε-greedy replay per symbol OVER THE FIRST 500 STEPS PER SYMBOL
+    (_X522_HORIZON; fixed evaluation budget à la Li et al. replay):
+    Arrow fold with 10 integer state slots, exactly mirroring the
+    recursive-CTE oracle (exploration from a deterministic step hash;
+    argmax by scaled integer division with lowest-index tie-break).
+
+    The horizon is part of the query DEFINITION as of r8 (not an
+    optimization): above ~sf0.001 the per-sym end state differs from the
+    unbounded-replay variant shipped before r8, so pre-r8 recorded
+    results/hashes for this key are incomparable and must not be reused
+    (advisor r8; no driver hash exists for this key, so no driver
+    baseline is affected)."""
     import pandas as pd
 
     events = load_tables(spark, sf_dir)["events"]

@@ -10,8 +10,16 @@ JSON line per key: {"key":..., "samples":[...], "median":..., "host":
 {"steal_pct":...}}.
 
 Usage:
-  python scripts/profile_keys.py [--sf DIR] [--runs N] key1 key2 ...
+  python scripts/profile_keys.py [--sf DIR] [--runs N] [--no-controls]
+         key1 key2 ...
 Defaults: sf=/root/testdata/sf0.1, runs=5, cpus=$SPARK_GRAFT_CPUS or 32.
+
+The three anchor-control keys (x187_hll_portable, x163_event_funnel,
+q35_sim_topk_cosine — the r8 closure set, anchors 0.442/0.347/0.687 s)
+are ALWAYS profiled first unless --no-controls: every flag adjudication
+recorded in BASELINE.md then carries a same-session drift denominator by
+construction (VERDICT r8 ask #6). Controls run FIRST so the host is
+characterized before the key under test heats any caches.
 """
 
 from __future__ import annotations
@@ -37,12 +45,23 @@ def _steal_pct() -> float:
         return float("nan")
 
 
+# r8 closure-protocol controls; anchors (s) from BASELINE.md r4 table.
+CONTROL_KEYS = ("x187_hll_portable", "x163_event_funnel", "q35_sim_topk_cosine")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument(
+        "--no-controls",
+        action="store_true",
+        help="skip the standing anchor-control keys (drift denominator)",
+    )
     ap.add_argument("keys", nargs="+")
     args = ap.parse_args()
+    if not args.no_controls:
+        args.keys = [k for k in CONTROL_KEYS if k not in args.keys] + args.keys
 
     from aetherium_trader_datapipeline_spark.queries import (
         REGISTRY,
@@ -70,6 +89,7 @@ def main() -> None:
             json.dumps(
                 {
                     "key": key,
+                    "role": "control" if key in CONTROL_KEYS else "subject",
                     "samples": samples,
                     "median": round(statistics.median(samples), 4),
                     "sf": args.sf,

@@ -107,9 +107,17 @@ def main() -> int:
 
     pool = ThreadPoolExecutor(max_workers=1)
     n_bad = 0
+    # Futures abandoned on timeout: job-group cancel kills the Spark side,
+    # but a worker wedged inside a DuckDB query is not interruptible and
+    # keeps burning CPU on this process while the sweep moves on — so any
+    # key measured while one is still live gets "tainted": true (its
+    # wall_s and a timeout verdict may be contamination, not the key's own
+    # cost; re-run tainted non-ok keys before believing them).  ADVICE r8.
+    abandoned: list = []
     with open(state_path, "a") as out:
         for idx, key in enumerate_keys(todo):
             spec = REGISTRY[key]
+            abandoned = [f for f in abandoned if f.running()]
             t0 = time.time()
 
             def run() -> list[str]:
@@ -121,8 +129,11 @@ def main() -> int:
                 return compare(df, spec.oracle, args.sf_dir, key=key)
 
             rec: dict = {"key": key, "idx": idx}
+            if abandoned:
+                rec["tainted"] = True
+            fut = pool.submit(run)
             try:
-                problems = pool.submit(run).result(timeout=args.timeout)
+                problems = fut.result(timeout=args.timeout)
                 rec["status"] = "ok" if not problems else "fail"
                 rec["problems"] = problems[:5]
             except FutTimeout:
@@ -131,6 +142,7 @@ def main() -> int:
                 rec["problems"] = [f"exceeded {args.timeout}s"]
                 # the worker thread unblocks once the job group dies; give
                 # it a moment, then replace the pool if it is still wedged
+                abandoned.append(fut)
                 pool.shutdown(wait=False)
                 pool = ThreadPoolExecutor(max_workers=1)
             except Exception as ex:  # noqa: BLE001

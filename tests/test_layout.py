@@ -89,15 +89,22 @@ def test_hilbert_lookup_keeps_malformed_rows(spark):
 
     df = spark.createDataFrame(
         pd.DataFrame(
-            {"x": [3, None, 999], "y": [5, 7, 2]}, dtype="Int64"
+            # (3, 300) is the advisor-r8 aliasing case: y out of range but
+            # x*n + y = 1068 lands on cell (4, 12)'s LUT entry — without
+            # the per-coordinate range guard it returned that WRONG
+            # non-NULL key.  (-1, 2) guards the negative side.
+            {"x": [3, None, 999, 3, -1], "y": [5, 7, 2, 300, 2]},
+            dtype="Int64",
         )
     )
     rows = hilbert_key(df, "x", "y", 8, out_col="d", method="lookup").collect()
-    assert len(rows) == 3, "lookup path dropped rows"
-    by_x = {r.x: r.d for r in rows}
-    assert by_x[3] is not None
-    assert by_x[None] is None  # NULL coord -> NULL key
-    assert by_x[999] is None  # out-of-domain coord -> NULL key
+    assert len(rows) == 5, "lookup path dropped rows"
+    by_xy = {(r.x, r.y): r.d for r in rows}
+    assert by_xy[(3, 5)] is not None
+    assert by_xy[(None, 7)] is None  # NULL coord -> NULL key
+    assert by_xy[(999, 2)] is None  # out-of-domain coord -> NULL key
+    assert by_xy[(3, 300)] is None  # aliasing case -> NULL, not a wrong key
+    assert by_xy[(-1, 2)] is None  # negative coord -> NULL key
 
 
 def test_grid_rank_ranks_null_buckets(spark):
