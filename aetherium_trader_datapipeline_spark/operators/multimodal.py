@@ -66,9 +66,11 @@ def decode_image(blob: bytes):
     subsampling, restart intervals — r8 closed the subsampled-progressive
     and progressive-DRI gates), and GIF natively, interlaced or not
     (:func:`decode_gif_pixels` — variable-width LZW + palette + 4-pass
-    de-interlace); the remaining tiers (arithmetic entropy coding,
-    hierarchical/lossless JPEG modes) require PIL and raise
-    NotImplementedError without it."""
+    de-interlace); arithmetic-coded sequential JPEG (SOF9) decodes
+    natively as of r9 (:mod:`.jpeg_arith` — QM coder + Annex F models,
+    grayscale / 4:4:4 / restart markers); the remaining tiers
+    (progressive-arithmetic SOF10, hierarchical/lossless modes) require
+    PIL and raise NotImplementedError without it."""
     b = bytes(blob or b"")
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
@@ -2141,9 +2143,18 @@ def decode_jpeg_pixels(blob: bytes):
             sof = (h, w, comps)
         elif marker == 0xC2:  # progressive: dedicated multi-scan path
             return _decode_jpeg_progressive(b)
+        elif marker == 0xC9:  # arithmetic-coded sequential (r9): QM coder
+            from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+                decode_jpeg_arith,
+            )
+
+            return decode_jpeg_arith(b)
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("non-baseline JPEG (arithmetic etc.)")
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "unsupported JPEG mode (progressive-arithmetic, "
+                "hierarchical or lossless)"
+            )
         elif marker == 0xDD:  # DRI: restart every Ri MCUs
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:  # SOS

@@ -9,6 +9,7 @@ values — rounding must already have happened inside the queries).
 from __future__ import annotations
 
 import math
+import os
 from datetime import date, datetime
 
 import duckdb
@@ -31,8 +32,14 @@ def duckdb_run_typed(sql: str, sf_dir: str):
     sees it."""
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        # the driver fixtures are single files; scale replicas written by
+        # Spark (scripts/make_scale_fixture.py) are DIRECTORIES of part
+        # files — glob those so the same oracle gate runs on both
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     rel = con.sql(sql)
     cols = list(rel.columns)

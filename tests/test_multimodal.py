@@ -1097,3 +1097,170 @@ def test_png_16bit_roundtrip_all_filters():
             + _png_chunk(b"IEND", b""))
     with _pytest.raises(ValueError):
         decode_png_pixels(blob)
+
+
+# -- arithmetic-coded JPEG (SOF9, r9) ----------------------------------------
+
+
+def test_qm_coder_roundtrip_random_contexts():
+    """QM encoder/decoder must be bit-exact through the full byte
+    pipeline on random multi-context bit streams — skewed and balanced
+    sources, long runs (exercises the fast MPS path, renorm, conditional
+    exchange, carry propagation and 0xFF stuffing)."""
+    import random
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        QMDecoder,
+        QMEncoder,
+    )
+
+    rng = random.Random(91)
+    for trial in range(8):
+        n_ctx = rng.randint(1, 6)
+        bias = [rng.choice([0.02, 0.2, 0.5, 0.9, 0.98]) for _ in range(n_ctx)]
+        seq = [
+            (rng.randrange(n_ctx),)
+            for _ in range(rng.randint(1, 3000))
+        ]
+        seq = [(c[0], 1 if rng.random() < bias[c[0]] else 0) for c in seq]
+        enc = QMEncoder()
+        stats = bytearray(n_ctx)
+        for ctx, bit in seq:
+            enc.encode(bit, stats, ctx)
+        data = enc.flush()
+        dec = QMDecoder(data, 0)
+        stats2 = bytearray(n_ctx)
+        got = [dec.decode(stats2, ctx) for ctx, _bit in seq]
+        assert got == [b for _c, b in seq], f"trial {trial}"
+
+
+def test_qm_coder_compresses_skewed_source():
+    """A 99%-ones source must compress far below 1 bit/symbol (the
+    adaptive estimator is actually adapting, not just round-tripping)."""
+    import random
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        QMEncoder,
+    )
+
+    rng = random.Random(7)
+    bits = [1 if rng.random() < 0.99 else 0 for _ in range(20000)]
+    enc = QMEncoder()
+    stats = bytearray(1)
+    for b in bits:
+        enc.encode(b, stats, 0)
+    assert len(enc.flush()) * 8 < 0.25 * len(bits)
+
+
+def test_jpeg_arith_equals_baseline_decode():
+    """SOF9 and SOF0 carry IDENTICAL quantized coefficients (same DCT +
+    flat quant), so arithmetic decode must agree with baseline Huffman
+    decode pixel-for-pixel on arbitrary lossy content — the strongest
+    equivalence check available without external conformance vectors."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(9)
+    for trial in range(4):
+        w = int(rng.integers(8, 40))
+        h = int(rng.integers(8, 33))
+        px = (
+            (np.fromfunction(lambda y, x: x * 7 + y * 3, (h, w))
+             + rng.integers(0, 80, (h, w))) % 256
+        ).astype(np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg_baseline(w, h, px.flatten()))
+        arit = decode_jpeg_pixels(encode_jpeg_arith(w, h, px.flatten()))
+        assert arit.shape == (h, w)
+        assert (base == arit).all(), f"trial {trial}"
+
+
+def test_jpeg_arith_color_equals_baseline_color():
+    """4:4:4 SOF9 color must equal the baseline color tier's decode
+    exactly (same planes, same BT.601 conversion)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_color,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(21)
+    w, h = 19, 14
+    y = rng.integers(0, 256, h * w).astype(np.uint8)
+    cb = rng.integers(64, 192, h * w).astype(np.uint8)
+    cr = rng.integers(64, 192, h * w).astype(np.uint8)
+    base = decode_jpeg_pixels(encode_jpeg_color(w, h, y, cb, cr))
+    arit = decode_jpeg_pixels(encode_jpeg_arith_color(w, h, y, cb, cr))
+    assert arit.shape == (h, w, 3)
+    assert (base == arit).all()
+
+
+def test_jpeg_arith_restart_intervals():
+    """DRI/RSTn: coder flushes + realigns, statistics and DC predictors
+    reset; decode must equal the no-restart decode exactly."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    rng = np.random.default_rng(33)
+    w, h = 40, 24  # 5x3 = 15 MCUs
+    px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    plain = decode_jpeg_pixels(encode_jpeg_arith(w, h, px.flatten()))
+    for ri in (1, 2, 4, 7):
+        rst = decode_jpeg_pixels(
+            encode_jpeg_arith(w, h, px.flatten(), restart_interval=ri)
+        )
+        assert (plain == rst).all(), f"restart_interval={ri}"
+
+
+def test_decode_image_routes_arith_jpeg():
+    """decode_image dispatches SOF9 streams to the native QM decoder;
+    block-constant fixtures decode exactly (flat quant, DC only)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    px = np.repeat(
+        np.repeat(np.arange(6, dtype=np.uint8).reshape(2, 3) * 40, 8, 0), 8, 1
+    )
+    out = decode_image(encode_jpeg_arith(24, 16, px.flatten()))
+    assert out.shape == (16, 24)
+    assert (out == px).all()
+
+
+def test_jpeg_arith_still_rejects_progressive_arith():
+    """SOF10 stays gated with a loud error (scope note in jpeg_arith)."""
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    blob = bytearray(encode_jpeg_arith(8, 8, bytes(64)))
+    sof = blob.index(b"\xff\xc9")
+    flipped = bytes(blob[:sof + 1]) + b"\xca" + bytes(blob[sof + 2:])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(flipped)
