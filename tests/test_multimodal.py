@@ -1264,3 +1264,94 @@ def test_jpeg_arith_still_rejects_progressive_arith():
     flipped = bytes(blob[:sof + 1]) + b"\xca" + bytes(blob[sof + 2:])
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(flipped)
+
+
+# -- lossless JPEG (SOF3, r9) ------------------------------------------------
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 is LOSSLESS: every predictor must reproduce arbitrary 8-bit
+    content bit-exactly."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(3)
+    w, h = 23, 11
+    px = rng.integers(0, 256, h * w).astype(int).tolist()
+    want = np.array(px, dtype=np.int32).reshape(h, w)
+    for sel in range(1, 8):
+        got = decode_jpeg_lossless(
+            encode_jpeg_lossless(w, h, px, predictor=sel)
+        )
+        assert got.shape == (h, w)
+        assert (got == want).all(), f"predictor {sel}"
+
+
+def test_jpeg_lossless_precisions_and_point_transform():
+    """2..16-bit samples roundtrip exactly; a point transform Pt drops
+    the low Pt bits and reconstruction scales back up (<< Pt)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(5)
+    for prec in (2, 4, 8, 12, 16):
+        w, h = 9, 7
+        px = rng.integers(0, 1 << prec, h * w).astype(int).tolist()
+        got = decode_jpeg_lossless(
+            encode_jpeg_lossless(w, h, px, precision=prec, predictor=4)
+        )
+        assert (got == np.array(px, dtype=np.int32).reshape(h, w)).all(), prec
+    # point transform: lossy by exactly the low bits
+    px = rng.integers(0, 256, 9 * 7).astype(int).tolist()
+    got = decode_jpeg_lossless(
+        encode_jpeg_lossless(9, 7, px, predictor=7, point_transform=2)
+    )
+    want = (np.array(px, dtype=np.int32).reshape(7, 9) >> 2) << 2
+    assert (got == want).all()
+
+
+def test_jpeg_lossless_color_and_dispatch():
+    """3 interleaved 1:1 components (e.g. raw RGB — lossless JPEG has no
+    color transform) roundtrip exactly, and decode_image routes SOF3."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(8)
+    w, h = 12, 5
+    px = rng.integers(0, 256, h * w * 3).astype(int).tolist()
+    got = decode_image(encode_jpeg_lossless(w, h, px, ncomp=3, predictor=5))
+    assert got.shape == (h, w, 3)
+    want = np.array(px, dtype=np.int32).reshape(h, w, 3)
+    assert (got == want).all()
+
+
+def test_jpeg_lossless_sawtooth_extreme_diffs():
+    """Alternating 0 / max samples produce the extreme difference
+    categories (including big negatives) — the SSSS=15/16 edge area."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
+        decode_jpeg_lossless,
+        encode_jpeg_lossless,
+    )
+
+    w, h = 16, 3
+    px = [0 if (i % 2) else 65535 for i in range(w * h)]
+    got = decode_jpeg_lossless(
+        encode_jpeg_lossless(w, h, px, precision=16, predictor=1)
+    )
+    assert (got == np.array(px, dtype=np.int32).reshape(h, w)).all()
