@@ -42,8 +42,12 @@ Design notes:
   baseline/progressive tiers.
 
 Scope: 8-bit SOF9, grayscale or 3-component 4:4:4 interleaved; DAC
-parsing; DRI/RSTn.  Progressive-arithmetic (SOF10) and
-hierarchical/lossless modes remain gated with loud errors in
+parsing; DRI/RSTn.  SOF10 (progressive-arithmetic, grayscale — DC
+first/refine and AC first/refine scans per Annex G over the same QM
+coder, fresh statistics per scan) decodes via
+:func:`decode_jpeg_arith_progressive`; lossless SOF3 lives in
+:mod:`.jpeg_lossless`.  Only hierarchical modes and arithmetic
+lossless (SOF11) remain gated with loud errors in
 `multimodal.decode_jpeg_pixels`.
 
 Reference parity note: the reference engine (2.4 kLoC Rust data
@@ -670,3 +674,358 @@ def decode_jpeg_arith(b: bytes):
     g = np.floor(y - 0.344136 * cb - 0.714136 * cr + 0.5)
     bl = np.floor(y + 1.772 * cb + 0.5)
     return np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
+
+
+# --- progressive-arithmetic JPEG (SOF10) ------------------------------------
+# Annex G's successive-approximation models over the same QM coder: DC
+# first/refine and AC first/refine scans, each scan with FRESH statistics
+# areas and its own byte-aligned entropy segment.  Grayscale scope (the
+# sequential tier covers color); bands and the AC approximation split are
+# free parameters so tests can exercise every scan kind.
+
+
+def _sm_shift(v: int, s: int) -> int:
+    """Sign-magnitude point transform: T(v, s) = sign(v) * (|v| >> s)."""
+    return -((-v) >> s) if v < 0 else v >> s
+
+
+def _encode_dc_first(enc, model, ci, tbl, dc_scaled, prev) -> int:
+    """One block's DC-first symbol stream (DPCM over Al-scaled values)."""
+    dc = model.dc_stats[tbl]
+    st = model.dc_ctx[ci]
+    diff = dc_scaled - prev
+    if diff == 0:
+        enc.encode(0, dc, st)
+        model.dc_ctx[ci] = 0
+    else:
+        enc.encode(1, dc, st)
+        sign = 1 if diff < 0 else 0
+        enc.encode(sign, dc, st + 1)
+        m = _encode_magnitude(enc, dc, st + 2 + sign, abs(diff), dc, _DC_X1)
+        model.classify_dc(ci, tbl, sign, m)
+    return dc_scaled
+
+
+def _decode_dc_first(dec, model, ci, tbl) -> int:
+    """Mirror: returns the new Al-scaled DC predictor value."""
+    dc = model.dc_stats[tbl]
+    st = model.dc_ctx[ci]
+    if dec.decode(dc, st) == 0:
+        model.dc_ctx[ci] = 0
+        return model.prev_dc[ci]
+    sign = dec.decode(dc, st + 1)
+    sz, m = _decode_magnitude(dec, dc, st + 2 + sign, dc, _DC_X1)
+    model.classify_dc(ci, tbl, sign, m)
+    model.prev_dc[ci] += -sz if sign else sz
+    return model.prev_dc[ci]
+
+
+def _encode_ac_first(enc, model, tbl, zz, ss, se, al) -> None:
+    """AC band scan at approximation Al over one block."""
+    ac = model.ac_stats[tbl]
+    kx = model.kx(tbl)
+    vals = {k: _sm_shift(zz[k], al) for k in range(ss, se + 1)}
+    ke = max((k for k in range(ss, se + 1) if vals[k]), default=ss - 1)
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(0, ac, st)
+        while vals[k] == 0:
+            enc.encode(0, ac, st + 1)
+            st += 3
+            k += 1
+        enc.encode(1, ac, st + 1)
+        v = vals[k]
+        sign = 1 if v < 0 else 0
+        enc.encode(sign, model.fixed, 0)
+        sz = -v if sign else v
+        if sz == 1:
+            enc.encode(0, ac, st + 2)
+        else:
+            enc.encode(1, ac, st + 2)
+            r = sz - 1
+            if r < 2:
+                enc.encode(0, ac, st + 2)
+            else:
+                enc.encode(1, ac, st + 2)
+                m = 2
+                x = _AC_X_LO if k <= kx else _AC_X_HI
+                while (m << 1) <= r:
+                    enc.encode(1, ac, x)
+                    m <<= 1
+                    x += 1
+                enc.encode(0, ac, x)
+                low = r - m
+                mm = m >> 1
+                while mm:
+                    enc.encode(1 if (low & mm) else 0, ac, x + 14)
+                    mm >>= 1
+        k += 1
+    if ke < se:
+        enc.encode(1, ac, 3 * (ke + 1 - 1))
+
+
+def _decode_ac_first(dec, model, tbl, coefs, ss, se, al) -> None:
+    """Mirror of _encode_ac_first; writes v << al into ``coefs``."""
+    ac = model.ac_stats[tbl]
+    kx = model.kx(tbl)
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(ac, st):
+            break
+        while dec.decode(ac, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("AC run past band end")
+        sign = dec.decode(model.fixed, 0)
+        if dec.decode(ac, st + 2) == 0:
+            sz = 1
+        elif dec.decode(ac, st + 2) == 0:
+            sz = 2
+        else:
+            m = 2
+            x = _AC_X_LO if k <= kx else _AC_X_HI
+            while dec.decode(ac, x):
+                m <<= 1
+                x += 1
+                if m == 0x8000:
+                    raise ValueError("arithmetic magnitude overflow")
+            v = m
+            mm = m >> 1
+            while mm:
+                if dec.decode(ac, x + 14):
+                    v |= mm
+                mm >>= 1
+            sz = v + 1
+        coefs[k] = (-sz if sign else sz) << al
+        k += 1
+
+
+def _encode_ac_refine(enc, model, tbl, zz, ss, se, al) -> None:
+    """AC successive-approximation refinement scan (Ah = Al+1 -> Al)."""
+    ac = model.ac_stats[tbl]
+    cur = {k: _sm_shift(zz[k], al) for k in range(ss, se + 1)}
+    prv = {k: _sm_shift(zz[k], al + 1) for k in range(ss, se + 1)}
+    ke = max((k for k in range(ss, se + 1) if cur[k]), default=ss - 1)
+    kex = max((k for k in range(ss, se + 1) if prv[k]), default=ss - 1)
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(0, ac, st)  # EOB decision only beyond prior stage
+        while True:
+            if prv[k]:  # previously nonzero: send the refinement bit
+                enc.encode(abs(cur[k]) & 1, ac, st + 2)
+                break
+            if cur[k]:  # newly nonzero at this stage: must be +-1
+                enc.encode(1, ac, st + 1)
+                enc.encode(1 if cur[k] < 0 else 0, model.fixed, 0)
+                break
+            enc.encode(0, ac, st + 1)
+            st += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.encode(1, ac, 3 * (ke + 1 - 1))
+
+
+def _decode_ac_refine(dec, model, tbl, coefs, ss, se, al) -> None:
+    """Mirror of _encode_ac_refine over the decoder's accumulated
+    coefficients (which hold exactly the prior-stage values << (al+1))."""
+    ac = model.ac_stats[tbl]
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = max((k for k in range(ss, se + 1) if coefs[k]), default=ss - 1)
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(ac, st):
+                break
+        while True:
+            if coefs[k]:
+                if dec.decode(ac, st + 2):
+                    coefs[k] += m1 if coefs[k] < 0 else p1
+                break
+            if dec.decode(ac, st + 1):
+                coefs[k] = m1 if dec.decode(model.fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("AC refine run past band end")
+        k += 1
+
+
+def encode_jpeg_arith_progressive(width: int, height: int, pixels,
+                                  al: int = 1,
+                                  bands=((1, 5), (6, 63)),
+                                  ac_al: int = 1) -> bytes:
+    """8-bit grayscale → SOF10: DC first at Al=``al`` + ``al`` DC-refine
+    scans, then per band an AC-first scan at Al=``ac_al`` followed by
+    ``ac_al`` AC-refine scans.  Same DCT/flat-quant pipeline as the
+    other tiers, so decode must equal the baseline decode exactly."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import _JPEG_Q
+
+    px = np.asarray(list(pixels) if not hasattr(pixels, "shape") else pixels,
+                    dtype=np.uint8).reshape(height, width)
+    bw, bh, blocks = _quantize_plane(px)
+    order = [(by, bx) for by in range(bh) for bx in range(bw)]
+
+    def scan_seg(ss, se, ah, al_s, body: bytes) -> bytes:
+        hdr = bytes([1, 1, 0x00, ss, se, (ah << 4) | al_s])
+        return _seg(0xDA, hdr) + body
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, b"\x00" + bytes(_JPEG_Q for _ in range(64)))
+    out += _seg(0xCA, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+
+    # DC first
+    enc = QMEncoder()
+    model = _SeqArithModel(1, 1, 1)
+    prev = 0
+    for pos_ in order:
+        prev = _encode_dc_first(enc, model, 0, 0,
+                                _sm_shift(blocks[pos_][0], al), prev)
+    out += scan_seg(0, 0, 0, al, enc.flush())
+    # DC refine scans (one per remaining bit), fixed bin per spec
+    for a in range(al - 1, -1, -1):
+        enc = QMEncoder()
+        model = _SeqArithModel(1, 1, 1)
+        for pos_ in order:
+            enc.encode(abs(blocks[pos_][0]) >> a & 1, model.fixed, 0)
+        out += scan_seg(0, 0, a + 1, a, enc.flush())
+    # AC band scans
+    for ss, se in bands:
+        enc = QMEncoder()
+        model = _SeqArithModel(1, 1, 1)
+        for pos_ in order:
+            _encode_ac_first(enc, model, 0, blocks[pos_], ss, se, ac_al)
+        out += scan_seg(ss, se, 0, ac_al, enc.flush())
+        for a in range(ac_al - 1, -1, -1):
+            enc = QMEncoder()
+            model = _SeqArithModel(1, 1, 1)
+            for pos_ in order:
+                _encode_ac_refine(enc, model, 0, blocks[pos_], ss, se, a)
+            out += scan_seg(ss, se, a + 1, a, enc.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_arith_progressive(b: bytes):
+    """SOF10 multi-scan decode → (h, w) uint8 (grayscale scope)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        _ZZ,
+        _dct_mat,
+        _next_marker,
+    )
+
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    sof = None
+    coefs = None
+    order = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+        payload = b[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0xF
+                if pq == 0:
+                    qtabs[tq] = list(payload[i + 1:i + 65])
+                    i += 65
+                else:
+                    vals = payload[i + 1:i + 129]
+                    qtabs[tq] = [(vals[2 * j] << 8) | vals[2 * j + 1]
+                                 for j in range(64)]
+                    i += 129
+        elif marker == 0xCC:
+            i = 0
+            while i + 1 < len(payload):
+                tc, tb = payload[i] >> 4, payload[i] & 0xF
+                cs = payload[i + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0xF, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                i += 2
+        elif marker == 0xCA:
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8 or nc != 1:
+                raise NotImplementedError("SOF10 scope: 8-bit grayscale")
+            tq = payload[8]
+            sof = (h, w, tq)
+            bw, bh = -(-w // 8), -(-h // 8)
+            order = [(by, bx) for by in range(bh) for bx in range(bw)]
+            coefs = {p: [0] * 64 for p in order}
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("SOS before SOF10")
+            ns = payload[0]
+            td, ta = payload[2] >> 4, payload[2] & 0xF
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al_s = ahal >> 4, ahal & 0xF
+            if (ss == 0) != (se == 0) or se > 63 or (ss and ss > se):
+                # e.g. a sequential 0..63 header inside a SOF10 frame —
+                # progressive scans are either DC (0,0) or a pure AC band
+                raise ValueError("illegal progressive scan header")
+            scan_pos = pos + 2 + ln
+            dec = QMDecoder(b, scan_pos)
+            model = _SeqArithModel(1, 1, 1, dc_cond, ac_cond)
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    for p in order:
+                        v = _decode_dc_first(dec, model, 0, td)
+                        coefs[p][0] = v << al_s
+                else:
+                    p1 = 1 << al_s
+                    for p in order:
+                        if dec.decode(model.fixed, 0):
+                            c0 = coefs[p][0]
+                            coefs[p][0] = c0 - p1 if c0 < 0 else c0 + p1
+            else:
+                for p in order:
+                    if ah == 0:
+                        _decode_ac_first(dec, model, ta, coefs[p], ss, se,
+                                         al_s)
+                    else:
+                        _decode_ac_refine(dec, model, ta, coefs[p], ss, se,
+                                          al_s)
+            pos = _next_marker(b, dec.pos)
+            continue
+        pos += 2 + ln
+    if sof is None or coefs is None:
+        raise ValueError("missing SOF10/SOS")
+    height, width, tq = sof
+    quant = np.array(qtabs[tq], dtype=float)
+    m = _dct_mat()
+    bw, bh = -(-width // 8), -(-height // 8)
+    plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for (by, bx), zz in coefs.items():
+        coef = np.zeros(64, dtype=float)
+        for k in range(64):
+            coef[_ZZ[k]] = zz[k] * quant[k]
+        block = m.T @ coef.reshape(8, 8) @ m + 128.0
+        plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+            np.rint(block), 0, 255
+        ).astype(np.uint8)
+    return plane[:height, :width]

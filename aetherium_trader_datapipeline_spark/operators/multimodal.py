@@ -2155,11 +2155,15 @@ def decode_jpeg_pixels(blob: bytes):
             )
 
             return decode_jpeg_lossless(b)
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
-                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCA:  # progressive-arithmetic (r9)
+            from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+                decode_jpeg_arith_progressive,
+            )
+
+            return decode_jpeg_arith_progressive(b)
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode (progressive-arithmetic or "
-                "hierarchical)"
+                "unsupported JPEG mode (hierarchical / arithmetic-lossless)"
             )
         elif marker == 0xDD:  # DRI: restart every Ri MCUs
             restart_interval = struct.unpack(">H", payload[:2])[0]

@@ -1248,8 +1248,11 @@ def test_decode_image_routes_arith_jpeg():
     assert (out == px).all()
 
 
-def test_jpeg_arith_still_rejects_progressive_arith():
-    """SOF10 stays gated with a loud error (scope note in jpeg_arith)."""
+def test_jpeg_arith_flipped_sof10_rejected_as_malformed():
+    """A sequential SOF9 file whose marker is flipped to SOF10 routes to
+    the progressive-arithmetic decoder (r9) and is rejected as MALFORMED
+    (its 0..63 scan header is illegal under SOF10) — same contract as
+    the r6 SOF0→SOF2 flip."""
     import pytest as _pytest
 
     from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
@@ -1262,7 +1265,7 @@ def test_jpeg_arith_still_rejects_progressive_arith():
     blob = bytearray(encode_jpeg_arith(8, 8, bytes(64)))
     sof = blob.index(b"\xff\xc9")
     flipped = bytes(blob[:sof + 1]) + b"\xca" + bytes(blob[sof + 2:])
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_jpeg_pixels(flipped)
 
 
@@ -1355,3 +1358,63 @@ def test_jpeg_lossless_sawtooth_extreme_diffs():
         encode_jpeg_lossless(w, h, px, precision=16, predictor=1)
     )
     assert (got == np.array(px, dtype=np.int32).reshape(h, w)).all()
+
+
+# -- progressive-arithmetic JPEG (SOF10, r9) ---------------------------------
+
+
+def test_jpeg_arith_progressive_equals_baseline():
+    """SOF10 carries IDENTICAL quantized coefficients, so its decode
+    must equal baseline Huffman decode pixel-for-pixel — across band
+    splits and DC/AC successive-approximation depths (exercises all
+    four scan kinds: DC first/refine, AC first/refine)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial, (al, bands, ac_al) in enumerate([
+        (0, ((1, 63),), 0),            # single full band, no SA
+        (1, ((1, 5), (6, 63)), 1),     # default split + 1-bit SA both
+        (2, ((1, 2), (3, 20), (21, 63)), 2),  # deep SA, 3 bands
+    ]):
+        w = int(rng.integers(8, 40))
+        h = int(rng.integers(8, 33))
+        px = (
+            (np.fromfunction(lambda y, x: x * 5 + y * 11, (h, w))
+             + rng.integers(0, 90, (h, w))) % 256
+        ).astype(np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg_baseline(w, h, px.flatten()))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_arith_progressive(w, h, px.flatten(), al=al,
+                                          bands=bands, ac_al=ac_al)
+        )
+        assert prog.shape == (h, w)
+        assert (base == prog).all(), f"trial {trial}"
+
+
+def test_decode_image_routes_sof10():
+    """decode_image dispatches SOF10; block-constant content is exact."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    px = np.repeat(
+        np.repeat(np.arange(4, dtype=np.uint8).reshape(2, 2) * 60, 8, 0), 8, 1
+    )
+    out = decode_image(
+        encode_jpeg_arith_progressive(16, 16, px.flatten(), al=1)
+    )
+    assert out.shape == (16, 16)
+    assert (out == px).all()
