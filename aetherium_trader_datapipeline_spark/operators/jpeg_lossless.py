@@ -1,4 +1,4 @@
-"""Lossless JPEG (SOF3) codec — ITU-T T.81 Annex H, no image libraries.
+"""Lossless JPEG codecs (SOF3 Huffman + SOF11 arithmetic) — T.81 Annex H.
 
 Closes the "lossless mode" slice of the JPEG gate in
 :func:`multimodal.decode_jpeg_pixels`: the original 1992 lossless
@@ -228,3 +228,163 @@ def decode_jpeg_lossless(b: bytes):
     if nc == 1:
         return out[0]
     return np.moveaxis(out, 0, -1)
+
+
+# --- arithmetic-coded lossless (SOF11) --------------------------------------
+# T.81 Annex H.1.2.3 over the QM coder from .jpeg_arith: the same DPCM
+# prediction layer as SOF3, entropy-coded with a two-dimensional context
+# — the coded differences at the LEFT (Da) and ABOVE (Db) neighbors are
+# each classified 5 ways with the default DC conditioning bounds
+# (L=0, U=1: zero / ±small |d|<=2 / ±large), giving 25 context groups of
+# (zero, sign, mag>1|+, mag>1|-) bins; magnitude category chains live in
+# one of two shared areas selected by whether |Db| is small or large,
+# with the magnitude-low bins 14 positions later (same tree shape the
+# sequential DC model uses).  No external SOF11 conformance vectors
+# exist in this container; the verifiable contract is exact roundtrip
+# (lossless!) across predictors/precisions plus compression sanity, and
+# the classification thresholds are exactly the spec's defaults.
+
+
+def _cls5(d: int) -> int:
+    """5-way default classification (L=0, U=1): 0 zero, 1 +small,
+    2 -small, 3 +large, 4 -large."""
+    if d == 0:
+        return 0
+    if 0 < d <= 2:
+        return 1
+    if -2 <= d < 0:
+        return 2
+    return 3 if d > 0 else 4
+
+
+def encode_jpeg_lossless_arith(width: int, height: int, samples,
+                               precision: int = 8, predictor: int = 1,
+                               point_transform: int = 0) -> bytes:
+    """Grayscale SOF11 byte stream (arithmetic lossless)."""
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        QMEncoder,
+        _encode_magnitude,
+    )
+
+    if not (2 <= precision <= 16):
+        raise ValueError("precision must be 2..16")
+    flat = list(samples)
+    if len(flat) != width * height:
+        raise ValueError("sample count != w*h")
+    pt = point_transform
+    px = [[flat[y * width + x] >> pt for x in range(width)]
+          for y in range(height)]
+    diffs = [[0] * width for _ in range(height)]  # signed coded diffs
+    ctx = bytearray(25 * 4)
+    xbins = bytearray(64)  # two 32-wide areas: |Db| small / large
+    enc = QMEncoder()
+    default = 1 << (precision - pt - 1)
+    for y in range(height):
+        for x in range(width):
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = px[0][x - 1]
+            elif x == 0:
+                pred = px[y - 1][0]
+            else:
+                pred = _predict(px[y][x - 1], px[y - 1][x],
+                                px[y - 1][x - 1], predictor)
+            diff = (px[y][x] - pred) & 0xFFFF
+            if diff >= 0x8000:
+                diff -= 0x10000
+            da = diffs[y][x - 1] if x else 0
+            db = diffs[y - 1][x] if y else 0
+            diffs[y][x] = diff
+            base = (_cls5(da) * 5 + _cls5(db)) * 4
+            if diff == 0:
+                enc.encode(0, ctx, base)
+                continue
+            enc.encode(1, ctx, base)
+            sign = 1 if diff < 0 else 0
+            enc.encode(sign, ctx, base + 1)
+            x0 = 0 if abs(db) <= 2 else 32
+            _encode_magnitude(enc, ctx, base + 2 + sign, abs(diff),
+                              xbins, x0)
+    scan = enc.flush()
+    sof = struct.pack(">BHHB", precision, height, width, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, predictor, 0, point_transform])
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    return (b"\xff\xd8" + seg(0xCB, sof) + seg(0xDA, sos) + scan + b"\xff\xd9")
+
+
+def decode_jpeg_lossless_arith(b: bytes):
+    """SOF11 byte stream → (h, w) int32 reconstructed samples."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        QMDecoder,
+        _decode_magnitude,
+    )
+
+    if not b.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    sof = None
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+        payload = b[pos + 4:pos + 2 + ln]
+        if marker == 0xCB:
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if nc != 1:
+                raise NotImplementedError("SOF11 scope: single component")
+            sof = (prec, h, w)
+        elif marker == 0xDA:
+            ns = payload[0]
+            sel = payload[1 + 2 * ns]
+            pt = payload[3 + 2 * ns] & 0xF
+            scan = (sel, pt, pos + 2 + ln)
+            break
+        pos += 2 + ln
+    if sof is None or scan is None:
+        raise ValueError("missing SOF11/SOS")
+    prec, height, width = sof
+    sel, pt, scan_pos = scan
+    dec = QMDecoder(b, scan_pos)
+    ctx = bytearray(25 * 4)
+    xbins = bytearray(64)
+    out = np.zeros((height, width), dtype=np.int32)
+    diffs = np.zeros((height, width), dtype=np.int64)
+    default = 1 << (prec - pt - 1)
+    for y in range(height):
+        for x in range(width):
+            da = int(diffs[y, x - 1]) if x else 0
+            db = int(diffs[y - 1, x]) if y else 0
+            base = (_cls5(da) * 5 + _cls5(db)) * 4
+            if dec.decode(ctx, base) == 0:
+                diff = 0
+            else:
+                sign = dec.decode(ctx, base + 1)
+                x0 = 0 if abs(db) <= 2 else 32
+                sz, _m = _decode_magnitude(dec, ctx, base + 2 + sign,
+                                           xbins, x0)
+                diff = -sz if sign else sz
+            diffs[y, x] = diff
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = int(out[0, x - 1])
+            elif x == 0:
+                pred = int(out[y - 1, 0])
+            else:
+                pred = _predict(int(out[y, x - 1]), int(out[y - 1, x]),
+                                int(out[y - 1, x - 1]), sel)
+            v = (pred + diff) & 0xFFFF
+            if prec - pt < 16:
+                v &= (1 << (prec - pt)) - 1
+            out[y, x] = v
+    return out << pt

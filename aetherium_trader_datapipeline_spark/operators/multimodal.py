@@ -66,11 +66,11 @@ def decode_image(blob: bytes):
     subsampling, restart intervals — r8 closed the subsampled-progressive
     and progressive-DRI gates), and GIF natively, interlaced or not
     (:func:`decode_gif_pixels` — variable-width LZW + palette + 4-pass
-    de-interlace); arithmetic-coded sequential JPEG (SOF9) and lossless
-    JPEG (SOF3, all 7 predictors / 2-16 bit / point transform) decode
-    natively as of r9 (:mod:`.jpeg_arith`, :mod:`.jpeg_lossless`); the
-    remaining tiers (progressive-arithmetic SOF10, hierarchical modes)
-    require PIL and raise NotImplementedError without it."""
+    de-interlace); as of r9 every non-hierarchical JPEG mode decodes
+    natively — arithmetic sequential SOF9, progressive-arithmetic SOF10,
+    Huffman lossless SOF3 and arithmetic lossless SOF11
+    (:mod:`.jpeg_arith`, :mod:`.jpeg_lossless`); only the hierarchical
+    modes require PIL and raise NotImplementedError without it."""
     b = bytes(blob or b"")
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
@@ -2161,9 +2161,15 @@ def decode_jpeg_pixels(blob: bytes):
             )
 
             return decode_jpeg_arith_progressive(b)
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCB:  # arithmetic lossless (r9)
+            from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
+                decode_jpeg_lossless_arith,
+            )
+
+            return decode_jpeg_lossless_arith(b)
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode (hierarchical / arithmetic-lossless)"
+                "unsupported JPEG mode (hierarchical)"
             )
         elif marker == 0xDD:  # DRI: restart every Ri MCUs
             restart_interval = struct.unpack(">H", payload[:2])[0]

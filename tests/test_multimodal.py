@@ -1418,3 +1418,49 @@ def test_decode_image_routes_sof10():
     )
     assert out.shape == (16, 16)
     assert (out == px).all()
+
+
+# -- arithmetic lossless JPEG (SOF11, r9) ------------------------------------
+
+
+def test_jpeg_lossless_arith_roundtrip():
+    """SOF11 is lossless: exact roundtrip across predictors and
+    precisions (the QM coder + Annex H 5x5 Da/Db conditioning)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
+        decode_jpeg_lossless_arith,
+        encode_jpeg_lossless_arith,
+    )
+
+    rng = np.random.default_rng(11)
+    for prec, sel in [(8, 1), (8, 4), (8, 7), (4, 2), (12, 5), (16, 6)]:
+        w, h = 17, 9
+        px = rng.integers(0, 1 << prec, h * w).astype(int).tolist()
+        got = decode_jpeg_lossless_arith(
+            encode_jpeg_lossless_arith(w, h, px, precision=prec,
+                                       predictor=sel)
+        )
+        assert (got == np.array(px, dtype=np.int32).reshape(h, w)).all(), (
+            prec, sel)
+
+
+def test_jpeg_lossless_arith_compresses_smooth_content():
+    """Smooth gradients (tiny diffs, heavy zero/small contexts) must
+    compress well below 1 byte/sample — the conditioning is doing work —
+    and decode_image must route SOF11."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless_arith,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    w, h = 64, 64
+    px = [((x + y) // 4) % 256 for y in range(h) for x in range(w)]
+    blob = encode_jpeg_lossless_arith(w, h, px, predictor=4)
+    assert len(blob) < w * h // 2, len(blob)
+    got = decode_image(blob)
+    assert (got.flatten() == np.array(px, dtype=np.int32)).all()
