@@ -222,16 +222,29 @@ def x45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def x46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_shingle_freq=100 is the quadratic-blowup guard: a shingle shared
-    by f docs contributes C(f,2) candidate pairs, so stop-shingles must be
-    dropped for the join to stay near-linear (measured: the uncapped form
-    dies at 50 k docs with replicated texts; the capped form holds)."""
+    """The df cap is the quadratic-blowup guard: a shingle shared by f
+    docs contributes C(f,2) candidate pairs, so stop-shingles must be
+    dropped for the join to stay near-linear (measured: the uncapped
+    form dies at 50 k docs with replicated texts).  The cap MUST be the
+    same expression as the oracle's (GREATEST(100, CEIL(0.2·n_docs)) —
+    the r7 scale-aware form): the pre-r9 Spark side kept a flat 100,
+    which is identical at sf<=0.01 (0.2·500 = 100, so the driver hash
+    is unaffected) and happened to produce the same top-50 at sf0.1,
+    but is a latent cross-engine divergence at any SF where the sets
+    differ — found by the r9 sf1 sweep.  Note the cap is linear in n:
+    EXACT all-pairs Jaccard with a corpus-proportional stop-shingle
+    budget is inherently quadratic on a vocabulary-bounded fixture; the
+    scale path for neardup is the LSH tier (x129/x150) with x307's
+    kernel as the bounded exact verifier, and SCALE.md records x46's
+    sf1 exclusion on those grounds."""
     from aetherium_trader_datapipeline_spark.operators.dedup import ngram_jaccard_pairs
 
     t = load_tables(spark, sf_dir)
+    n_docs = t["documents"].count()
+    cap = max(100, -(-n_docs // 5))  # == GREATEST(100, CEIL(0.2*n))
     return (
         ngram_jaccard_pairs(
-            t["documents"], "doc_id", shingle_size=2, max_shingle_freq=100
+            t["documents"], "doc_id", shingle_size=2, max_shingle_freq=cap
         )
         .orderBy(F.desc("jaccard"), "a", "b")
         .limit(50)

@@ -92,6 +92,56 @@ def main() -> int:
 
     from tests.oracle import compare  # noqa: E402
 
+    import glob
+    import multiprocessing as mp
+    import shutil
+
+    mp_ctx = mp.get_context("fork")
+    live_child: list = []  # current oracle subprocess, for timeout kill
+
+    def oracle_subprocess(sql: str, budget: float):
+        """Run duckdb_run_typed in a fork so a wedged or spilling oracle
+        can be SIGKILLed (in-process DuckDB is not interruptible — the r9
+        sf1 sweep died to a 43 GB-spilling x46 oracle).  Returns the
+        (cols, rows, types) triple or raises."""
+        q = mp_ctx.Queue()
+
+        def child(out_q):
+            try:
+                from tests.oracle import duckdb_run_typed
+
+                out_q.put(("ok", duckdb_run_typed(sql, args.sf_dir)))
+            except Exception as ex:  # noqa: BLE001
+                out_q.put(("err", repr(ex)[:500]))
+
+        p = mp_ctx.Process(target=child, args=(q,), daemon=True)
+        p.start()
+        live_child.append(p)
+        try:
+            import queue as _queue
+
+            try:
+                status, payload = q.get(timeout=budget)
+            except _queue.Empty:
+                raise TimeoutError(f"oracle exceeded {budget}s")
+            if status == "err":
+                raise RuntimeError(payload)
+            return payload
+        finally:
+            if p.is_alive():
+                p.kill()
+            p.join(5)
+            if p in live_child:
+                live_child.remove(p)
+            # a killed DuckDB leaves multi-GB spill files behind
+            for f in glob.glob(".tmp/duckdb_temp_storage*"):
+                shutil.rmtree(f, ignore_errors=True)
+                if os.path.exists(f):
+                    try:
+                        os.remove(f)
+                    except OSError:
+                        pass
+
     keys = list(REGISTRY)
     end = args.end if args.end is not None else len(keys)
     todo = [
@@ -122,11 +172,15 @@ def main() -> int:
 
             def run() -> list[str]:
                 spark.sparkContext.setJobGroup(key, f"sweep {key}", True)
+                started = time.time()
                 df = spec.run(spark, args.sf_dir)
                 if spec.oracle is None:
                     n = df.count()  # rows-only keys: execution smoke
                     return [] if n >= 0 else [f"{key}: negative count"]
-                return compare(df, spec.oracle, args.sf_dir, key=key)
+                remaining = max(10.0, args.timeout - (time.time() - started))
+                oracle_res = oracle_subprocess(spec.oracle, remaining)
+                return compare(df, spec.oracle, args.sf_dir, key=key,
+                               oracle_result=oracle_res)
 
             rec: dict = {"key": key, "idx": idx}
             if abandoned:
@@ -138,6 +192,8 @@ def main() -> int:
                 rec["problems"] = problems[:5]
             except FutTimeout:
                 spark.sparkContext.cancelJobGroup(key)
+                for p in list(live_child):  # kill any in-flight oracle too
+                    p.kill()
                 rec["status"] = "timeout"
                 rec["problems"] = [f"exceeded {args.timeout}s"]
                 # the worker thread unblocks once the job group dies; give

@@ -185,12 +185,21 @@ def no_decimal_final_problems(spark_df, key: str = "") -> list[str]:
     return out
 
 
-def compare(spark_df, oracle_sql_text: str, sf_dir: str, key: str = "") -> list[str]:
-    """Returns a list of mismatch descriptions (empty = pass)."""
+def compare(spark_df, oracle_sql_text: str, sf_dir: str, key: str = "",
+            oracle_result=None) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = pass).
+
+    ``oracle_result``: optional precomputed (cols, rows, types) triple —
+    sweep tooling passes this to run the DuckDB side in a killable
+    subprocess (a wedged in-process DuckDB query survives job-group
+    cancellation and has taken a whole sweep down; ADVICE r8 / r9)."""
     problems = []
     problems.extend(no_decimal_final_problems(spark_df, key=key))
     s_cols, s_rows = spark_run(spark_df)
-    d_cols, d_rows, d_types = duckdb_run_typed(oracle_sql_text, sf_dir)
+    if oracle_result is not None:
+        d_cols, d_rows, d_types = oracle_result
+    else:
+        d_cols, d_rows, d_types = duckdb_run_typed(oracle_sql_text, sf_dir)
     problems.extend(type_problems(spark_df, d_cols, d_types, key=key))
     sc, sr = canonical(s_cols, s_rows)
     dc, dr = canonical(d_cols, d_rows)
