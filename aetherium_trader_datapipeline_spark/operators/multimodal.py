@@ -66,11 +66,13 @@ def decode_image(blob: bytes):
     subsampling, restart intervals — r8 closed the subsampled-progressive
     and progressive-DRI gates), and GIF natively, interlaced or not
     (:func:`decode_gif_pixels` — variable-width LZW + palette + 4-pass
-    de-interlace); as of r9 every non-hierarchical JPEG mode decodes
+    de-interlace); as of r9 the full JPEG mode matrix decodes
     natively — arithmetic sequential SOF9, progressive-arithmetic SOF10,
-    Huffman lossless SOF3 and arithmetic lossless SOF11
-    (:mod:`.jpeg_arith`, :mod:`.jpeg_lossless`); only the hierarchical
-    modes require PIL and raise NotImplementedError without it."""
+    Huffman lossless SOF3, arithmetic lossless SOF11, and hierarchical
+    streams (DHP/EXP + SOF0 base + SOF5 differential)
+    (:mod:`.jpeg_arith`, :mod:`.jpeg_lossless`, :mod:`.jpeg_hier`);
+    only the arithmetic DIFFERENTIAL variants (SOF13-15, emitted by no
+    mainstream codec) require PIL and raise NotImplementedError."""
     b = bytes(blob or b"")
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
@@ -2167,9 +2169,16 @@ def decode_jpeg_pixels(blob: bytes):
             )
 
             return decode_jpeg_lossless_arith(b)
+        elif marker == 0xDE:  # hierarchical (r9): DHP precedes all frames
+            from aetherium_trader_datapipeline_spark.operators.jpeg_hier import (
+                decode_jpeg_hierarchical,
+            )
+
+            return decode_jpeg_hierarchical(b)
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "unsupported JPEG mode (hierarchical)"
+                "unsupported JPEG frame (differential frame outside a "
+                "hierarchical stream, or arithmetic differential)"
             )
         elif marker == 0xDD:  # DRI: restart every Ri MCUs
             restart_interval = struct.unpack(">H", payload[:2])[0]

@@ -1464,3 +1464,72 @@ def test_jpeg_lossless_arith_compresses_smooth_content():
     assert len(blob) < w * h // 2, len(blob)
     got = decode_image(blob)
     assert (got.flatten() == np.array(px, dtype=np.int32)).all()
+
+
+# -- hierarchical JPEG (DHP/EXP/SOF5, r9) ------------------------------------
+
+
+def test_jpeg_hierarchical_refines_to_quant_error():
+    """Two-level hierarchical decode must land within the residual
+    stage's quantization error of the ORIGINAL (max |err| <= 3) on
+    arbitrary content — and be strictly better than the base frame
+    alone on sharp content."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_hier import (
+        decode_jpeg_hierarchical,
+        encode_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(19)
+    for w, h in [(32, 24), (17, 9), (40, 33)]:
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        out = decode_jpeg_hierarchical(
+            encode_jpeg_hierarchical(w, h, px.flatten())
+        )
+        assert out.shape == (h, w)
+        err = np.abs(out.astype(int) - px.astype(int)).max()
+        assert err <= 3, (w, h, err)
+
+
+def test_jpeg_hierarchical_dispatch_and_structure():
+    """decode_image routes DHP streams; the stream really is two frames
+    (SOF0 base + SOF5 differential after an EXP)."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    px = np.repeat(
+        np.repeat(np.arange(4, dtype=np.uint8).reshape(2, 2) * 50 + 20, 16, 0),
+        16, 1,
+    )
+    blob = encode_jpeg_hierarchical(32, 32, px.flatten())
+    assert b"\xff\xde" in blob and b"\xff\xdf" in blob  # DHP + EXP
+    assert b"\xff\xc0" in blob and b"\xff\xc5" in blob  # base + differential
+    out = decode_image(blob)
+    assert out.shape == (32, 32)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_bare_differential_frame_rejected():
+    """A differential SOF5 outside a hierarchical stream (no DHP before
+    it) must fail loudly, not decode garbage.  (Stripping DHP from a
+    hierarchical stream is NOT such a case: the prefix up to the first
+    SOS is then a self-contained baseline image and decodes as one.)"""
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    blob = bytearray(encode_jpeg_baseline(8, 8, bytes(64)))
+    sof = blob.index(b"\xff\xc0")
+    flipped = bytes(blob[:sof + 1]) + b"\xc5" + bytes(blob[sof + 2:])
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_pixels(flipped)
