@@ -49,6 +49,18 @@ def main() -> int:
     ap.add_argument("--timeout", type=float, default=300.0)
     ap.add_argument("--state", default=None)
     ap.add_argument("--fresh", action="store_true", help="ignore existing state")
+    ap.add_argument(
+        "--skip",
+        default="",
+        help="comma-separated keys to record as 'skipped' without running "
+        "(documented exclusions, e.g. definitionally-quadratic exact "
+        "baselines at large SF)",
+    )
+    ap.add_argument(
+        "--duckdb-mem",
+        default="16GB",
+        help="memory_limit for the forked oracle (spill instead of RAM)",
+    )
     args = ap.parse_args()
 
     sfname = os.path.basename(os.path.normpath(args.sf_dir)) or "sf"
@@ -96,6 +108,8 @@ def main() -> int:
     import multiprocessing as mp
     import shutil
 
+    os.environ["SPARK_GRAFT_DUCKDB_MEMLIMIT"] = args.duckdb_mem
+    skip_keys = {k.strip() for k in args.skip.split(",") if k.strip()}
     mp_ctx = mp.get_context("fork")
     live_child: list = []  # current oracle subprocess, for timeout kill
 
@@ -183,6 +197,12 @@ def main() -> int:
                                oracle_result=oracle_res)
 
             rec: dict = {"key": key, "idx": idx}
+            if key in skip_keys:
+                rec.update(status="skipped", problems=["--skip"], wall_s=0.0)
+                out.write(json.dumps(rec) + "\n")
+                out.flush()
+                print(f"[{idx}] {key}: skipped (--skip)", flush=True)
+                continue
             if abandoned:
                 rec["tainted"] = True
             fut = pool.submit(run)

@@ -30,7 +30,14 @@ def duckdb_run_typed(sql: str, sf_dir: str):
     when every value is identical (the x138 r3 failure).  Returning the
     types lets the local gate reject that class of bug before the driver
     sees it."""
-    con = duckdb.connect()
+    cfg = {}
+    ml = os.environ.get("SPARK_GRAFT_DUCKDB_MEMLIMIT")
+    if ml:
+        # scale sweeps cap the oracle so a heavy query spills to disk
+        # instead of stressing the whole host's RAM (the r9 sf1 x46
+        # oracle reached 97 GB RSS unbounded)
+        cfg["memory_limit"] = ml
+    con = duckdb.connect(config=cfg)
     for t in TABLE_NAMES:
         # the driver fixtures are single files; scale replicas written by
         # Spark (scripts/make_scale_fixture.py) are DIRECTORIES of part
