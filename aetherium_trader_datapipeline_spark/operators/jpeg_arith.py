@@ -45,10 +45,10 @@ Scope: 8-bit SOF9, grayscale or 3-component 4:4:4 interleaved; DAC
 parsing; DRI/RSTn.  SOF10 (progressive-arithmetic, grayscale — DC
 first/refine and AC first/refine scans per Annex G over the same QM
 coder, fresh statistics per scan) decodes via
-:func:`decode_jpeg_arith_progressive`; lossless SOF3 lives in
-:mod:`.jpeg_lossless`.  Only hierarchical modes and arithmetic
-lossless (SOF11) remain gated with loud errors in
-`multimodal.decode_jpeg_pixels`.
+:func:`decode_jpeg_arith_progressive`; lossless SOF3/SOF11 live in
+:mod:`.jpeg_lossless`; hierarchical streams (incl. SOF9 base and
+SOF13 differential frames over this module's block coders) live in
+:mod:`.jpeg_hier`.
 
 Reference parity note: the reference engine (2.4 kLoC Rust data
 pipeline) has no image path at all; like the other codec tiers this
@@ -314,12 +314,16 @@ class _SeqArithModel:
             self.dc_ctx[ci] = 4 + sign * 4
 
 
-def _encode_block(enc, model, ci, dc_tbl, ac_tbl, zz) -> None:
-    """One 8x8 block's quantized zigzag coefficients → QM symbols."""
+def _encode_block(enc, model, ci, dc_tbl, ac_tbl, zz, dpcm: bool = True) -> None:
+    """One 8x8 block's quantized zigzag coefficients → QM symbols.
+    ``dpcm`` False = differential-frame convention (SOF13 in a
+    hierarchical stream): the DC value is coded against a zero
+    predictor instead of the previous block's DC."""
     dc = model.dc_stats[dc_tbl]
     st = model.dc_ctx[ci]
-    diff = zz[0] - model.prev_dc[ci]
-    model.prev_dc[ci] = zz[0]
+    diff = zz[0] - (model.prev_dc[ci] if dpcm else 0)
+    if dpcm:
+        model.prev_dc[ci] = zz[0]
     if diff == 0:
         enc.encode(0, dc, st)
         model.dc_ctx[ci] = 0
@@ -378,19 +382,24 @@ def _encode_block(enc, model, ci, dc_tbl, ac_tbl, zz) -> None:
         enc.encode(1, ac, 3 * (ke + 1 - 1))  # EOB at the next position
 
 
-def _decode_block(dec, model, ci, dc_tbl, ac_tbl):
+def _decode_block(dec, model, ci, dc_tbl, ac_tbl, dpcm: bool = True):
     """Mirror of _encode_block → 64 quantized zigzag coefficients."""
     zz = [0] * 64
     dc = model.dc_stats[dc_tbl]
     st = model.dc_ctx[ci]
     if dec.decode(dc, st) == 0:
         model.dc_ctx[ci] = 0
+        zz[0] = model.prev_dc[ci] if dpcm else 0
     else:
         sign = dec.decode(dc, st + 1)
         sz, m = _decode_magnitude(dec, dc, st + 2 + sign, dc, _DC_X1)
         model.classify_dc(ci, dc_tbl, sign, m)
-        model.prev_dc[ci] += -sz if sign else sz
-    zz[0] = model.prev_dc[ci]
+        v = -sz if sign else sz
+        if dpcm:
+            model.prev_dc[ci] += v
+            zz[0] = model.prev_dc[ci]
+        else:
+            zz[0] = v
 
     ac = model.ac_stats[ac_tbl]
     kx = model.kx(ac_tbl)

@@ -24,9 +24,11 @@ decoder's base-only and refined outputs are both produced by the same
 marker walk the other tiers use.
 
 Reference parity note: the reference engine has no image path; this
-completes OUR multimodal decode matrix — with this module every JPEG
-mode of T.81 except the arithmetic differential variants (SOF13-15,
-which no mainstream codec emits) decodes natively.
+completes OUR multimodal decode matrix — with this module (including
+the SOF9/SOF13 arithmetic frame pair below) every frame type of T.81
+the repo's encoders can fabricate decodes natively; only differential
+progressive/lossless frames (SOF6/7/14/15) stay gated, and those are
+emitted by no known codec.
 """
 
 from __future__ import annotations
@@ -314,32 +316,39 @@ def decode_jpeg_hierarchical(b: bytes):
                 i += 17 + nval
         elif marker == 0xDF:  # EXP
             pending_exp = True
-        elif marker in (0xC0, 0xC5):
+        elif marker in (0xC0, 0xC5, 0xC9, 0xCD):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or nc != 1:
                 raise NotImplementedError("hierarchical scope: 8-bit gray")
             tq = payload[8]
             cur_frame = (marker, h, w, tq)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCE, 0xCF):
             raise NotImplementedError(
-                "hierarchical scope: SOF0 base + SOF5 differential"
+                "hierarchical scope: SOF0/SOF9 base + SOF5/SOF13 differential"
             )
         elif marker == 0xDA:
             if cur_frame is None:
                 raise ValueError("SOS before SOF in hierarchical stream")
             fmarker, h, w, tq = cur_frame
             td, ta = payload[2] >> 4, payload[2] & 0xF
-            differential = fmarker == 0xC5
+            differential = fmarker in (0xC5, 0xCD)
+            arith = fmarker in (0xC9, 0xCD)
             if pending_exp:
                 if ref is None:
                     raise ValueError("EXP before any reference frame")
                 ref = _expand2x(ref)[:h, :w]
                 pending_exp = False
-            plane, pos = _decode_frame_gray(
-                b, pos + 2 + ln, h, w, qtabs[tq], not differential,
-                not differential, htabs[(0, td)], htabs[(1, ta)]
-            )
+            if arith:
+                plane, pos = _decode_frame_gray_arith(
+                    b, pos + 2 + ln, h, w, qtabs[tq], not differential,
+                    not differential
+                )
+            else:
+                plane, pos = _decode_frame_gray(
+                    b, pos + 2 + ln, h, w, qtabs[tq], not differential,
+                    not differential, htabs[(0, td)], htabs[(1, ta)]
+                )
             if differential:
                 if ref is None:
                     raise ValueError("differential frame without reference")
@@ -356,3 +365,111 @@ def decode_jpeg_hierarchical(b: bytes):
     if final is not None:
         ref = ref[:final[0], :final[1]]
     return np.clip(ref, 0, 255).astype(np.uint8)
+
+
+# --- arithmetic-coded frames inside hierarchical streams --------------------
+# SOF9 as the non-differential base + SOF13 (differential sequential
+# arithmetic) as the refinement — the dpcm=False convention in
+# .jpeg_arith codes each block's DC against a zero predictor, which is
+# exactly the differential-frame rule.  With these, every T.81 frame
+# type the tests can fabricate decodes natively.
+
+
+def _encode_frame_gray_arith(plane, q_step: int, level_shift: bool,
+                             dpcm: bool) -> bytes:
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        QMEncoder,
+        _encode_block,
+        _SeqArithModel,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        _ZZ,
+        _dct_mat,
+    )
+
+    h, w = plane.shape
+    bw, bh = -(-w // 8), -(-h // 8)
+    padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    m = _dct_mat()
+    enc = QMEncoder()
+    model = _SeqArithModel(1, 1, 1)
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(float)
+            if level_shift:
+                block = block - 128.0
+            coef = m @ block @ m.T
+            q = np.rint(coef / q_step).astype(int)
+            zz = [int(q.flat[i]) for i in _ZZ]
+            _encode_block(enc, model, 0, 0, 0, zz, dpcm=dpcm)
+    return enc.flush()
+
+
+def _decode_frame_gray_arith(b: bytes, scan_pos: int, h: int, w: int,
+                             q_step: int, level_shift: bool, dpcm: bool):
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        QMDecoder,
+        _decode_block,
+        _SeqArithModel,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        _ZZ,
+        _dct_mat,
+        _next_marker,
+    )
+
+    bw, bh = -(-w // 8), -(-h // 8)
+    m = _dct_mat()
+    out = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    dec = QMDecoder(b, scan_pos)
+    model = _SeqArithModel(1, 1, 1)
+    for by in range(bh):
+        for bx in range(bw):
+            zz = _decode_block(dec, model, 0, 0, 0, dpcm=dpcm)
+            coef = np.zeros(64, dtype=float)
+            for k in range(64):
+                coef[_ZZ[k]] = zz[k] * q_step
+            block = m.T @ coef.reshape(8, 8) @ m
+            if level_shift:
+                block = block + 128.0
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.rint(block).astype(
+                np.int64
+            )
+    return out[:h, :w], _next_marker(b, dec.pos)
+
+
+def encode_jpeg_hierarchical_arith(width: int, height: int, pixels) -> bytes:
+    """Two-level hierarchical stream with ARITHMETIC entropy coding:
+    DHP, half-res SOF9 base, EXP, full-res SOF13 differential."""
+    import numpy as np
+
+    px = np.asarray(list(pixels) if not hasattr(pixels, "shape") else pixels,
+                    dtype=np.uint8).reshape(height, width)
+    half = _box_down2(px)
+    hh, hw = half.shape
+    base_scan = _encode_frame_gray_arith(half, _BASE_Q, True, True)
+    base_recon, _ = _decode_frame_gray_arith(
+        base_scan + b"\xff\xd9", 0, hh, hw, _BASE_Q, True, True
+    )
+    base_recon = np.clip(base_recon, 0, 255)
+    ref = _expand2x(base_recon)[:height, :width]
+    resid = px.astype(np.int64) - ref
+    diff_scan = _encode_frame_gray_arith(resid, _DIFF_Q, False, False)
+    return (
+        b"\xff\xd8"
+        + _seg(0xDE, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
+        + _seg(0xDB, b"\x00" + bytes([_BASE_Q] * 64))
+        + _seg(0xC9, struct.pack(">BHHB", 8, hh, hw, 1) + b"\x01\x11\x00")
+        + _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + base_scan
+        + _seg(0xDF, b"\x11")
+        + _seg(0xDB, b"\x01" + bytes([_DIFF_Q] * 64))
+        + _seg(0xCD, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x01")
+        + _seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + diff_scan
+        + b"\xff\xd9"
+    )

@@ -1533,3 +1533,24 @@ def test_jpeg_bare_differential_frame_rejected():
     flipped = bytes(blob[:sof + 1]) + b"\xc5" + bytes(blob[sof + 2:])
     with _pytest.raises(NotImplementedError):
         decode_jpeg_pixels(flipped)
+
+
+def test_jpeg_hierarchical_arithmetic_frames():
+    """SOF9 base + SOF13 differential (arithmetic hierarchical): same
+    <= 3 reconstruction bound, routed through decode_image."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical_arith,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (24, 31)).astype(np.uint8)
+    blob = encode_jpeg_hierarchical_arith(31, 24, px.flatten())
+    assert b"\xff\xc9" in blob and b"\xff\xcd" in blob  # SOF9 + SOF13
+    out = decode_image(blob)
+    assert out.shape == (24, 31)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
