@@ -141,7 +141,7 @@ register_sql(
     )
     SELECT CAST(DATE_TRUNC('day', lts) AS DATE) AS ny_day,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_val
+           ROUND(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(38,4)) AS DOUBLE), 4) AS sum_val
     FROM localized
     WHERE dayofweek(lts) BETWEEN 2 AND 6
       AND (hour(lts) * 60 + minute(lts)) BETWEEN 570 AND 959
@@ -155,7 +155,7 @@ register_sql(
     )
     SELECT CAST(DATE_TRUNC('day', lts) AS DATE) AS ny_day,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_val
+           ROUND(CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DECIMAL(38,4)) AS DOUBLE), 4) AS sum_val
     FROM localized
     WHERE dayofweek(lts) + 1 BETWEEN 2 AND 6
       AND (hour(lts) * 60 + minute(lts)) BETWEEN 570 AND 959

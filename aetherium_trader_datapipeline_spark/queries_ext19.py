@@ -41,7 +41,7 @@ register_sql(
       SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings
       LATERAL VIEW posexplode(embedding) t AS i, v)
     SELECT a.i AS di, b.i AS dj,
-           ROUND(CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE), 6) AS dot
+           ROUND(CAST(CAST(ROUND(SUM(CAST(a.v * b.v AS DECIMAL(38,18))), 6) AS DECIMAL(38,6)) AS DOUBLE), 6) AS dot
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i ORDER BY di, dj LIMIT 600
     """,
@@ -51,7 +51,7 @@ register_sql(
         SELECT vec_id, embedding FROM embeddings) d,
       LATERAL unnest(generate_series(1, len(embedding))) AS t(i))
     SELECT a.i AS di, b.i AS dj,
-           ROUND(CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE), 6) AS dot
+           ROUND(CAST(CAST(ROUND(SUM(CAST(a.v * b.v AS DECIMAL(38,18))), 6) AS DECIMAL(38,6)) AS DOUBLE), 6) AS dot
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i ORDER BY di, dj LIMIT 600
     """,

@@ -20,7 +20,7 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 # -- Q6: forecasting revenue change (pure scan + filter + agg) --------------
 
 _Q6 = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+SELECT ROUND(CAST(CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE), 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= DATE'1996-01-01' AND l_shipdate < DATE'1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -78,7 +78,7 @@ _Q18 = """
 SELECT c_custkey, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_date,
        ROUND(o_totalprice, 2) AS o_total,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_qty
+       ROUND(CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE), 2) AS total_qty
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -102,7 +102,7 @@ register_sql("x86_tpch_q17", spark_sql=_Q17, duckdb_sql=_Q17, tags=("join", "tpc
 # -- Q19: discounted revenue under disjunctive predicates -------------------
 
 _Q19 = """
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+SELECT ROUND(CAST(CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DECIMAL(38,2)) AS DOUBLE), 2) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
@@ -147,7 +147,7 @@ register_sql("x89_tpch_q15", spark_sql=_Q15, duckdb_sql=_Q15, tags=("tpch", "cte
 
 _Q7 = """
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(CAST(SUM(vol) AS DOUBLE), 2) AS revenue
+       ROUND(CAST(CAST(ROUND(SUM(vol), 2) AS DECIMAL(38,2)) AS DOUBLE), 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          YEAR(l_shipdate) AS l_year,

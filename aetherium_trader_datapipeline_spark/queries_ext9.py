@@ -65,7 +65,7 @@ register_sql(
 # ps_supplycost stand-in: s_acctbal/100 per unit (deterministic, positive-ish).
 
 _Q9 = """
-SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+SELECT nation, o_year, ROUND(CAST(CAST(ROUND(SUM(amount), 2) AS DECIMAL(38,2)) AS DOUBLE), 2) AS sum_profit
 FROM (
   SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
          CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
