@@ -72,24 +72,29 @@ _PR_ITERS = 3
 
 
 def _x172_oracle() -> str:
+    # Every chained CTE is AS MATERIALIZED: DuckDB re-inlines plain CTEs
+    # per reference, and this chain references edges/deg/nodes at every
+    # level — the inlined form re-ran the 6 M-row DISTINCT edge build
+    # ~2^levels times and filled the sweep host's disk with spill at the
+    # sf1 replica (r9 find; same family as the r8 recursive-CTE fixes).
     head = f"""
-    WITH e1 AS (
+    WITH e1 AS MATERIALIZED (
       SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-    edges AS (SELECT src, dst FROM e1 UNION SELECT dst AS src, src AS dst FROM e1),
-    nodes AS (SELECT DISTINCT src AS node FROM edges
+    edges AS MATERIALIZED (SELECT src, dst FROM e1 UNION SELECT dst AS src, src AS dst FROM e1),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst AS node FROM edges),
-    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-    nn AS (SELECT COUNT(*) AS n FROM nodes),
-    tele AS (SELECT (15 * ({_PR_SCALE} // n)) // 100 AS t FROM nn),
-    p0 AS (SELECT node, {_PR_SCALE} // n AS p FROM nodes CROSS JOIN nn)"""
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+    tele AS MATERIALIZED (SELECT (15 * ({_PR_SCALE} // n)) // 100 AS t FROM nn),
+    p0 AS MATERIALIZED (SELECT node, {_PR_SCALE} // n AS p FROM nodes CROSS JOIN nn)"""
     its = []
     for i in range(_PR_ITERS):
         its.append(f"""
-    sh{i} AS (
+    sh{i} AS MATERIALIZED (
       SELECT d.src AS s, p.p // d.outdeg AS sh
       FROM p{i} p JOIN deg d ON p.node = d.src),
-    p{i + 1} AS (
+    p{i + 1} AS MATERIALIZED (
       SELECT nd.node,
              tele.t + (85 * COALESCE(c.c, 0)) // 100 AS p
       FROM nodes nd CROSS JOIN tele
