@@ -149,26 +149,29 @@ register_sql(
 # rounds; the 8 per-round scalars are the only driver traffic.
 
 _X212_ORACLE = """
-    WITH e1 AS (
+    -- every chained CTE MATERIALIZED: the inlined form
+    -- re-ran the 6M-row edge build per reference and OOMed the 16GB
+    -- oracle budget at the sf1 replica (r9; same family as x172)
+    WITH e1 AS MATERIALIZED (
       SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    edges AS (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
-    d0 AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
-    k1 AS (SELECT node FROM d0 WHERE deg >= 4),
-    e2 AS (
+    edges AS MATERIALIZED (SELECT src, dst FROM e1 UNION SELECT dst, src FROM e1),
+    d0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    k1 AS MATERIALIZED (SELECT node FROM d0 WHERE deg >= 4),
+    e2 AS MATERIALIZED (
       SELECT e.src, e.dst FROM edges e
       JOIN k1 a ON e.src = a.node JOIN k1 b ON e.dst = b.node
     ),
-    d1 AS (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src),
-    k2 AS (SELECT node FROM d1 WHERE deg >= 4),
-    e3 AS (
+    d1 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src),
+    k2 AS MATERIALIZED (SELECT node FROM d1 WHERE deg >= 4),
+    e3 AS MATERIALIZED (
       SELECT e.src, e.dst FROM e2 e
       JOIN k2 a ON e.src = a.node JOIN k2 b ON e.dst = b.node
     ),
-    d2 AS (SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY src),
-    k3 AS (SELECT node FROM d2 WHERE deg >= 4),
-    e4 AS (
+    d2 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY src),
+    k3 AS MATERIALIZED (SELECT node FROM d2 WHERE deg >= 4),
+    e4 AS MATERIALIZED (
       SELECT e.src, e.dst FROM e3 e
       JOIN k3 a ON e.src = a.node JOIN k3 b ON e.dst = b.node
     )
