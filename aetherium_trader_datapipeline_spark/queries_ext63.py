@@ -183,10 +183,18 @@ _X285_ORACLE = (
       FROM pairs p JOIN sig a ON a.id = p.pa JOIN sig b ON b.id = p.pb
     ),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-    inter AS (
-      SELECT a.id AS pa, b.id AS pb, CAST(COUNT(*) AS BIGINT) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-      GROUP BY a.id, b.id
+    -- intersections ONLY for the <=100 selected pairs: the original
+    -- all-pairs form (sh a JOIN sh b over the whole corpus) is quadratic
+    -- in hot-shingle df and filled the sf1 sweep host's disk (r9); the
+    -- pair-scoped probe is |pairs| x set-size work and value-identical
+    -- for every selected pair.  MATERIALIZED so DuckDB does not
+    -- re-inline the probe per outer reference.
+    inter AS MATERIALIZED (
+      SELECT p.pa, p.pb, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM pairs p
+      JOIN sh a ON a.id = p.pa
+      JOIN sh b ON b.id = p.pb AND b.sh = a.sh
+      GROUP BY p.pa, p.pb
     )
     SELECT g.pa AS a, g.pb AS b, g.n_agree,
            COALESCE(i.inter, 0) AS inter,
