@@ -81,10 +81,16 @@ _X525 = """
     SELECT CAST(node AS BIGINT) AS node,
            CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(SUM(rows_) AS BIGINT) AS n_rows,
-           ROUND(CAST(SUM(rows_) AS DOUBLE)
-                 / SUM(SUM(rows_)) OVER () * 10, 4) AS load_vs_even,
-           ROUND(CAST(SUM(CASE WHEN node != node_wo0 THEN rows_ ELSE 0 END)
-                      AS DOUBLE) / SUM(rows_), 6) AS moved_if_node0_leaves
+           -- exact half-up fixed-point ratios: double-space ROUND of an
+           -- integer ratio hits genuine .xxxx5 ties at sf1 (0.84035
+           -- diverged r9); (2*a*scale + b) intdiv (2*b) resolves the tie
+           -- in integer space, identically on both engines
+           CAST((SUM(rows_) * 200000 + SUM(SUM(rows_)) OVER ())
+                {intdiv} (2 * SUM(SUM(rows_)) OVER ()) AS DOUBLE) / 10000.0
+             AS load_vs_even,
+           CAST((SUM(CASE WHEN node != node_wo0 THEN rows_ ELSE 0 END)
+                 * 2000000 + SUM(rows_)) {intdiv} (2 * SUM(rows_))
+                AS DOUBLE) / 1000000.0 AS moved_if_node0_leaves
     FROM owned GROUP BY node ORDER BY node
 """
 
@@ -99,8 +105,8 @@ _H_KEY_DUCK = ("('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))"
 
 register_sql(
     "x525_consistent_hash_ring",
-    spark_sql=_X525.format(h_vnode=_H_VNODE_SPARK, h_key=_H_KEY_SPARK),
-    duckdb_sql=_X525.format(h_vnode=_H_VNODE_DUCK, h_key=_H_KEY_DUCK),
+    spark_sql=_X525.format(h_vnode=_H_VNODE_SPARK, h_key=_H_KEY_SPARK, intdiv="DIV"),
+    duckdb_sql=_X525.format(h_vnode=_H_VNODE_DUCK, h_key=_H_KEY_DUCK, intdiv="//"),
     tags=("planning", "profiling"),
 )
 

@@ -113,7 +113,7 @@ _X322 = """
     )
     SELECT CAST(sym AS BIGINT) AS sym,
            CAST(n AS BIGINT) AS n_pairs,
-           ROUND((sxy - sx * sy / n) / n, 8) AS serial_cov,
+           ROUND((sxy - sx * sy / n) / n, 8) + 0.0E0 AS serial_cov,
            CASE WHEN (sxy - sx * sy / n) / n < 0
                 THEN ROUND(2 * SQRT(-((sxy - sx * sy / n) / n)), 6)
            END AS roll_spread

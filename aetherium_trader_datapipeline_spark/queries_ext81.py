@@ -88,7 +88,7 @@ _X327_FMT = """
     SELECT CAST(sym AS BIGINT) AS sym, CAST(lag_k AS BIGINT) AS lag_k,
            CAST(m AS BIGINT) AS n_pairs,
            ROUND((sxy - (s1 / n) * (sx + sy) + m * (s1 / n) * (s1 / n))
-                 / (ssq - n * (s1 / n) * (s1 / n)), 6) AS acf
+                 / (ssq - n * (s1 / n) * (s1 / n)), 6) + 0.0E0 AS acf
     FROM lags ORDER BY sym, lag_k
 """
 

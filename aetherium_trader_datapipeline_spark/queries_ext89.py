@@ -76,26 +76,40 @@ register_sql(
 
 _X352_FMT = """
     WITH iv AS (
-      SELECT user_id % 10 AS k,
+      SELECT user_id % 10 AS k, event_id AS tb,
              {epoch_us} AS s,
-             {epoch_us} + CAST(ROUND(ABS(value) * 1000000, 0) AS BIGINT) AS e
+             -- FLOOR, not ROUND: duration quantization must be tie-free.
+             -- ABS(value)*1e6 lands on exact .5 halves at sf1 and Spark's
+             -- shortest-repr HALF_UP vs DuckDB's binary rounding diverge
+             -- there (the x118 half-way family, r9 find); FLOOR of the
+             -- same double is engine-identical.
+             {epoch_us} + CAST(FLOOR(ABS(value) * 1000000) AS BIGINT) AS e
       FROM events WHERE value IS NOT NULL
     ),
+    -- Both windows ORDER BY the TOTAL key (s, e, tb): the sweep is two
+    -- window passes, and with duplicate (s, e) rows (the key-shifted
+    -- sf1 replica has exact duplicates) each engine may permute ties
+    -- DIFFERENTLY between the two sorts — the island flags set under
+    -- one permutation get prefix-summed under another, silently
+    -- attaching tied rows to the previous island (covered_us diverged
+    -- ~1% at sf1 with identical island counts; r9 find).  event_id
+    -- totalizes the order so both passes and both engines see one row
+    -- sequence.
     swept AS (
-      SELECT k, s, e,
-             MAX(e) OVER (PARTITION BY k ORDER BY s, e
+      SELECT k, s, e, tb,
+             MAX(e) OVER (PARTITION BY k ORDER BY s, e, tb
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_e
       FROM iv
     ),
     flagged AS (
-      SELECT k, s, e,
+      SELECT k, s, e, tb,
              CASE WHEN max_prev_e IS NULL OR s > max_prev_e THEN 1 ELSE 0 END
                AS new_island
       FROM swept
     ),
     islands AS (
       SELECT k, s, e,
-             SUM(new_island) OVER (PARTITION BY k ORDER BY s, e
+             SUM(new_island) OVER (PARTITION BY k ORDER BY s, e, tb
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
       FROM flagged
     ),
