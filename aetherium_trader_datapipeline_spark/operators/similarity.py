@@ -65,7 +65,25 @@ def _block_pair_sims(
 
     n = df.count()
     if n_blocks is None:
-        n_blocks = max(1, -(-n // block_size))
+        # Block count = max(memory bound, PARALLELISM FLOOR) — same rule
+        # as exact_jaccard_pairs below, and for the same measured reason:
+        # the memory bound alone (ceil(n / block_size)) degenerates at
+        # small-to-mid n.  q35's sf0.1 input is 2,000 rows < block_size
+        # 2048, so B=1 → ONE applyInPandas group → a single-task GEMM
+        # stage pinned to one core (workers run OPENBLAS_NUM_THREADS=1 by
+        # design) that tracks the host's per-core speed instead of the
+        # cluster's parallelism (BENCH_r09: 2.25 s vs 0.687 s anchor on a
+        # contended host).  The floor sizes B so the triangle offers
+        # >= 2x defaultParallelism tasks; total GEMM flops are invariant
+        # in B (each block pair is computed exactly once), so extra
+        # blocks cost only O(B) row replication — the floor is
+        # O(sqrt(cores)).  At production n the memory bound dominates
+        # and nothing changes: n=1M, block_size=2048 → B=489 >> floor 11.
+        par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+        b_mem = max(1, -(-n // block_size))
+        # smallest B with B(B+1)/2 >= 2*par  (exact integer form)
+        b_par = int(math.ceil((math.sqrt(16.0 * par + 1.0) - 1.0) / 2.0))
+        n_blocks = min(max(b_mem, b_par), max(n, 1))
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")

@@ -1069,6 +1069,30 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x331_assortativity", "x332_systematic_sample", "x333_gini_stump",
         "x334_chi2_tokens", "x335_corwin_schultz", "x336_vpin",
         "x337_woe_iv", "x338_triple_barrier", "x339_pit_feature_join",
+        # CORRECTNESS_r09.json — all 50 green (derived from the actual row
+        # keys; zero reds).  The x340–x389 rotation window, exactly as the
+        # r9 pre-check replica predicted.
+        "x340_kl_source_divergence", "x341_hapax_concentration",
+        "x342_mad_outliers", "x343_winsorized_mean", "x344_theil_sen",
+        "x345_dow_seasonality", "x346_runs_test", "x347_hhi_concentration",
+        "x348_dedup_threshold_sweep", "x349_quality_funnel",
+        "x350_token_budget_fill", "x351_largest_remainder",
+        "x352_interval_union", "x353_skyline_2d", "x354_dataset_diff",
+        "x355_profile_drift", "x356_coverage_matrix", "x357_weighted_median",
+        "x358_ab_proportions", "x359_mase_forecast",
+        "x360_session_timeout_sweep", "x361_powerlaw_mle",
+        "x362_seasonal_anomaly", "x363_corr_matrix", "x364_portfolio_var",
+        "x365_dedup_survivorship", "x366_temperature_mixture",
+        "x367_epoch_allocation", "x368_context_fit", "x369_time_decay_score",
+        "x370_quantile_normalize", "x371_bot_screen", "x372_forward_asof",
+        "x373_overlap_pairs", "x374_kaplan_meier", "x375_longest_streaks",
+        "x376_pareto_concentration", "x377_seasonality_strength",
+        "x378_newey_west_se", "x379_overnight_intraday",
+        "x380_flat_run_staleness", "x381_vwap_slippage",
+        "x382_jpeg_color_pixel_stats", "x383_gif_interlaced_stats",
+        "x384_roll_spread", "x385_amihud_illiquidity",
+        "x386_semivariance_bipower", "x387_fk_readability",
+        "x388_mojibake_screen", "x389_lexical_diversity",
     }
 )
 
@@ -1081,23 +1105,24 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Round-9 window: CORRECTNESS_r08.json came back 50/50 green (the 7
-    # re-run decimal-final fixes plus 43 first-timers).  All 50 are absorbed
-    # into _DRIVER_VERIFIED above (derived from the actual row keys) —
-    # cumulative driver-green is now 339/575 (59.0%).  No reds, so no `front`
-    # re-run list this round: the r9 window is simply the next 50
-    # never-verified keys in registration order (x340–x389).
+    # Round-10 window: CORRECTNESS_r09.json came back 50/50 green (x340–x389,
+    # exactly the keys the r9 pre-check replica predicted).  All 50 are
+    # absorbed into _DRIVER_VERIFIED above (derived from the actual row keys)
+    # — cumulative driver-green is now 389/575 (67.7%).  No reds, so no
+    # `front` re-run list this round: the r10 window is simply the next 50
+    # never-verified keys in registration order (x390–x439).
     #
-    # ROUND-10 TODO (absorb after CORRECTNESS_r09.json lands): move the r9
+    # ROUND-11 TODO (absorb after CORRECTNESS_r10.json lands): move the r10
     # window's green keys into _DRIVER_VERIFIED.  Re-derive the list from
-    # CORRECTNESS_r09.json's actual row keys; any red row stays unverified
-    # and leads the r10 window via a `front` list.  236 keys remain
-    # never-verified after r8 — at 50/round the rotation needs ~5 more clean
+    # CORRECTNESS_r10.json's actual row keys; any red row stays unverified
+    # and leads the r11 window via a `front` list.  186 keys remain
+    # never-verified after r9 — at 50/round the rotation needs ~4 more clean
     # rounds, with the local type-strict oracle gate
-    # (tests/test_queries_oracle.py, all keys every session) as the
-    # compensating control.  Registry growth is FROZEN (VERDICT r6 ask #4,
-    # reaffirmed r7/r8) until driver coverage crosses ~80%.  Keep absorbing
-    # at round-open, every round.
+    # (tests/test_queries_oracle.py, all keys every session) plus the sf1
+    # full-registry sweep (SCALE.md) as the compensating controls.  Registry
+    # growth is FROZEN (VERDICT r6 ask #4, reaffirmed r7/r8/r9) until driver
+    # coverage crosses ~80% (reached at r11 if windows stay clean).  Keep
+    # absorbing at round-open, every round.
 
     def tier(k: str) -> int:
         if k in _DRIVER_VERIFIED:

@@ -722,3 +722,70 @@ def test_exact_jaccard_pairs_tiny_n(spark):
         df, "id", "toks", threshold_num=8, threshold_den=10
     ).collect()}
     assert got == {(1, 2, 4)}  # J = 4/5 = 0.8 exactly; (x,3) pairs J=0
+
+
+def test_block_pair_sims_floor_invariant_in_B(spark):
+    """The cosine kernel's pair set must be invariant in the block count:
+    the r10 parallelism floor (lifted from exact_jaccard_pairs into
+    _block_pair_sims) changes B at bench scale, so prove explicit B=1,
+    B=2, B=7 and the default (floored) path all yield identical
+    threshold-survivor pair sets — including the small-n edge where the
+    floor exceeds ceil(n / block_size)."""
+    import math
+    import random
+
+    from aetherium_trader_datapipeline_spark.operators.similarity import (
+        _block_pair_sims,
+    )
+
+    rng = random.Random(35)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(8)]) for i in range(40)
+    ]
+    # plant exact near-dups so the threshold tier has survivors
+    rows += [(100 + i, [x * 1.001 for x in rows[i][1]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+
+    def pairs(nb):
+        out = _block_pair_sims(
+            df, "id", "emb", n_blocks=nb, threshold=0.95
+        ).collect()
+        return {(r.a, r.b, r.sim) for r in out}
+
+    want = pairs(1)
+    assert len(want) >= 5
+    assert pairs(2) == want
+    assert pairs(7) == want
+    got_default = {
+        (r.a, r.b, r.sim)
+        for r in _block_pair_sims(df, "id", "emb", threshold=0.95).collect()
+    }
+    assert got_default == want
+
+    # the floor itself: default B must satisfy B(B+1)/2 >= 2*parallelism
+    par = max(1, spark.sparkContext.defaultParallelism)
+    b_par = int(math.ceil((math.sqrt(16.0 * par + 1.0) - 1.0) / 2.0))
+    n = df.count()
+    assert b_par * (b_par + 1) // 2 >= 2 * par
+    assert min(b_par, n) <= n  # floor caps at n rows
+
+
+def test_block_pair_sims_topk_floor_tiny_n(spark):
+    """Top-k path with n below the parallelism floor: blocks of ~1 row
+    must still produce the exact global top-k (q35 regression)."""
+    from aetherium_trader_datapipeline_spark.operators.similarity import (
+        pairwise_cosine_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 1.0, 0.002]),
+            (5, [0.0, 0.0, 1.0]),
+        ],
+        "id long, emb array<double>",
+    )
+    got = [(r.a, r.b) for r in pairwise_cosine_topk(df, "id", "emb", k=2).collect()]
+    assert got == [(1, 2), (3, 4)]
