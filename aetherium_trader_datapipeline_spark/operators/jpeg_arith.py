@@ -694,7 +694,15 @@ def decode_jpeg_arith(b: bytes):
 
 
 def _sm_shift(v: int, s: int) -> int:
-    """Sign-magnitude point transform: T(v, s) = sign(v) * (|v| >> s)."""
+    """Sign-magnitude point transform: T(v, s) = sign(v) * (|v| >> s).
+
+    AC coefficients ONLY — T.81 G.1.2.2 specifies the AC point transform
+    as a divide-toward-zero of the signed value.  The DC point transform
+    (G.1.2.1) is an ARITHMETIC shift of the two's-complement value
+    (Python's native ``>>``), with refine bits ``(DC >> a) & 1`` OR'd in
+    on decode: a sign-magnitude DC transform loses the sign of any block
+    whose quantized DC is negative with |DC| < 2^Al (a flat image of
+    pixel value 126 at Al=1 decodes to 130)."""
     return -((-v) >> s) if v < 0 else v >> s
 
 
@@ -900,15 +908,18 @@ def encode_jpeg_arith_progressive(width: int, height: int, pixels,
     model = _SeqArithModel(1, 1, 1)
     prev = 0
     for pos_ in order:
-        prev = _encode_dc_first(enc, model, 0, 0,
-                                _sm_shift(blocks[pos_][0], al), prev)
+        # DC point transform is an ARITHMETIC shift of the two's-complement
+        # value (T.81 G.1.2.1) — NOT the sign-magnitude _sm_shift AC uses:
+        # sign-magnitude loses the sign of any DC with |DC| < 2^Al.
+        prev = _encode_dc_first(enc, model, 0, 0, blocks[pos_][0] >> al, prev)
     out += scan_seg(0, 0, 0, al, enc.flush())
-    # DC refine scans (one per remaining bit), fixed bin per spec
+    # DC refine scans (one per remaining bit), fixed bin per spec; refine
+    # bits are bits of the two's-complement value, OR'd in on decode
     for a in range(al - 1, -1, -1):
         enc = QMEncoder()
         model = _SeqArithModel(1, 1, 1)
         for pos_ in order:
-            enc.encode(abs(blocks[pos_][0]) >> a & 1, model.fixed, 0)
+            enc.encode((blocks[pos_][0] >> a) & 1, model.fixed, 0)
         out += scan_seg(0, 0, a + 1, a, enc.flush())
     # AC band scans
     for ss, se in bands:
@@ -1006,11 +1017,13 @@ def decode_jpeg_arith_progressive(b: bytes):
                         v = _decode_dc_first(dec, model, 0, td)
                         coefs[p][0] = v << al_s
                 else:
+                    # refine bit is bit al_s of the two's-complement DC:
+                    # OR it in (Python ints are infinite two's complement,
+                    # so | works for negative accumulators too)
                     p1 = 1 << al_s
                     for p in order:
                         if dec.decode(model.fixed, 0):
-                            c0 = coefs[p][0]
-                            coefs[p][0] = c0 - p1 if c0 < 0 else c0 + p1
+                            coefs[p][0] |= p1
             else:
                 for p in order:
                     if ah == 0:

@@ -315,6 +315,14 @@ def decode_jpeg_hierarchical(b: bytes):
                 htabs[(tc, th)] = table
                 i += 17 + nval
         elif marker == 0xDF:  # EXP
+            # payload[0] = (Eh << 4) | Ev.  Scope: expand-2x both ways —
+            # a foreign stream with Eh != Ev must fail loudly, not
+            # silently mis-expand the reference frame (B.3.3).
+            eh, ev = payload[0] >> 4, payload[0] & 0xF
+            if (eh, ev) != (1, 1):
+                raise NotImplementedError(
+                    f"hierarchical scope: EXP expand-2x only, got Eh={eh} Ev={ev}"
+                )
             pending_exp = True
         elif marker in (0xC0, 0xC5, 0xC9, 0xCD):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])

@@ -220,10 +220,12 @@ def decode_jpeg_lossless(b: bytes):
                 else:
                     pred = _predict(int(p[y, x - 1]), int(p[y - 1, x]),
                                     int(p[y - 1, x - 1]), sel)
-                v = (pred + diff) & mask
-                if prec - pt < 16:
-                    v &= (1 << (prec - pt)) - 1
-                p[y, x] = v
+                # T.81 H.2.1: reconstruction is modulo 2^16 ONLY — no
+                # further truncation to prec-pt bits (a foreign stream
+                # whose pred+diff legitimately wraps at 16 bits would
+                # otherwise decode wrong; our own encoder never emits
+                # out-of-range samples, so this is parity, not behavior).
+                p[y, x] = (pred + diff) & mask
     out <<= pt  # reconstruction scales the point transform back up
     if nc == 1:
         return out[0]
@@ -383,8 +385,6 @@ def decode_jpeg_lossless_arith(b: bytes):
             else:
                 pred = _predict(int(out[y, x - 1]), int(out[y - 1, x]),
                                 int(out[y - 1, x - 1]), sel)
-            v = (pred + diff) & 0xFFFF
-            if prec - pt < 16:
-                v &= (1 << (prec - pt)) - 1
-            out[y, x] = v
+            # modulo 2^16 only, per T.81 H.2.1 (see the Huffman variant)
+            out[y, x] = (pred + diff) & 0xFFFF
     return out << pt

@@ -110,8 +110,14 @@ def main() -> int:
 
     os.environ["SPARK_GRAFT_DUCKDB_MEMLIMIT"] = args.duckdb_mem
     skip_keys = {k.strip() for k in args.skip.split(",") if k.strip()}
+    import threading
+
     mp_ctx = mp.get_context("fork")
     live_child: list = []  # current oracle subprocess, for timeout kill
+    # append/remove happen on the worker thread while the main thread
+    # iterates-and-kills on FutTimeout — without a lock a just-spawned
+    # oracle process can be missed by the kill loop (ADVICE r9)
+    live_lock = threading.Lock()
 
     def oracle_subprocess(sql: str, budget: float):
         """Run duckdb_run_typed in a fork so a wedged or spilling oracle
@@ -129,8 +135,11 @@ def main() -> int:
                 out_q.put(("err", repr(ex)[:500]))
 
         p = mp_ctx.Process(target=child, args=(q,), daemon=True)
-        p.start()
-        live_child.append(p)
+        with live_lock:
+            # register BEFORE start so a concurrent timeout kill can never
+            # observe a started-but-untracked process
+            live_child.append(p)
+            p.start()
         try:
             import queue as _queue
 
@@ -145,8 +154,9 @@ def main() -> int:
             if p.is_alive():
                 p.kill()
             p.join(5)
-            if p in live_child:
-                live_child.remove(p)
+            with live_lock:
+                if p in live_child:
+                    live_child.remove(p)
             # a killed DuckDB leaves multi-GB spill files behind
             for f in glob.glob(".tmp/duckdb_temp_storage*"):
                 shutil.rmtree(f, ignore_errors=True)
@@ -212,8 +222,9 @@ def main() -> int:
                 rec["problems"] = problems[:5]
             except FutTimeout:
                 spark.sparkContext.cancelJobGroup(key)
-                for p in list(live_child):  # kill any in-flight oracle too
-                    p.kill()
+                with live_lock:  # kill any in-flight oracle too
+                    for p in live_child:
+                        p.kill()
                 rec["status"] = "timeout"
                 rec["problems"] = [f"exceeded {args.timeout}s"]
                 # the worker thread unblocks once the job group dies; give

@@ -1399,6 +1399,34 @@ def test_jpeg_arith_progressive_equals_baseline():
         assert (base == prog).all(), f"trial {trial}"
 
 
+def test_jpeg_arith_progressive_small_negative_dc():
+    """Regression (r10): flat images just below 128 quantize to a small
+    NEGATIVE DC (|DC| < 2^Al).  A sign-magnitude DC point transform
+    zeroes the first scan AND loses the sign in the refine bits — a flat
+    126 at al=1 decoded to 130.  T.81 G.1.2.1 uses an arithmetic
+    (two's-complement) shift; decode must equal baseline exactly for
+    every flat level and SA depth."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    for level in (112, 120, 126, 127, 128, 129, 136):
+        for al in (1, 2, 3):
+            px = np.full((8, 8), level, dtype=np.uint8)
+            base = decode_jpeg_pixels(encode_jpeg_baseline(8, 8, px.flatten()))
+            prog = decode_jpeg_pixels(
+                encode_jpeg_arith_progressive(8, 8, px.flatten(), al=al)
+            )
+            assert (base == prog).all(), (level, al, int(base[0, 0]),
+                                          int(prog[0, 0]))
+
+
 def test_decode_image_routes_sof10():
     """decode_image dispatches SOF10; block-constant content is exact."""
     import numpy as np
@@ -1554,3 +1582,24 @@ def test_jpeg_hierarchical_arithmetic_frames():
     out = decode_image(blob)
     assert out.shape == (24, 31)
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_hierarchical_exp_anisotropic_rejected():
+    """EXP's Eh/Ev payload must be honored: an expand that is not 2x in
+    BOTH directions is outside scope and must fail loudly rather than
+    silently mis-expand the reference frame (r10, T.81 B.3.3)."""
+    import numpy as np
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_hier import (
+        decode_jpeg_hierarchical,
+        encode_jpeg_hierarchical,
+    )
+
+    px = np.full((32, 32), 90, dtype=np.uint8)
+    blob = bytearray(encode_jpeg_hierarchical(32, 32, px.flatten()))
+    i = blob.find(b"\xff\xdf")          # EXP marker; payload byte follows
+    assert i >= 0 and blob[i + 4] == 0x11
+    blob[i + 4] = 0x10                  # Eh=1, Ev=0: horizontal-only
+    with pytest.raises(NotImplementedError, match="Eh=1 Ev=0"):
+        decode_jpeg_hierarchical(bytes(blob))
