@@ -396,3 +396,47 @@ def test_filter_pushdown_reaches_scan(spark):
     assert scan and "PushedFilters: [" in scan[0]
     pushed = scan[0].split("PushedFilters: [", 1)[1]
     assert "l_shipdate" in pushed and "l_returnflag" in pushed, pushed
+
+
+def test_collect_sites_are_allowlisted():
+    """Every ``.collect()`` in non-test source must be a known BOUNDED
+    site (driver traffic O(days), O(k·dim), O(partitions) or a scalar) —
+    the r9 verdict verified this by hand; this makes it a standing gate.
+    Adding a new ``.collect()`` fails here until its bound is argued and
+    the allowlist updated.  ``.toPandas()`` is banned outright in
+    non-test source (0 sites today; Arrow batches belong in
+    applyInPandas/mapInPandas, not on the driver)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "aetherium_trader_datapipeline_spark"
+    )
+    # file -> (expected .collect() count, bound argument)
+    allow = {
+        "plans/bootstrap.py": (1, "per-date max-ts: O(existing dates)"),
+        "plans/backfill_service.py": (2, "backfill day list + max-ts scalar"),
+        "streaming/rollup.py": (1, "distinct dates in one micro-batch"),
+        "operators/replay.py": (1, "single min/max bounds row"),
+        "operators/inspect.py": (1, "per-file row-count audit: O(files)"),
+        "operators/merge.py": (3, "touched/surviving partition lists + file list"),
+        "operators/graph.py": (1, "one checksum scalar (label sum)"),
+        "operators/curation.py": (2, "k-means: k seed rows + k*dim centroids"),
+        "operators/similarity.py": (2, "IVF: n_centroids seeds + k*dim means"),
+        "queries_ext48.py": (1, "one max-|weight| scalar"),
+        "queries_ext63.py": (1, "one count scalar"),
+        "__main__.py": (2, "CLI display paths (gap report, --limit rows)"),
+    }
+    got: dict[str, int] = {}
+    for p in pkg.rglob("*.py"):
+        if "_vendor" in p.parts:
+            continue
+        src = p.read_text()
+        n = len(re.findall(r"\.collect\(\)", src))
+        if n:
+            got[str(p.relative_to(pkg))] = n
+        assert ".toPandas()" not in src, f"driver toPandas() in {p}"
+    assert got == {k: v[0] for k, v in allow.items()}, (
+        "collect() sites changed; argue the new site's bound and update "
+        f"the allowlist. got={got}"
+    )
