@@ -318,6 +318,8 @@ def decode_jpeg_hierarchical(b: bytes):
             # payload[0] = (Eh << 4) | Ev.  Scope: expand-2x both ways —
             # a foreign stream with Eh != Ev must fail loudly, not
             # silently mis-expand the reference frame (B.3.3).
+            if not payload:
+                raise ValueError("EXP segment missing Eh/Ev payload byte")
             eh, ev = payload[0] >> 4, payload[0] & 0xF
             if (eh, ev) != (1, 1):
                 raise NotImplementedError(

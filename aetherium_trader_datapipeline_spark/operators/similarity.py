@@ -33,6 +33,29 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _floored_block_count(df: DataFrame, n: int, block_size: int) -> int:
+    """Block count for the triangle all-pairs kernels: max(memory bound,
+    PARALLELISM FLOOR), capped at n.
+
+    The memory bound alone (ceil(n / block_size)) degenerates at
+    small-to-mid n: few blocks → few applyInPandas groups → a stage of a
+    handful of single-core GEMM tasks (workers run
+    OPENBLAS_NUM_THREADS=1 by design) that tracks the host's PER-CORE
+    speed instead of the cluster's parallelism — the measured r7/r8
+    x307 and r9 q35 bench anomalies (BASELINE.md).  The floor sizes B so
+    the triangle offers >= 2x defaultParallelism tasks; total GEMM flops
+    are invariant in B (each block pair is computed exactly once), so
+    extra blocks cost only O(B) = O(sqrt(cores)) row replication.  At
+    production n the memory bound dominates and nothing changes: n=1M,
+    block_size=2048 → B=489 >> the floor of 11 on 32 cores.
+    """
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    b_mem = max(1, -(-n // block_size))
+    # smallest B with B(B+1)/2 >= 2*par  (exact integer form)
+    b_par = int(math.ceil((math.sqrt(16.0 * par + 1.0) - 1.0) / 2.0))
+    return min(max(b_mem, b_par), max(n, 1))
+
+
 def _block_pair_sims(
     df: DataFrame,
     id_col: str,
@@ -65,25 +88,9 @@ def _block_pair_sims(
 
     n = df.count()
     if n_blocks is None:
-        # Block count = max(memory bound, PARALLELISM FLOOR) — same rule
-        # as exact_jaccard_pairs below, and for the same measured reason:
-        # the memory bound alone (ceil(n / block_size)) degenerates at
-        # small-to-mid n.  q35's sf0.1 input is 2,000 rows < block_size
-        # 2048, so B=1 → ONE applyInPandas group → a single-task GEMM
-        # stage pinned to one core (workers run OPENBLAS_NUM_THREADS=1 by
-        # design) that tracks the host's per-core speed instead of the
-        # cluster's parallelism (BENCH_r09: 2.25 s vs 0.687 s anchor on a
-        # contended host).  The floor sizes B so the triangle offers
-        # >= 2x defaultParallelism tasks; total GEMM flops are invariant
-        # in B (each block pair is computed exactly once), so extra
-        # blocks cost only O(B) row replication — the floor is
-        # O(sqrt(cores)).  At production n the memory bound dominates
-        # and nothing changes: n=1M, block_size=2048 → B=489 >> floor 11.
-        par = max(1, df.sparkSession.sparkContext.defaultParallelism)
-        b_mem = max(1, -(-n // block_size))
-        # smallest B with B(B+1)/2 >= 2*par  (exact integer form)
-        b_par = int(math.ceil((math.sqrt(16.0 * par + 1.0) - 1.0) / 2.0))
-        n_blocks = min(max(b_mem, b_par), max(n, 1))
+        # q35's r9 bench anomaly: 2,000 rows < block_size 2048 gave B=1 →
+        # ONE single-core GEMM task (BENCH_r09 2.25 s vs 0.687 s anchor).
+        n_blocks = _floored_block_count(df, n, block_size)
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
@@ -436,28 +443,13 @@ def exact_jaccard_pairs(
     (dedup.rs candidate verification), expressed as a dense kernel
     instead of a row join.
 
-    Block count = max(memory bound, PARALLELISM FLOOR).  The memory
-    bound alone (ceil(n / block_size)) degenerates at small-to-mid n:
-    x307's sf0.1 input is 4,991 reps, so block_size=2048 gave B=3 — six
-    GEMM tasks for 32 cores, each a multi-GFLOP kernel pinned to ONE
-    core (workers run OPENBLAS_NUM_THREADS=1 by design, session.py).  A
-    stage of 6 serial kernels tracks the HOST'S PER-CORE speed, not the
-    cluster's parallelism — measured as the r7/r8 driver-bench anomaly
-    where x307 read ~11.4 s in the driver suite vs 3-4 s on quiet hosts
-    while the whole-suite ratio was only ~1.3x (slow contended cores
-    hurt a 6-task stage 4x, a 300-task stage 1.3x).  The floor sizes B
-    so the triangle offers >= 2x defaultParallelism tasks; total GEMM
-    flops are invariant in B (each block pair computed once), so extra
-    blocks cost only O(B) row replication — bounded by the floor being
-    O(sqrt(cores)).  At large n the memory bound dominates and nothing
-    changes: n=1M, block_size=2048 -> B=489 >> the floor of 11.
+    Block count comes from :func:`_floored_block_count` (memory bound
+    with a parallelism floor — the r7/r8 x307 bench anomaly was a
+    3-block triangle running six single-core GEMM tasks on 32 cores;
+    see the helper's docstring for the measured argument).
     """
     n = df.count()
-    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
-    b_mem = max(1, -(-n // block_size))
-    # smallest B with B(B+1)/2 >= 2*par  (exact integer form)
-    b_par = int(math.ceil((math.sqrt(16.0 * par + 1.0) - 1.0) / 2.0))
-    n_blocks = min(max(b_mem, b_par), max(n, 1))
+    n_blocks = _floored_block_count(df, n, block_size)
 
     v = df.select(
         F.col(id_col).alias("id"),
@@ -531,6 +523,7 @@ def exact_jaccard_pairs(
     # added.  Width 2x parallelism (capped by the group count) keeps
     # per-task group counts balanced at any n.
     tri = n_blocks * (n_blocks + 1) // 2
+    par = max(1, df.sparkSession.sparkContext.defaultParallelism)
     return (
         rep.repartition(min(tri, 2 * par), "ga", "gb")
         .groupBy("ga", "gb")

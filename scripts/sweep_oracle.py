@@ -136,10 +136,13 @@ def main() -> int:
 
         p = mp_ctx.Process(target=child, args=(q,), daemon=True)
         with live_lock:
-            # register BEFORE start so a concurrent timeout kill can never
-            # observe a started-but-untracked process
-            live_child.append(p)
+            # start INSIDE the lock (the kill loop holds it, so it can
+            # never observe a started-but-untracked process), and append
+            # only after start succeeds — a failed fork (ENOMEM under
+            # DuckDB spill pressure) must not leave an unstarted Process
+            # in the list for a later kill loop to crash on
             p.start()
+            live_child.append(p)
         try:
             import queue as _queue
 

@@ -762,12 +762,20 @@ def test_block_pair_sims_floor_invariant_in_B(spark):
     }
     assert got_default == want
 
-    # the floor itself: default B must satisfy B(B+1)/2 >= 2*parallelism
+    # the floor itself: the default block count must offer >= 2x
+    # defaultParallelism triangle tasks, and must cap at the row count
+    from aetherium_trader_datapipeline_spark.operators.similarity import (
+        _floored_block_count,
+    )
+
     par = max(1, spark.sparkContext.defaultParallelism)
-    b_par = int(math.ceil((math.sqrt(16.0 * par + 1.0) - 1.0) / 2.0))
     n = df.count()
-    assert b_par * (b_par + 1) // 2 >= 2 * par
-    assert min(b_par, n) <= n  # floor caps at n rows
+    b = _floored_block_count(df, n, 2048)
+    assert b * (b + 1) // 2 >= 2 * par or b == n
+    assert b <= n
+    assert _floored_block_count(df, 3, 2048) == 3  # tiny n: capped at n
+    # large n: memory bound dominates the floor
+    assert _floored_block_count(df, 1_000_000, 2048) == 489
 
 
 def test_block_pair_sims_topk_floor_tiny_n(spark):
