@@ -101,6 +101,30 @@ def decode_image(blob: bytes):
     return np.asarray(Image.open(io.BytesIO(b)))
 
 
+def try_decode_image(blob: bytes):
+    """Corruption-tolerant :func:`decode_image`: ``(pixels, None)`` on
+    success, ``(None, "<ErrType>: msg")`` on ANY decode failure.
+
+    The production surface for web-scale corpora, where truncated and
+    bit-flipped blobs are routine: a raw ``decode_image`` inside
+    ``mapInPandas`` lets one malformed blob fail its whole task (and,
+    after Spark's task retries, the job) — at 10^9 blobs per job even a
+    10^-8 corruption rate kills every run.  The strict decoders
+    deliberately raise a mixed exception surface (ValueError for
+    malformed structure, NotImplementedError for out-of-scope modes,
+    IndexError/struct.error/KeyError/zlib.error from truncation deep in
+    entropy decode), so the only safe task-level contract is
+    catch-everything-except-exits; the error TEXT is returned so
+    pipelines can aggregate failure taxonomies instead of dropping them
+    silently (the no-silent-caps rule).
+    """
+    try:
+        return decode_image(blob), None
+    except Exception as ex:  # noqa: BLE001 — see docstring: the decoders'
+        # failure surface on corrupt bytes is unbounded by design
+        return None, f"{type(ex).__name__}: {ex}"
+
+
 # ---------------------------------------------------------------------------
 # Real header decode: pure-Python container parsers (no image libraries)
 # ---------------------------------------------------------------------------

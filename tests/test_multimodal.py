@@ -1603,3 +1603,51 @@ def test_jpeg_hierarchical_exp_anisotropic_rejected():
     blob[i + 4] = 0x10                  # Eh=1, Ev=0: horizontal-only
     with pytest.raises(NotImplementedError, match="Eh=1 Ev=0"):
         decode_jpeg_hierarchical(bytes(blob))
+
+
+def test_try_decode_image_survives_systematic_corruption():
+    """Corruption fuzz (r10): for every container the engine decodes
+    natively, truncate at every prefix length and flip a byte at every
+    offset — try_decode_image must NEVER raise (one bad blob must not
+    kill a 10^9-blob mapInPandas task) and must return pixels identical
+    to the strict decoder whenever it claims success on the pristine
+    blob."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+    )
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_gif,
+        encode_jpeg_baseline,
+        encode_png,
+        try_decode_image,
+    )
+
+    rng = np.random.default_rng(10)
+    px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    rgb = rng.integers(0, 256, 16 * 16 * 3, dtype=np.uint8)
+    blobs = {
+        "png": encode_png(16, 16, rgb),
+        "jpeg": encode_jpeg_baseline(16, 16, px.flatten()),
+        "jpeg_arith": encode_jpeg_arith(16, 16, px.flatten()),
+        "gif": encode_gif(16, 16, px.flatten()),
+    }
+    for name, blob in blobs.items():
+        ok, err = try_decode_image(blob)
+        assert err is None and (ok == decode_image(blob)).all(), name
+        # every truncation point
+        for cut in range(len(blob)):
+            out, err = try_decode_image(blob[:cut])  # must not raise
+            assert (out is None) == (err is not None), (name, cut)
+        # a byte flip at every offset
+        for off in range(len(blob)):
+            mut = bytearray(blob)
+            mut[off] ^= 0x5A
+            out, err = try_decode_image(bytes(mut))
+            assert (out is None) == (err is not None), (name, off)
+    # non-image garbage
+    for junk in (b"", b"\x00" * 40, b"not an image at all", bytes(range(256))):
+        out, err = try_decode_image(junk)
+        assert out is None and err
