@@ -2665,6 +2665,17 @@ def decode_wav_samples(blob: bytes):
     raise ValueError("missing data chunk")
 
 
+def try_decode_wav(blob: bytes):
+    """Corruption-tolerant :func:`decode_wav_samples`: ``(samples, None)``
+    on success, ``(None, "<ErrType>: msg")`` on any failure — the audio
+    analogue of :func:`try_decode_image`, for the same task-survival
+    contract over web-scale blob columns (see its docstring)."""
+    try:
+        return decode_wav_samples(blob), None
+    except Exception as ex:  # noqa: BLE001 — unbounded corrupt-bytes surface
+        return None, f"{type(ex).__name__}: {ex}"
+
+
 def parse_wav_header(blob: bytes) -> tuple[int, int, int, int] | None:
     """(sample_rate, n_channels, bits, n_samples) from a RIFF/WAVE byte
     stream, walking chunks (fmt may come after LIST/INFO etc.); None for

@@ -1651,3 +1651,30 @@ def test_try_decode_image_survives_systematic_corruption():
     for junk in (b"", b"\x00" * 40, b"not an image at all", bytes(range(256))):
         out, err = try_decode_image(junk)
         assert out is None and err
+
+
+def test_try_decode_wav_survives_systematic_corruption():
+    """WAV analogue of the image corruption fuzz: every truncation and
+    byte flip must yield (samples, None) or (None, err), never a raise;
+    pristine round-trip must match the strict decoder."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        try_decode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    vals = [int(v) for v in rng.integers(-30000, 30000, 64)]
+    blob = encode_wav(8000, 2, 32, bits=16, samples=vals)
+    ok, err = try_decode_wav(blob)
+    assert err is None and (ok == decode_wav_samples(blob)).all()
+    for cut in range(len(blob)):
+        out, err = try_decode_wav(blob[:cut])
+        assert (out is None) == (err is not None), cut
+    for off in range(len(blob)):
+        mut = bytearray(blob)
+        mut[off] ^= 0x5A
+        out, err = try_decode_wav(bytes(mut))
+        assert (out is None) == (err is not None), off
