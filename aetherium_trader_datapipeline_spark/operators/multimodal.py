@@ -57,7 +57,17 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, str]:
     return w, h, fmt
 
 
-def decode_image(blob: bytes):
+# Decompression-bomb guard for the raster decoders (PIL's idea, same
+# default order of magnitude): a corrupt or adversarial header can declare
+# e.g. 65535x65535 from a 100-byte blob, and the h*w allocation then lands
+# BEFORE any entropy-decode error can fire — a worker OOM that
+# try_decode_image's except cannot catch (the kernel kills the process,
+# Spark retries the task into the same bomb, the job dies).  67M pixels =
+# 256 MB RGB, far above any real corpus thumbnail and far below worker RAM.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def decode_image(blob: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """Full pixel decode → (h, w[, c]) uint8 array. PNG decodes natively
     (:func:`decode_png_pixels` — every legal depth/color/interlace
     combination), JPEG natively in baseline (grayscale + 4:4:4 / 4:2:0 /
@@ -72,8 +82,19 @@ def decode_image(blob: bytes):
     streams (DHP/EXP + SOF0 base + SOF5 differential)
     (:mod:`.jpeg_arith`, :mod:`.jpeg_lossless`, :mod:`.jpeg_hier`);
     only the arithmetic DIFFERENTIAL variants (SOF13-15, emitted by no
-    mainstream codec) require PIL and raise NotImplementedError."""
+    mainstream codec) require PIL and raise NotImplementedError.
+
+    ``max_pixels`` (default :data:`MAX_DECODE_PIXELS`) rejects declared
+    dimensions whose raster would exceed the cap BEFORE allocating —
+    decompression-bomb protection; pass ``None`` for trusted inputs."""
     b = bytes(blob or b"")
+    if max_pixels is not None:
+        hdr = parse_image_header(b)
+        if hdr is not None and hdr[0] * hdr[1] > max_pixels:
+            raise ValueError(
+                f"declared raster {hdr[0]}x{hdr[1]} exceeds max_pixels="
+                f"{max_pixels} (decompression-bomb guard)"
+            )
     if b.startswith(_PNG_MAGIC):
         return decode_png_pixels(b)
     if b.startswith(b"\xff\xd8"):

@@ -1678,3 +1678,57 @@ def test_try_decode_wav_survives_systematic_corruption():
         mut[off] ^= 0x5A
         out, err = try_decode_wav(bytes(mut))
         assert (out is None) == (err is not None), off
+
+
+def test_decode_image_decompression_bomb_guard():
+    """A corrupt or adversarial header declaring a huge raster must be
+    rejected BEFORE allocation (r10): the h*w numpy allocation would
+    otherwise OOM the worker — a failure mode try_decode_image's except
+    clause cannot catch. Small real images are unaffected; max_pixels=None
+    opts trusted inputs out."""
+    import numpy as np
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_gif,
+        encode_jpeg_baseline,
+        encode_png,
+        try_decode_image,
+    )
+
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    bombs = {}
+    # PNG: IHDR width/height at offsets 16/20 (big-endian)
+    b = bytearray(encode_png(8, 8, rng.integers(0, 256, 8 * 8 * 3, dtype=np.uint8)))
+    b[16:20] = (65535).to_bytes(4, "big")
+    b[20:24] = (65535).to_bytes(4, "big")
+    bombs["png"] = bytes(b)
+    # JPEG: SOF0 height/width live 5/7 bytes into the segment
+    b = bytearray(encode_jpeg_baseline(8, 8, px.flatten()))
+    i = b.find(b"\xff\xc0")
+    b[i + 5 : i + 7] = (65500).to_bytes(2, "big")
+    b[i + 7 : i + 9] = (65500).to_bytes(2, "big")
+    bombs["jpeg"] = bytes(b)
+    # GIF: logical screen w/h at offsets 6/8 (little-endian)
+    b = bytearray(encode_gif(8, 8, px.flatten()))
+    b[6:8] = (65535).to_bytes(2, "little")
+    b[8:10] = (65535).to_bytes(2, "little")
+    bombs["gif"] = bytes(b)
+
+    for name, blob in bombs.items():
+        with pytest.raises(ValueError, match="decompression-bomb"):
+            decode_image(blob)
+        out, err = try_decode_image(blob)
+        assert out is None and "decompression-bomb" in err, name
+
+    # small real images still decode; the cap itself is overridable
+    ok = decode_image(encode_gif(8, 8, px.flatten()))
+    assert ok.shape[:2] == (8, 8)
+    # opting out bypasses the guard: the GIF bomb's oversized LOGICAL
+    # screen no longer trips it (the decoder sizes by the 8x8 image
+    # descriptor and succeeds — what happens past the guard is
+    # decoder-specific; the guard's own contract is just "off is off")
+    out = decode_image(bombs["gif"], max_pixels=None)
+    assert out is not None
