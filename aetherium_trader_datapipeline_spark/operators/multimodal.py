@@ -667,7 +667,25 @@ def decode_png_pixels(blob: bytes):
         )
         return (rowbytes + 1) * h
 
-    raw = zlib.decompress(bytes(idat))
+    # Bound the inflate to the declared raster's filtered size (+1 to
+    # detect overflow): deflate amplifies up to ~1032x, so an adversarial
+    # IDAT could otherwise materialize gigabytes before the size checks
+    # below ever run — the unguarded-allocation bomb vector that the
+    # max_pixels header guard cannot see.
+    if interlace == 0:
+        expected = span(width, height)
+    else:
+        expected = sum(
+            span((width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+            if width > x0 and height > y0
+        )
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected + 1)
+    if len(raw) > expected:
+        raise ValueError(
+            f"IDAT inflates past the declared raster size ({expected} B)"
+        )
     if interlace == 0:
         grid = subimage(raw, width, height).reshape(height, width, channels)
     else:

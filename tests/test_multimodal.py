@@ -1732,3 +1732,44 @@ def test_decode_image_decompression_bomb_guard():
     # decoder-specific; the guard's own contract is just "off is off")
     out = decode_image(bombs["gif"], max_pixels=None)
     assert out is not None
+
+
+def test_png_idat_inflate_bound():
+    """Second bomb vector (r10): tiny declared dims (passes the header
+    guard) but an IDAT that inflates far past the raster — deflate
+    amplifies ~1000x, so the inflate must be bounded by the declared
+    size, not materialized then checked."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        try_decode_image,
+    )
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    # valid 8x8 RGB header, IDAT inflating to 10 MB instead of 200 B
+    rng = np.random.default_rng(13)
+    good = encode_png(8, 8, rng.integers(0, 256, 8 * 8 * 3, dtype=np.uint8))
+    ihdr_end = good.find(b"IDAT") - 4
+    bomb = (
+        good[:ihdr_end]
+        + chunk(b"IDAT", zlib.compress(bytes(10_000_000), 9))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_png_pixels(bomb)
+    out, err = try_decode_image(bomb)
+    assert out is None and "inflates past" in err
+    # the bound must not disturb valid decodes (incl. interlaced — its
+    # expected size is a per-pass sum)
+    assert decode_png_pixels(good).shape == (8, 8, 3)
