@@ -2549,6 +2549,12 @@ def decode_gif_pixels(blob: bytes):
         else:
             raise ValueError("LZW code out of range")
         out += entry
+        if len(out) > w * h:
+            # bound DURING decode, not after: 12-bit codes emit entries
+            # kilobytes long, so an adversarial stream without EOI would
+            # otherwise materialize ~entry-length x code-count bytes
+            # (gigabytes from a 1 MB blob) before the post-loop check
+            raise ValueError(f"LZW produced more than {w * h} indices")
         if prev is not None:
             table.append(prev + entry[:1])
             if len(table) == (1 << code_size) and code_size < 12:

@@ -1773,3 +1773,33 @@ def test_png_idat_inflate_bound():
     # the bound must not disturb valid decodes (incl. interlaced — its
     # expected size is a per-pass sum)
     assert decode_png_pixels(good).shape == (8, 8, 3)
+
+
+def test_gif_lzw_output_bound():
+    """GIF analogue of the IDAT inflate bound: an LZW stream that keeps
+    emitting past w*h indices must fail DURING decode, not after
+    materializing the oversized output."""
+    import numpy as np
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_gif_pixels,
+        encode_gif,
+        try_decode_image,
+    )
+
+    rng = np.random.default_rng(14)
+    px = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    big = encode_gif(64, 64, rng.integers(0, 256, 64 * 64, dtype=np.uint8))
+    small = encode_gif(4, 4, px.flatten())
+    # graft the 64x64 image's LZW payload under a 4x4 descriptor: find
+    # the image descriptors (0x2C after the 13-byte header + 768-byte GCT)
+    desc = 13 + 768
+    assert small[desc] == 0x2C and big[desc] == 0x2C
+    bomb = small[: desc + 10] + big[desc + 10 :]
+    with pytest.raises(ValueError, match="more than 16 indices"):
+        decode_gif_pixels(bomb)
+    out, err = try_decode_image(bomb)
+    assert out is None and "more than 16" in err
+    # valid streams unaffected
+    assert decode_gif_pixels(small).shape == (4, 4, 3)
