@@ -330,6 +330,19 @@ def decode_jpeg_hierarchical(b: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or nc != 1:
                 raise NotImplementedError("hierarchical scope: 8-bit gray")
+            # per-frame raster cap: the dispatch-level header guard only
+            # sees the (small) BASE frame's SOF, but EXP doubling lets a
+            # crafted stream declare arbitrarily larger differential
+            # frames further in — bound every frame's allocation here
+            from aetherium_trader_datapipeline_spark.operators.multimodal import (
+                MAX_DECODE_PIXELS,
+            )
+
+            if h * w > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"hierarchical frame {w}x{h} exceeds "
+                    f"{MAX_DECODE_PIXELS} pixels (decompression-bomb guard)"
+                )
             tq = payload[8]
             cur_frame = (marker, h, w, tq)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC6, 0xC7,

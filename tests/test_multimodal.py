@@ -1803,3 +1803,29 @@ def test_gif_lzw_output_bound():
     assert out is None and "more than 16" in err
     # valid streams unaffected
     assert decode_gif_pixels(small).shape == (4, 4, 3)
+
+
+def test_jpeg_hier_frame_size_cap():
+    """A crafted hierarchical stream can declare a huge DIFFERENTIAL
+    frame after EXP doublings even though the base SOF (all the
+    dispatch-level guard sees) is tiny — every frame's SOF must be
+    capped individually."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.operators.jpeg_hier import (
+        decode_jpeg_hierarchical,
+        encode_jpeg_hierarchical,
+    )
+
+    px = np.full((32, 32), 77, dtype=np.uint8)
+    blob = bytearray(encode_jpeg_hierarchical(32, 32, px.flatten()))
+    i = blob.find(b"\xff\xc5")  # the differential frame's SOF5
+    assert i > 0
+    # SOF payload: len(2) prec(1) h(2) w(2) — blow the dims to 60000^2
+    blob[i + 5 : i + 7] = struct.pack(">H", 60000)
+    blob[i + 7 : i + 9] = struct.pack(">H", 60000)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_jpeg_hierarchical(bytes(blob))
