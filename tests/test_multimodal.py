@@ -1625,6 +1625,16 @@ def test_try_decode_image_survives_systematic_corruption():
         try_decode_image,
     )
 
+    from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+    from aetherium_trader_datapipeline_spark.operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+    )
+    from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
     rng = np.random.default_rng(10)
     px = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     rgb = rng.integers(0, 256, 16 * 16 * 3, dtype=np.uint8)
@@ -1632,6 +1642,13 @@ def test_try_decode_image_survives_systematic_corruption():
         "png": encode_png(16, 16, rgb),
         "jpeg": encode_jpeg_baseline(16, 16, px.flatten()),
         "jpeg_arith": encode_jpeg_arith(16, 16, px.flatten()),
+        "jpeg_prog_arith": encode_jpeg_arith_progressive(16, 16, px.flatten(), al=1),
+        "jpeg_lossless": encode_jpeg_lossless(
+            16, 16, [int(v) for v in px.flatten()]
+        ),
+        "jpeg_hier": encode_jpeg_hierarchical(
+            16, 16, [int(v) for v in px.flatten()]
+        ),
         "gif": encode_gif(16, 16, px.flatten()),
     }
     for name, blob in blobs.items():
