@@ -1846,3 +1846,52 @@ def test_jpeg_hier_frame_size_cap():
     blob[i + 7 : i + 9] = struct.pack(">H", 60000)
     with pytest.raises(ValueError, match="decompression-bomb"):
         decode_jpeg_hierarchical(bytes(blob))
+
+
+def test_try_decode_image_corruption_variant_formats():
+    """Second fuzz wave (r10): the variant encode paths route through
+    DIFFERENT decode branches (16-bit/palette/Adam7 PNG, 4:2:0 color and
+    Huffman-progressive JPEG, interlaced GIF) — same contract: every
+    truncation and byte flip yields (pixels, None) or (None, err), never
+    a raise."""
+    import numpy as np
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_gif,
+        encode_jpeg_420,
+        encode_jpeg_progressive,
+        encode_png16,
+        encode_png_interlaced,
+        encode_png_palette,
+        try_decode_image,
+    )
+
+    rng = np.random.default_rng(15)
+    g = rng.integers(0, 256, 12 * 12, dtype=np.uint8)
+    rgb = rng.integers(0, 256, 12 * 12 * 3, dtype=np.uint8)
+    pal = [(i, 255 - i, i ^ 0x55) for i in range(256)]
+    blobs = {
+        "png16": encode_png16(12, 12, [int(v) * 257 for v in g]),
+        "png_palette": encode_png_palette(12, 12, g, pal),
+        "png_adam7": encode_png_interlaced(12, 12, rgb),
+        "jpeg_420": encode_jpeg_420(16, 16,
+                                    rng.integers(0, 256, 16 * 16, dtype=np.uint8),
+                                    rng.integers(0, 256, 16 * 16, dtype=np.uint8),
+                                    rng.integers(0, 256, 16 * 16, dtype=np.uint8)),
+        "jpeg_prog_huff": encode_jpeg_progressive(16, 16,
+                                                  rng.integers(0, 256, 256,
+                                                               dtype=np.uint8)),
+        "gif_interlaced": encode_gif(12, 12, g[: 12 * 12], interlace=True),
+    }
+    for name, blob in blobs.items():
+        ok, err = try_decode_image(blob)
+        assert err is None and (ok == decode_image(blob)).all(), (name, err)
+        for cut in range(len(blob)):
+            out, err = try_decode_image(blob[:cut])
+            assert (out is None) == (err is not None), (name, cut)
+        for off in range(len(blob)):
+            mut = bytearray(blob)
+            mut[off] ^= 0xA5
+            out, err = try_decode_image(bytes(mut))
+            assert (out is None) == (err is not None), (name, off)
