@@ -59,6 +59,11 @@ from __future__ import annotations
 
 import struct
 
+from aetherium_trader_datapipeline_spark.operators.multimodal import (
+    MAX_DECODE_PIXELS,
+    _check_raster,
+)
+
 # --- Table D.3: Qe value and probability estimation state machine ---------
 # (qe, next_index_lps, next_index_mps, switch_mps) per state index.
 # Four fast-attack tiers chained exactly as published; index 113 is the
@@ -553,7 +558,8 @@ def encode_jpeg_arith_color(width: int, height: int, y_px, cb_px, cr_px) -> byte
     )
 
 
-def decode_jpeg_arith(b: bytes):
+def decode_jpeg_arith(b: bytes,
+                      max_pixels: int | None = MAX_DECODE_PIXELS):
     """SOF9 byte stream → (h, w) or (h, w, 3) uint8, parsing DQT/DAC/DRI
     from the file itself.  Grayscale or 4:4:4 interleaved; restart
     markers reset coder + statistics + predictors.  Color conversion is
@@ -610,6 +616,8 @@ def decode_jpeg_arith(b: bytes):
                 i += 2
         elif marker == 0xC9:
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            _check_raster(w, h, max_pixels)
+
             if prec != 8:
                 raise NotImplementedError("non-8-bit SOF9 precision")
             comps = []
@@ -938,7 +946,8 @@ def encode_jpeg_arith_progressive(width: int, height: int, pixels,
     return bytes(out)
 
 
-def decode_jpeg_arith_progressive(b: bytes):
+def decode_jpeg_arith_progressive(
+        b: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """SOF10 multi-scan decode → (h, w) uint8 (grayscale scope)."""
     import numpy as np
 
@@ -989,6 +998,8 @@ def decode_jpeg_arith_progressive(b: bytes):
                 i += 2
         elif marker == 0xCA:
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            _check_raster(w, h, max_pixels)
+
             if prec != 8 or nc != 1:
                 raise NotImplementedError("SOF10 scope: 8-bit grayscale")
             tq = payload[8]

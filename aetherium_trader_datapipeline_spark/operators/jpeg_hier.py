@@ -35,6 +35,11 @@ from __future__ import annotations
 
 import struct
 
+from aetherium_trader_datapipeline_spark.operators.multimodal import (
+    MAX_DECODE_PIXELS,
+    _check_raster,
+)
+
 
 def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -259,7 +264,8 @@ def encode_jpeg_hierarchical(width: int, height: int, pixels) -> bytes:
     )
 
 
-def decode_jpeg_hierarchical(b: bytes):
+def decode_jpeg_hierarchical(
+        b: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """Hierarchical stream → (h, w) uint8: walks DHP / frames / EXP,
     maintaining the reference image across frames."""
     import numpy as np
@@ -330,19 +336,11 @@ def decode_jpeg_hierarchical(b: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8 or nc != 1:
                 raise NotImplementedError("hierarchical scope: 8-bit gray")
-            # per-frame raster cap: the dispatch-level header guard only
-            # sees the (small) BASE frame's SOF, but EXP doubling lets a
-            # crafted stream declare arbitrarily larger differential
-            # frames further in — bound every frame's allocation here
-            from aetherium_trader_datapipeline_spark.operators.multimodal import (
-                MAX_DECODE_PIXELS,
-            )
-
-            if h * w > MAX_DECODE_PIXELS:
-                raise ValueError(
-                    f"hierarchical frame {w}x{h} exceeds "
-                    f"{MAX_DECODE_PIXELS} pixels (decompression-bomb guard)"
-                )
+            # per-frame raster cap: the top-level guard only sees the
+            # (small) BASE frame's SOF, but EXP doubling lets a crafted
+            # stream declare arbitrarily larger differential frames
+            # further in — bound every frame's allocation here
+            _check_raster(w, h, max_pixels)
             tq = payload[8]
             cur_frame = (marker, h, w, tq)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC6, 0xC7,

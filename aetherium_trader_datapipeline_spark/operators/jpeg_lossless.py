@@ -30,6 +30,11 @@ from __future__ import annotations
 
 import struct
 
+from aetherium_trader_datapipeline_spark.operators.multimodal import (
+    MAX_DECODE_PIXELS,
+    _check_raster,
+)
+
 _LL_BITS = [0, 0, 0, 0, 17] + [0] * 11  # 17 symbols (0..16), all 5-bit
 _LL_VALS = list(range(17))
 
@@ -128,7 +133,8 @@ def encode_jpeg_lossless(width: int, height: int, samples, precision: int = 8,
     )
 
 
-def decode_jpeg_lossless(b: bytes):
+def decode_jpeg_lossless(b: bytes,
+                         max_pixels: int | None = MAX_DECODE_PIXELS):
     """SOF3 byte stream → int32 array (h, w) or (h, w, ncomp) of
     RECONSTRUCTED samples (point-transformed domain scaled back by
     << Pt, as the spec's reconstruction leaves them)."""
@@ -174,6 +180,8 @@ def decode_jpeg_lossless(b: bytes):
                 i += 17 + nval
         elif marker == 0xC3:
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            _check_raster(w, h, max_pixels)
+
             comps = []
             for ci in range(nc):
                 cid, sampling, _tq = payload[6 + 3 * ci:9 + 3 * ci]
@@ -318,7 +326,8 @@ def encode_jpeg_lossless_arith(width: int, height: int, samples,
     return (b"\xff\xd8" + seg(0xCB, sof) + seg(0xDA, sos) + scan + b"\xff\xd9")
 
 
-def decode_jpeg_lossless_arith(b: bytes):
+def decode_jpeg_lossless_arith(
+        b: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """SOF11 byte stream → (h, w) int32 reconstructed samples."""
     import numpy as np
 
@@ -342,6 +351,8 @@ def decode_jpeg_lossless_arith(b: bytes):
         payload = b[pos + 4:pos + 2 + ln]
         if marker == 0xCB:
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            _check_raster(w, h, max_pixels)
+
             if nc != 1:
                 raise NotImplementedError("SOF11 scope: single component")
             sof = (prec, h, w)

@@ -67,6 +67,19 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, str]:
 MAX_DECODE_PIXELS = 1 << 26
 
 
+def _check_raster(width: int, height: int, max_pixels: int | None) -> None:
+    """The bomb cap, enforced at each decoder's OWN dimension parse (the
+    r10 review showed a dispatch-level header pre-check is bypassable:
+    GIF sizes by the image descriptor while the header parser reads the
+    logical screen, and a JPEG can hide a huge second SOF behind a tiny
+    first one — the check must see the dims the allocation will use)."""
+    if max_pixels is not None and width * height > max_pixels:
+        raise ValueError(
+            f"declared raster {width}x{height} exceeds max_pixels="
+            f"{max_pixels} (decompression-bomb guard)"
+        )
+
+
 def decode_image(blob: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """Full pixel decode → (h, w[, c]) uint8 array. PNG decodes natively
     (:func:`decode_png_pixels` — every legal depth/color/interlace
@@ -86,29 +99,30 @@ def decode_image(blob: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
 
     ``max_pixels`` (default :data:`MAX_DECODE_PIXELS`) rejects declared
     dimensions whose raster would exceed the cap BEFORE allocating —
-    decompression-bomb protection; pass ``None`` for trusted inputs."""
+    decompression-bomb protection, enforced inside EACH decoder at its
+    own dimension parse (a dispatch-level header pre-check is
+    bypassable — see :func:`_check_raster`); pass ``None`` for trusted
+    inputs."""
     b = bytes(blob or b"")
-    if max_pixels is not None:
-        hdr = parse_image_header(b)
-        if hdr is not None and hdr[0] * hdr[1] > max_pixels:
-            raise ValueError(
-                f"declared raster {hdr[0]}x{hdr[1]} exceeds max_pixels="
-                f"{max_pixels} (decompression-bomb guard)"
-            )
     if b.startswith(_PNG_MAGIC):
-        return decode_png_pixels(b)
+        return decode_png_pixels(b, max_pixels=max_pixels)
     if b.startswith(b"\xff\xd8"):
         try:
-            return decode_jpeg_pixels(b)
+            return decode_jpeg_pixels(b, max_pixels=max_pixels)
         except NotImplementedError:
             if not _HAS_PIL:
                 raise
     if b[:6] in (b"GIF87a", b"GIF89a"):
         try:
-            return decode_gif_pixels(b)
+            return decode_gif_pixels(b, max_pixels=max_pixels)
         except NotImplementedError:
             if not _HAS_PIL:
                 raise
+    if max_pixels is not None:
+        # PIL fallback path: all we can check cheaply is the header
+        hdr = parse_image_header(b)
+        if hdr is not None:
+            _check_raster(hdr[0], hdr[1], max_pixels)
     if not _HAS_PIL:
         raise NotImplementedError(
             "raster decode beyond PNG/baseline-JPEG/GIF requires PIL; "
@@ -582,7 +596,7 @@ def encode_png_subbyte(width: int, height: int, samples, depth: int,
     )
 
 
-def decode_png_pixels(blob: bytes):
+def decode_png_pixels(blob: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """REAL raster decode, no image library: parse chunks, inflate the
     IDAT stream (stdlib zlib), invert the per-row filter (all five spec
     predictors), return an (h, w, channels) uint8 numpy array.
@@ -624,6 +638,7 @@ def decode_png_pixels(blob: bytes):
     if ihdr is None:
         raise ValueError("missing IHDR")
     width, height, depth, color, _comp, _filt, interlace = ihdr
+    _check_raster(width, height, max_pixels)
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     # support matrix (r8 closes the last two PNG gates): depth 8 for all
     # five color types; depth 16 for types 0/2/4/6; depths 1/2/4 for
@@ -686,6 +701,13 @@ def decode_png_pixels(blob: bytes):
         raise ValueError(
             f"IDAT inflates past the declared raster size ({expected} B)"
         )
+    if not d.eof:
+        # parity with the one-shot zlib.decompress this replaced: a
+        # deflate stream truncated mid-body or inside the adler32
+        # trailer must FAIL (the r10 review caught the bounded inflate
+        # silently accepting it), while trailing garbage after a
+        # complete stream stays accepted as before
+        raise ValueError("truncated IDAT zlib stream")
     if interlace == 0:
         grid = subimage(raw, width, height).reshape(height, width, channels)
     else:
@@ -1772,7 +1794,7 @@ def _next_marker(b: bytes, p: int) -> int:
     raise ValueError("ran off the end looking for a marker")
 
 
-def _decode_jpeg_progressive(b: bytes):
+def _decode_jpeg_progressive(b: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """Progressive (SOF2) JPEG decode: DC scans (interleaved or not)
     plus any number of single-component AC band scans accumulate the
     quantized coefficient planes scan by scan; dequantize + IDCT run
@@ -1838,6 +1860,7 @@ def _decode_jpeg_progressive(b: bytes):
                 i += 17 + nval
         elif marker == 0xC2:
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            _check_raster(w, h, max_pixels)  # per SOF (r10 review bypass)
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
             if nc not in (1, 3):
@@ -2110,7 +2133,7 @@ def _decode_jpeg_progressive(b: bytes):
     return np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
 
 
-def decode_jpeg_pixels(blob: bytes):
+def decode_jpeg_pixels(blob: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """REAL baseline-JPEG raster decode, no image library: marker walk,
     canonical Huffman tables rebuilt from the file's own DHT segments,
     DC-diff/AC-runlength entropy decode, dequantize, inverse zigzag,
@@ -2185,6 +2208,10 @@ def decode_jpeg_pixels(blob: bytes):
                 i += 17 + nval
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            # checked PER SOF: a stream can carry several, and the
+            # decoder honors the LAST one — a tiny first SOF must not
+            # vouch for a huge second (r10 review bypass)
+            _check_raster(w, h, max_pixels)
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
             if nc not in (1, 3):
@@ -2207,37 +2234,37 @@ def decode_jpeg_pixels(blob: bytes):
                 raise NotImplementedError("unsupported sampling factors")
             sof = (h, w, comps)
         elif marker == 0xC2:  # progressive: dedicated multi-scan path
-            return _decode_jpeg_progressive(b)
+            return _decode_jpeg_progressive(b, max_pixels=max_pixels)
         elif marker == 0xC9:  # arithmetic-coded sequential (r9): QM coder
             from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
                 decode_jpeg_arith,
             )
 
-            return decode_jpeg_arith(b)
+            return decode_jpeg_arith(b, max_pixels=max_pixels)
         elif marker == 0xC3:  # lossless DPCM (r9): predictors + SSSS
             from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
                 decode_jpeg_lossless,
             )
 
-            return decode_jpeg_lossless(b)
+            return decode_jpeg_lossless(b, max_pixels=max_pixels)
         elif marker == 0xCA:  # progressive-arithmetic (r9)
             from aetherium_trader_datapipeline_spark.operators.jpeg_arith import (
                 decode_jpeg_arith_progressive,
             )
 
-            return decode_jpeg_arith_progressive(b)
+            return decode_jpeg_arith_progressive(b, max_pixels=max_pixels)
         elif marker == 0xCB:  # arithmetic lossless (r9)
             from aetherium_trader_datapipeline_spark.operators.jpeg_lossless import (
                 decode_jpeg_lossless_arith,
             )
 
-            return decode_jpeg_lossless_arith(b)
+            return decode_jpeg_lossless_arith(b, max_pixels=max_pixels)
         elif marker == 0xDE:  # hierarchical (r9): DHP precedes all frames
             from aetherium_trader_datapipeline_spark.operators.jpeg_hier import (
                 decode_jpeg_hierarchical,
             )
 
-            return decode_jpeg_hierarchical(b)
+            return decode_jpeg_hierarchical(b, max_pixels=max_pixels)
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "unsupported JPEG frame (differential frame outside a "
@@ -2450,7 +2477,7 @@ def encode_gif(width: int, height: int, indices, palette=None,
     )
 
 
-def decode_gif_pixels(blob: bytes):
+def decode_gif_pixels(blob: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
     """REAL GIF raster decode, no image library: parse the logical screen
     descriptor and color tables, walk extension blocks, LZW-decode the
     first image's index stream (variable-width codes, LSB-first,
@@ -2493,6 +2520,9 @@ def decode_gif_pixels(blob: bytes):
         raise ValueError("missing image descriptor")
     w = int.from_bytes(b[pos + 5 : pos + 7], "little")
     h = int.from_bytes(b[pos + 7 : pos + 9], "little")
+    # cap the IMAGE DESCRIPTOR dims — they, not the logical screen the
+    # header parser reads, size the LZW output and palette gather
+    _check_raster(w, h, max_pixels)
     iflags = b[pos + 9]
     pos += 10
     interlaced = bool(iflags & 0x40)

@@ -1728,10 +1728,15 @@ def test_decode_image_decompression_bomb_guard():
     b[i + 5 : i + 7] = (65500).to_bytes(2, "big")
     b[i + 7 : i + 9] = (65500).to_bytes(2, "big")
     bombs["jpeg"] = bytes(b)
-    # GIF: logical screen w/h at offsets 6/8 (little-endian)
+    # GIF: the IMAGE DESCRIPTOR dims (not the logical screen) size the
+    # LZW output and palette gather — the r10 review showed a
+    # logical-screen-only check is bypassable, so the bomb mutates the
+    # descriptor at 13 + 768 (GCT) + 5
     b = bytearray(encode_gif(8, 8, px.flatten()))
-    b[6:8] = (65535).to_bytes(2, "little")
-    b[8:10] = (65535).to_bytes(2, "little")
+    desc = 13 + 768
+    assert b[desc] == 0x2C
+    b[desc + 5 : desc + 7] = (65535).to_bytes(2, "little")
+    b[desc + 7 : desc + 9] = (65535).to_bytes(2, "little")
     bombs["gif"] = bytes(b)
 
     for name, blob in bombs.items():
@@ -1743,12 +1748,41 @@ def test_decode_image_decompression_bomb_guard():
     # small real images still decode; the cap itself is overridable
     ok = decode_image(encode_gif(8, 8, px.flatten()))
     assert ok.shape[:2] == (8, 8)
-    # opting out bypasses the guard: the GIF bomb's oversized LOGICAL
-    # screen no longer trips it (the decoder sizes by the 8x8 image
-    # descriptor and succeeds — what happens past the guard is
-    # decoder-specific; the guard's own contract is just "off is off")
-    out = decode_image(bombs["gif"], max_pixels=None)
-    assert out is not None
+
+
+def test_decompression_bomb_guard_bypasses_closed():
+    """r10 review regressions: the cap must bind at each decoder's OWN
+    dimension parse — (a) a JPEG hiding a huge SECOND SOF behind a tiny
+    first one (the decoder honors the last SOF), (b) a GIF whose tiny
+    logical screen vouched for a huge image descriptor."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(16)
+    px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    good = encode_jpeg_baseline(8, 8, px.flatten())
+    i = good.find(b"\xff\xc0")
+    seg_len = int.from_bytes(good[i + 2 : i + 4], "big")
+    small_sof = good[i : i + 2 + seg_len]
+    huge_sof = bytearray(small_sof)
+    huge_sof[5:7] = struct.pack(">H", 60000)
+    huge_sof[7:9] = struct.pack(">H", 60000)
+    # tiny SOF first, huge SOF after: a header-level parser reports 8x8
+    blob = good[: i + 2 + seg_len] + bytes(huge_sof) + good[i + 2 + seg_len :]
+    assert parse_image_header(blob)[:2] == (8, 8)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_jpeg_pixels(blob)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_image(blob)
 
 
 def test_png_idat_inflate_bound():
@@ -1895,3 +1929,44 @@ def test_try_decode_image_corruption_variant_formats():
             mut[off] ^= 0xA5
             out, err = try_decode_image(bytes(mut))
             assert (out is None) == (err is not None), (name, off)
+
+
+def test_png_truncated_idat_trailer_rejected():
+    """r10 review regression: the bounded inflate must keep the one-shot
+    zlib.decompress completeness contract — a deflate stream cut inside
+    its adler32 trailer is CORRUPT and must be tagged, not silently
+    decoded as a good image; trailing garbage after a complete stream
+    stays accepted (one-shot parity)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        try_decode_image,
+    )
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(17)
+    good = encode_png(8, 8, rng.integers(0, 256, 8 * 8 * 3, dtype=np.uint8))
+    i = good.find(b"IDAT") - 4
+    ln = int.from_bytes(good[i : i + 4], "big")
+    idat = good[i + 8 : i + 8 + ln]
+    tail = good[i + 12 + ln :]
+
+    cut = good[:i] + chunk(b"IDAT", idat[:-2]) + tail  # inside adler32
+    with pytest.raises(ValueError, match="truncated IDAT"):
+        decode_png_pixels(cut)
+    out, err = try_decode_image(cut)
+    assert out is None and "truncated IDAT" in err
+
+    padded = good[:i] + chunk(b"IDAT", idat + b"\x00garbage") + tail
+    assert decode_png_pixels(padded).shape == (8, 8, 3)  # one-shot parity
