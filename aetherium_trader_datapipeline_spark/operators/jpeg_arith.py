@@ -59,7 +59,7 @@ from __future__ import annotations
 
 import struct
 
-from aetherium_trader_datapipeline_spark.operators.multimodal import (
+from aetherium_trader_datapipeline_spark.operators._rasterguard import (
     MAX_DECODE_PIXELS,
     _check_raster,
 )

@@ -57,27 +57,15 @@ def fake_decode_meta(blob: bytes) -> tuple[int, int, str]:
     return w, h, fmt
 
 
-# Decompression-bomb guard for the raster decoders (PIL's idea, same
-# default order of magnitude): a corrupt or adversarial header can declare
-# e.g. 65535x65535 from a 100-byte blob, and the h*w allocation then lands
-# BEFORE any entropy-decode error can fire — a worker OOM that
-# try_decode_image's except cannot catch (the kernel kills the process,
-# Spark retries the task into the same bomb, the job dies).  67M pixels =
-# 256 MB RGB, far above any real corpus thumbnail and far below worker RAM.
-MAX_DECODE_PIXELS = 1 << 26
-
-
-def _check_raster(width: int, height: int, max_pixels: int | None) -> None:
-    """The bomb cap, enforced at each decoder's OWN dimension parse (the
-    r10 review showed a dispatch-level header pre-check is bypassable:
-    GIF sizes by the image descriptor while the header parser reads the
-    logical screen, and a JPEG can hide a huge second SOF behind a tiny
-    first one — the check must see the dims the allocation will use)."""
-    if max_pixels is not None and width * height > max_pixels:
-        raise ValueError(
-            f"declared raster {width}x{height} exceeds max_pixels="
-            f"{max_pixels} (decompression-bomb guard)"
-        )
+# Decompression-bomb guard: definition lives in the dependency-free
+# _rasterguard module so the stdlib-only codec modules (jpeg_arith /
+# jpeg_lossless / jpeg_hier) can import it at top level without dragging
+# this module's pandas/pyspark imports into their graph; re-exported
+# here as the public home of the constant.
+from aetherium_trader_datapipeline_spark.operators._rasterguard import (  # noqa: E402
+    MAX_DECODE_PIXELS,
+    _check_raster,
+)
 
 
 def decode_image(blob: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
@@ -119,10 +107,12 @@ def decode_image(blob: bytes, max_pixels: int | None = MAX_DECODE_PIXELS):
             if not _HAS_PIL:
                 raise
     if max_pixels is not None:
-        # PIL fallback path: all we can check cheaply is the header
+        # PIL fallback path: all we can check cheaply is the header.
+        # abs(): BMP widths parse SIGNED, and a negative width would
+        # make the product negative and slip under the cap (r10 review)
         hdr = parse_image_header(b)
         if hdr is not None:
-            _check_raster(hdr[0], hdr[1], max_pixels)
+            _check_raster(abs(hdr[0]), abs(hdr[1]), max_pixels)
     if not _HAS_PIL:
         raise NotImplementedError(
             "raster decode beyond PNG/baseline-JPEG/GIF requires PIL; "

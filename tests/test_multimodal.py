@@ -1970,3 +1970,31 @@ def test_png_truncated_idat_trailer_rejected():
 
     padded = good[:i] + chunk(b"IDAT", idat + b"\x00garbage") + tail
     assert decode_png_pixels(padded).shape == (8, 8, 3)  # one-shot parity
+
+
+def test_decode_image_max_pixels_none_opt_out():
+    """max_pixels=None must thread through to every decoder (r10 review:
+    the opt-out went untested after the cap moved into the decoders).
+    A GIF whose LOGICAL SCREEN is huge but whose image descriptor is 8x8
+    is safe to decode and exercises the threading; a tightened cap must
+    conversely reject a normal small image, proving the parameter (not a
+    module constant) is what binds."""
+    import numpy as np
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        decode_image,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(18)
+    px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    blob = bytearray(encode_gif(8, 8, px.flatten()))
+    blob[6:8] = (65535).to_bytes(2, "little")   # logical screen only
+    blob[8:10] = (65535).to_bytes(2, "little")
+    out = decode_image(bytes(blob), max_pixels=None)
+    assert out.shape[:2] == (8, 8)
+    out = decode_image(bytes(blob))  # descriptor 8x8 passes default cap
+    assert out.shape[:2] == (8, 8)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_image(bytes(blob), max_pixels=16)  # 8*8 > 16: param binds
