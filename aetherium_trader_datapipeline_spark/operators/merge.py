@@ -20,13 +20,37 @@ table-maintenance operations that layer on top:
 
 Scale notes: merge shuffles only the change batch plus the touched
 partitions (partition-pruned scan, pushed filter on the partition column);
-compaction is one coalesce-write per partition with no wide shuffle.
+compaction sizes its shuffle from a filesystem LISTING (no data scan) and
+salts large partitions so no single task rewrites a whole partition.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for any scheme the session's Hadoop conf knows —
+    local, hdfs://, s3a://.  Driver-local os.path calls silently miss
+    non-local schemes (an r10 review finding against compaction's sizing)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _catalog_utils(spark: SparkSession):
+    """Spark's own partition-path escaping (ExternalCatalogUtils): a raw
+    f-string path like ``d=2024-01-01 10:00:00`` misses the on-disk
+    ``10%3A00%3A00`` form and NULL's ``__HIVE_DEFAULT_PARTITION__``."""
+    return spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+
+def _partition_dir(spark: SparkSession, partition_col: str, value) -> str:
+    u = _catalog_utils(spark)
+    if value is None:
+        return f"{partition_col}={u.DEFAULT_PARTITION_NAME()}"
+    return f"{partition_col}={u.escapePathName(str(value))}"
 
 
 def merge_upsert(
@@ -49,6 +73,14 @@ def merge_upsert(
     matched key is replaced (or tombstoned) only if the change's sequence
     is >= the stored one — out-of-order change feeds can no longer clobber
     newer state with older values (ties prefer the change).
+
+    PRECONDITION — stable key→partition mapping: a change row must carry
+    the SAME partition value as the stored row for its key (the normal
+    CDC shape: the partition column derives from the key or an immutable
+    attribute).  A change that "moves" a key to a different partition
+    inserts there without removing the old row — partition-pruned merge
+    cannot see partitions the batch doesn't touch, by design (that
+    pruning is what makes the merge O(changed), not O(table)).
     """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -62,9 +94,29 @@ def merge_upsert(
                 delete_col
             )
 
-        try:
-            current = spark.read.parquet(table_path).where(
-                F.col(partition_col).isin(touched)
+        def touched_pred():
+            # isin() is NULL-blind (NULL partition rows would be dropped
+            # from `keep` while the write still overwrites the
+            # __HIVE_DEFAULT_PARTITION__ directory — silent row loss)
+            non_null = [t for t in touched if t is not None]
+            pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+            if any(t is None for t in touched):
+                pred = pred | F.col(partition_col).isNull()
+            return pred
+
+        # Existence is probed EXPLICITLY: a broad except around the read
+        # used to reclassify ANY failure (missing seq column, transient FS
+        # error) as "new table" and silently overwrite touched partitions
+        # with only the change rows (r10 review finding).
+        fs, root = _hadoop_fs(spark, table_path)
+        if fs.exists(root):
+            # mergeSchema: after an additive-evolution merge the footer
+            # Spark samples for the schema may predate the new column,
+            # which would silently NULL it for every kept row
+            current = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(table_path)
+                .where(touched_pred())
             )
             eff = changes
             if seq_col is not None:
@@ -88,13 +140,17 @@ def merge_upsert(
             # batch may carry new columns (old rows get NULL) and old
             # columns the batch lacks survive as NULL on the new rows.
             merged = keep.unionByName(minus_tombstones(eff), allowMissingColumns=True)
-        except Exception:  # table does not exist yet → plain insert
+        else:  # table does not exist yet → plain insert
             merged = minus_tombstones(changes)
+        # Materialize ONCE: the plan below is consumed twice (the
+        # `surviving` collect, then the write), and the write's dynamic
+        # overwrite deletes the very files the plan reads — truncating the
+        # lineage here both halves the cost and removes the self-overwrite
+        # read hazard.
+        merged = merged.localCheckpoint()
         # Dynamic overwrite only replaces partitions PRESENT in the output;
         # a partition fully emptied by tombstones writes no rows, so its old
-        # files would survive. Find those partitions BEFORE the write (the
-        # plan reads the pre-write files; evaluating it afterwards would
-        # re-scan paths the overwrite just deleted).
+        # files would survive.
         surviving = {r[0] for r in merged.select(partition_col).distinct().collect()}
         (
             merged.repartition(F.col(partition_col))
@@ -104,25 +160,57 @@ def merge_upsert(
             .parquet(table_path)
         )
         # Drop emptied partition directories explicitly (the same
-        # metadata-only delete a lake format's DELETE commit performs).
+        # metadata-only delete a lake format's DELETE commit performs),
+        # using Spark's own path escaping (a raw str(p) path misses
+        # escaped values and NULL partitions — the "deleted" rows would
+        # silently resurrect on the next read).
         emptied = [p for p in touched if p not in surviving]
         if emptied:
             jvm = spark._jvm
-            jsc = spark._jsc
-            conf = jsc.hadoopConfiguration()
+            conf = spark._jsc.hadoopConfiguration()
             for p in emptied:
                 path = jvm.org.apache.hadoop.fs.Path(
-                    f"{table_path}/{partition_col}={p}"
+                    f"{table_path}/{_partition_dir(spark, partition_col, p)}"
                 )
-                fs = path.getFileSystem(conf)
-                if fs.exists(path):
-                    fs.delete(path, True)
+                pfs = path.getFileSystem(conf)
+                if pfs.exists(path):
+                    pfs.delete(path, True)
         return {
             "touched_partitions": len(touched),
             "emptied_partitions": len(emptied),
         }
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _partition_sizes(
+    spark: SparkSession, table_path: str, partition_col: str
+) -> dict:
+    """{raw partition value (str, None for NULL): (bytes, n_files)} from a
+    recursive filesystem LISTING of the table's partition directories —
+    no data scan, and correct for every scheme (s3a/hdfs/local) and for
+    escaped values, where the previous input_file_name +
+    os.path.getsize approach silently returned 0 (r10 review finding)."""
+    fs, root = _hadoop_fs(spark, table_path)
+    u = _catalog_utils(spark)
+    default = u.DEFAULT_PARTITION_NAME()
+    prefix = f"{partition_col}="
+    sizes: dict = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
+            continue
+        raw = name[len(prefix):]
+        value = None if raw == default else u.unescapePathName(raw)
+        total = n = 0
+        it = fs.listFiles(st.getPath(), True)
+        while it.hasNext():
+            f = it.next()
+            if not f.getPath().getName().startswith(("_", ".")):
+                total += f.getLen()
+                n += 1
+        sizes[value] = (total, n)
+    return sizes
 
 
 def compact_partitions(
@@ -135,31 +223,65 @@ def compact_partitions(
 ) -> dict:
     """Rewrite the given partitions (default: all) into ~target-size files.
 
-    File count per partition = ceil(partition_bytes / target); rows are
+    File count per partition = ceil(partition_bytes / target): each row is
+    salted into one of that many buckets, so a 10 GB partition becomes ~80
+    parallel target-size files instead of one single-task 10 GB file
+    (hash-repartitioning on the partition column ALONE pins every row of a
+    value to one task — the r10 review's straggler finding).  Rows are
     re-sorted by `sort_cols` inside each output file so footer min/max
     stats stay tight after compaction.
     """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        df = spark.read.parquet(table_path)
+        sizes = _partition_sizes(spark, table_path, partition_col)
         if partitions is not None:
-            df = df.where(F.col(partition_col).isin(partitions))
-        # size estimate from the files backing the (pruned) scan
-        files = df.select(F.input_file_name().alias("f")).distinct()
-        n_files = files.count()
-        import os
+            want = {None if p is None else str(p) for p in partitions}
+            sizes = {v: b for v, b in sizes.items() if v in want}
+        # per-partition output-file count from the listing
+        k_rows = [
+            (v, max(1, -(-b // target_file_bytes))) for v, (b, _n) in sizes.items()
+        ]
+        n_out = sum(k for _v, k in k_rows)
 
-        total = 0
-        for (f,) in files.collect():
-            p = f.removeprefix("file://")
-            if os.path.exists(p):
-                total += os.path.getsize(p)
-        n_out = max(1, -(-total // target_file_bytes))  # ceil
-        out = df.repartition(int(n_out), F.col(partition_col))
+        df = spark.read.option("mergeSchema", "true").parquet(table_path)
+        if partitions is not None:
+            non_null = [p for p in partitions if p is not None]
+            pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+            if any(p is None for p in partitions):
+                pred = pred | F.col(partition_col).isNull()
+            df = df.where(pred)
+
+        # salt = uniform bucket in [0, k_p) with k_p from the size map —
+        # joined on the STRING form of the partition value (the listing
+        # yields strings; <=> handles the NULL partition)
+        kmap = spark.createDataFrame(k_rows, f"__pv string, __k long")
+        salted = (
+            df.join(
+                F.broadcast(kmap),
+                on=F.col(partition_col).cast("string").eqNullSafe(F.col("__pv")),
+                how="left",
+            )
+            .drop("__pv")
+            .withColumn(
+                "__salt",
+                F.pmod(
+                    F.hash(*[F.col(c) for c in (sort_cols or df.columns)]),
+                    F.coalesce(F.col("__k"), F.lit(1)),
+                ),
+            )
+            .drop("__k")
+        )
+        out = salted.repartition(
+            int(max(1, n_out)), F.col(partition_col), F.col("__salt")
+        ).drop("__salt")
         if sort_cols:
             out = out.sortWithinPartitions(partition_col, *sort_cols)
         out.write.mode("overwrite").partitionBy(partition_col).parquet(table_path)
-        return {"files_before": n_files, "target_files": int(n_out)}
+        return {
+            "partitions": len(sizes),
+            "files_before": sum(n for _b, n in sizes.values()),
+            "target_files": int(max(1, n_out)),
+        }
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -49,6 +49,15 @@ class StaleInstanceError(Exception):
     pass
 
 
+class ControlTableCorruptError(Exception):
+    """A state file exists but does not parse — surfaced with the path
+    and remediation instead of a bare JSONDecodeError that would wedge
+    every operation on the key with no explanation (r10 review).  The
+    documented recovery: inspect, then delete the named file; the next
+    initialize_job() re-creates the job (cursor restarts from day start —
+    ingestion is idempotent by instance-stamped filenames, IDD:181,227)."""
+
+
 @dataclass
 class JobState:
     job_key: str
@@ -73,21 +82,44 @@ class ControlTable:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, key: str) -> str:
-        return os.path.join(self.root, key.replace(":", "_") + ".json")
+        # percent-encoding is BIJECTIVE and filesystem-safe: the old
+        # ':'→'_' rewrite collided 'A:B' with 'A_B' (two jobs sharing one
+        # CAS record) and crashed outright on '/'-bearing symbols like
+        # BTC/USD (r10 review)
+        from urllib.parse import quote
+
+        return os.path.join(self.root, quote(key, safe="") + ".json")
 
     def get(self, key: str) -> JobState | None:
+        path = self._path(key)
         try:
-            with open(self._path(key)) as f:
+            with open(path) as f:
                 return JobState(**json.load(f))
         except FileNotFoundError:
             return None
+        except (json.JSONDecodeError, TypeError) as ex:
+            raise ControlTableCorruptError(
+                f"unreadable job-state file {path!r} ({ex}); inspect and "
+                "delete it to re-initialize the job"
+            ) from ex
 
     def _write(self, st: JobState) -> None:
         st.version += 1
         fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(asdict(st), f)
+            # fsync data before the rename and the directory after it:
+            # without both, a crash can publish a zero-length or partial
+            # file under the final name — "atomic commit" only holds
+            # across power loss if the data precedes the name (r10 review)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._path(st.job_key))  # atomic commit (IDD.md:26-28)
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     @contextlib.contextmanager
     def _locked(self, key: str, timeout_s: float = 5.0):
@@ -206,8 +238,15 @@ class ControlTable:
         states = []
         for fn in sorted(os.listdir(self.root)):
             if fn.endswith(".json"):
-                with open(os.path.join(self.root, fn)) as f:
-                    states.append(json.load(f))
+                path = os.path.join(self.root, fn)
+                try:
+                    with open(path) as f:
+                        states.append(json.load(f))
+                except json.JSONDecodeError as ex:
+                    raise ControlTableCorruptError(
+                        f"unreadable job-state file {path!r} ({ex}); "
+                        "inspect and delete it to re-initialize the job"
+                    ) from ex
         schema = (
             "job_key STRING, status STRING, job_instance_id STRING, cursor BIGINT, "
             "end_time BIGINT, heartbeat_at DOUBLE, "

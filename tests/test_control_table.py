@@ -351,3 +351,54 @@ def test_streaming_stall_supervisor_takeover_e2e(spark, tmp_path, control):
     assert final.cursor >= cursor_at_takeover
     # …and the supervisor sees a healthy job again after B's first writes.
     assert control.stalled_jobs(spark, now=control.get(key).heartbeat_at + 1).count() == 0
+
+
+def test_job_keys_with_slash_and_collision_safe(tmp_path):
+    """r10 review regression: ':'->'_' crashed on '/'-bearing symbols
+    (BTC/USD) and collided 'A:B' with 'A_B' onto one state file."""
+    from aetherium_trader_datapipeline_spark.plans.control_table import (
+        ControlTable,
+        job_key,
+    )
+
+    ct = ControlTable(str(tmp_path))
+    k1 = job_key("BTC/USD", "2024-01-01")
+    st1 = ct.initialize_job(k1, 0, 1000)
+    assert ct.get(k1).job_instance_id == st1.job_instance_id
+    # distinct keys that collided under the old '_' rewrite
+    ka, kb = "ingest:job:A:B:2024-01-01", "ingest:job:A_B:2024-01-01"
+    sa = ct.initialize_job(ka, 0, 1000)
+    sb = ct.initialize_job(kb, 0, 1000)
+    assert ct.get(ka).job_instance_id == sa.job_instance_id
+    assert ct.get(kb).job_instance_id == sb.job_instance_id
+    assert sa.job_instance_id != sb.job_instance_id
+
+
+def test_corrupt_state_file_raises_descriptive_error(tmp_path):
+    """r10 review regression: a truncated state file (crash between
+    rename and data hitting disk on an un-synced FS) raised a bare
+    JSONDecodeError from every operation; it must now name the file and
+    the recovery, and deleting the file must recover the key."""
+    import os
+
+    import pytest
+
+    from aetherium_trader_datapipeline_spark.plans.control_table import (
+        ControlTable,
+        ControlTableCorruptError,
+        job_key,
+    )
+
+    ct = ControlTable(str(tmp_path))
+    key = job_key("ETH-USD", "2024-02-02")
+    ct.initialize_job(key, 0, 1000)
+    path = ct._path(key)
+    with open(path, "w") as f:
+        f.write("")  # zero-length: the torn-write shape
+    with pytest.raises(ControlTableCorruptError, match="delete it"):
+        ct.get(key)
+    with pytest.raises(ControlTableCorruptError):
+        ct.initialize_job(key, 0, 1000)
+    os.unlink(path)  # the documented recovery
+    st = ct.initialize_job(key, 0, 1000)
+    assert st.status == "RUNNING"

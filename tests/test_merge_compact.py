@@ -150,3 +150,107 @@ def test_merge_upsert_additive_schema_evolution(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(table).collect()
     }
     assert got == {1: ("v1", None), 2: ("v2-new", "extra2"), 3: ("v3", "extra3")}
+
+
+def test_merge_upsert_missing_seq_column_raises_not_overwrites(spark):
+    """r10 review regression: a broad except used to reclassify ANY read
+    failure as 'new table' and silently overwrite touched partitions with
+    only the change rows. A table seeded WITHOUT the seq column must now
+    fail loudly when merged WITH seq_col — and the stored data must be
+    untouched."""
+    import pytest
+
+    base = os.path.join(tempfile.mkdtemp(prefix="merge-seqmiss-"), "t")
+    seed = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1")], "k int, v string, d string"
+    )
+    merge_upsert(spark, base, seed, key_cols=["k"], partition_col="d")
+    chg = spark.createDataFrame([(1, "a2", "p1", 5)], "k int, v string, d string, seq int")
+    with pytest.raises(Exception, match="(?i)seq|resolve|column"):
+        merge_upsert(
+            spark, base, chg, key_cols=["k"], partition_col="d", seq_col="seq"
+        )
+    got = {(r.k, r.v) for r in spark.read.parquet(base).collect()}
+    assert got == {(1, "a"), (2, "b")}  # nothing lost
+
+
+def test_merge_upsert_schema_evolution_survives_next_merge(spark):
+    """r10 review regression: without mergeSchema on the read, the merge
+    after an additive evolution could sample an old footer and silently
+    NULL the evolved column for every kept row."""
+    base = os.path.join(tempfile.mkdtemp(prefix="merge-evo2-"), "t")
+    seed = spark.createDataFrame(
+        [(i, f"v{i}", "p1") for i in range(1, 9)], "k int, v string, d string"
+    )
+    merge_upsert(spark, base, seed, key_cols=["k"], partition_col="d")
+    # batch 1 evolves the schema with `note` for one key
+    b1 = spark.createDataFrame([(1, "v1b", "p1", "hello")],
+                               "k int, v string, d string, note string")
+    merge_upsert(spark, base, b1, key_cols=["k"], partition_col="d")
+    # batch 2 (no note column) updates a DIFFERENT key
+    b2 = spark.createDataFrame([(2, "v2b", "p1")], "k int, v string, d string")
+    merge_upsert(spark, base, b2, key_cols=["k"], partition_col="d")
+    rows = {r.k: (r.v, r.note)
+            for r in spark.read.option("mergeSchema", "true").parquet(base).collect()}
+    assert rows[1] == ("v1b", "hello")  # evolved value survived batch 2
+    assert rows[2] == ("v2b", None)
+    assert len(rows) == 8
+
+
+def test_merge_upsert_null_partition_value(spark):
+    """r10 review regression: isin() is NULL-blind, so rows in the NULL
+    partition were dropped from `keep` while the write still overwrote
+    __HIVE_DEFAULT_PARTITION__ — silent row loss."""
+    base = os.path.join(tempfile.mkdtemp(prefix="merge-nullpart-"), "t")
+    seed = spark.createDataFrame([(1, "a", None), (2, "b", "p2")],
+                                 "k int, v string, d string")
+    merge_upsert(spark, base, seed, key_cols=["k"], partition_col="d")
+    chg = spark.createDataFrame([(3, "c", None)], "k int, v string, d string")
+    merge_upsert(spark, base, chg, key_cols=["k"], partition_col="d")
+    got = {(r.k, r.v, r.d) for r in spark.read.parquet(base).collect()}
+    assert got == {(1, "a", None), (2, "b", "p2"), (3, "c", None)}
+
+
+def test_merge_upsert_escaped_partition_tombstone_cleanup(spark):
+    """r10 review regression: emptied-partition cleanup built the raw
+    unescaped path, so a partition value containing ':' (stored as %3A on
+    disk) was never deleted and its tombstoned rows resurrected."""
+    base = os.path.join(tempfile.mkdtemp(prefix="merge-escpart-"), "t")
+    pv = "2024-01-01 10:00:00"
+    seed = spark.createDataFrame([(1, "a", pv), (2, "b", "plain")],
+                                 "k int, v string, d string")
+    merge_upsert(spark, base, seed, key_cols=["k"], partition_col="d")
+    assert glob.glob(os.path.join(base, "d=2024-01-01 10%3A00%3A00"))
+    tomb = spark.createDataFrame([(1, None, pv, True)],
+                                 "k int, v string, d string, deleted boolean")
+    merge_upsert(spark, base, tomb, key_cols=["k"], partition_col="d",
+                 delete_col="deleted")
+    got = {(r.k, r.v, r.d) for r in spark.read.parquet(base).collect()}
+    assert got == {(2, "b", "plain")}  # tombstoned row did NOT resurrect
+    assert not glob.glob(os.path.join(base, "d=2024-01-01 10%3A00%3A00"))
+
+
+def test_compact_partitions_splits_large_partition(spark):
+    """r10 review regression: repartition on the partition column alone
+    pins every row of a value to ONE task → one oversized file per
+    partition regardless of target_file_bytes. With salting, a partition
+    several times the target must emit multiple files, each ~target."""
+    base = os.path.join(tempfile.mkdtemp(prefix="compact-split-"), "t")
+    df = spark.range(0, 60_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        F.lit("big").alias("d"),
+    )
+    df.repartition(8).write.partitionBy("d").parquet(base)
+    import os as _os
+    total = sum(
+        _os.path.getsize(f) for f in glob.glob(_os.path.join(base, "d=big", "*.parquet"))
+    )
+    target = max(1, total // 5)  # expect ~5 output files
+    stats = compact_partitions(
+        spark, base, partition_col="d", sort_cols=["k"], target_file_bytes=target
+    )
+    files_after = glob.glob(_os.path.join(base, "d=big", "*.parquet"))
+    assert stats["target_files"] >= 4
+    assert len(files_after) >= 3  # split, not a single monolithic file
+    assert spark.read.parquet(base).count() == 60_000

@@ -419,7 +419,7 @@ def test_collect_sites_are_allowlisted():
         "streaming/rollup.py": (1, "distinct dates in one micro-batch"),
         "operators/replay.py": (1, "single min/max bounds row"),
         "operators/inspect.py": (1, "per-file row-count audit: O(files)"),
-        "operators/merge.py": (3, "touched/surviving partition lists + file list"),
+        "operators/merge.py": (2, "touched/surviving partition lists (compaction sizes from an FS listing, no collect)"),
         "operators/graph.py": (1, "one checksum scalar (label sum)"),
         "operators/curation.py": (2, "k-means: k seed rows + k*dim centroids"),
         "operators/similarity.py": (2, "IVF: n_centroids seeds + k*dim means"),
