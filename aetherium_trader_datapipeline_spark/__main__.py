@@ -47,16 +47,21 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         trigger_seconds=args.trigger,
         quarantine_dir=args.quarantine,
     )
+    def stop_all():
+        q.stop()
+        if q.quarantine_query is not None:
+            q.quarantine_query.stop()
+
     if args.duration:
         time.sleep(args.duration)
-        q.stop()
+        stop_all()
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"ingested_rows": n, "seconds": args.duration}))
     else:  # run until interrupted (reference: raced against ctrl_c)
         try:
             q.awaitTermination()
         except KeyboardInterrupt:
-            q.stop()
+            stop_all()
     return 0
 
 

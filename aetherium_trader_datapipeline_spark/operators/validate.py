@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, DoubleType
 
 
 TICK_SCHEMA_DDL = (
@@ -44,14 +45,19 @@ def validate_ticks(
     return df.where(cond), df.where(~cond)
 
 
-@pandas_udf("boolean")
+# DataType OBJECTS, not DDL strings: a string return type is parsed
+# through the active SparkContext at DECORATION time, which made
+# importing this module crash in any process that had not built its
+# session yet — every standalone CLI invocation (r10; pytest never
+# saw it because conftest creates the session first)
+@pandas_udf(BooleanType())
 def tick_valid_pandas(symbol: pd.Series, price: pd.Series) -> pd.Series:
     """Arrow-batched validation kernel (Q38 UDF surface): same contract as
     tick_valid_expr for a single price column."""
     return symbol.notna() & (symbol.str.strip() != "") & price.notna() & (price > 0)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def sum_of_squares(v: pd.Series) -> float:
     """GROUPED_AGG pandas UDAF (Q38 UDAF surface): Σ v² per group."""
     return float((v * v).sum())

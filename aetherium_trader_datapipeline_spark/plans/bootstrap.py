@@ -44,12 +44,22 @@ def bootstrap_control_table(
     - returned DataFrame: (gap_start, gap_end, days) — the holes in
       [expected_start, expected_end] that need backfill tasks.
     """
-    ticks = spark.read.parquet(data_dir).where(F.col("symbol") == symbol)
-    per_day = (
-        ticks.groupBy("date")
-        .agg(F.max(F.unix_micros("timestamp")).alias("max_ts_us"))
-        .collect()
-    )
+    # disaster recovery must survive the disaster: a missing/empty lake
+    # path means "no days ingested" and the WHOLE expected range is the
+    # gap — previously the read itself crashed the recovery tool (r10
+    # review finding)
+    from aetherium_trader_datapipeline_spark.operators.merge import _hadoop_fs
+
+    fs, root = _hadoop_fs(spark, data_dir)
+    if fs.exists(root):
+        ticks = spark.read.parquet(data_dir).where(F.col("symbol") == symbol)
+        per_day = (
+            ticks.groupBy("date")
+            .agg(F.max(F.unix_micros("timestamp")).alias("max_ts_us"))
+            .collect()
+        )
+    else:
+        per_day = []
     now = now if now is not None else dt.datetime.now(dt.timezone.utc).timestamp()
     for r in per_day:
         day = str(r.date)
@@ -60,7 +70,12 @@ def bootstrap_control_table(
         st = control.initialize_job(key, day_start_ms, day_start_ms + 86_400_000, now=now)
         control.update_cursor(key, st.job_instance_id, r.max_ts_us // 1000)
         control.update_status(key, st.job_instance_id, COMPLETED)
-    present = ticks.select(F.col("date").alias("d")).distinct()
+    # `present` from the rows already collected — a second distinct()
+    # over `ticks` re-scanned the whole symbol's files for dates the
+    # per-day aggregate already holds (r10 review finding)
+    present = spark.createDataFrame(
+        [(r.date,) for r in per_day], "d DATE"
+    )
     return detect_gaps(present, expected_start, expected_end)
 
 
@@ -72,7 +87,10 @@ def backoff_delays(
     out = []
     for i in range(attempts):
         jitter = ((hash((jitter_key, i)) % 1000) / 1000.0) * 0.25
-        out.append(min(cap_s, base_s * (2**i)) * (1.0 + jitter))
+        # cap AFTER jitter: cap_s is the documented ceiling callers size
+        # timeouts to — jitter applied outside the min() exceeded it by
+        # up to 25% (r10 review finding)
+        out.append(min(cap_s, base_s * (2**i) * (1.0 + jitter)))
     return out
 
 

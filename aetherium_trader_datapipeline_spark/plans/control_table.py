@@ -224,6 +224,31 @@ class ControlTable:
 
         self._mutate(key, instance_id, apply)
 
+    def add_critical_range(
+        self, key: str, instance_id: str, start: str, end: str
+    ) -> None:
+        """Record a failed day range on the job state (the reference's
+        ``critical_ranges`` field, job_state.rs:38-50) so a retry re-plans
+        it even though the cursor HWM has moved past it — the cursor alone
+        cannot distinguish "day done" from "a later day done"."""
+        rng = {"start": start, "end": end}
+
+        def apply(st: JobState) -> None:
+            if rng not in st.critical_ranges:
+                st.critical_ranges.append(rng)
+
+        self._mutate(key, instance_id, apply)
+
+    def remove_critical_range(
+        self, key: str, instance_id: str, start: str, end: str
+    ) -> None:
+        rng = {"start": start, "end": end}
+
+        def apply(st: JobState) -> None:
+            st.critical_ranges = [r for r in st.critical_ranges if r != rng]
+
+        self._mutate(key, instance_id, apply)
+
     def heartbeat(self, key: str, instance_id: str, now: float | None = None) -> None:
         hb = now if now is not None else dt.datetime.now(dt.timezone.utc).timestamp()
 

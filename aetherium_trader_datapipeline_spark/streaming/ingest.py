@@ -67,28 +67,57 @@ def ingest_stream(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     q = writer.start()
+    # the quarantine handle rides on the returned query as a plain Python
+    # attribute so callers can await/stop it alongside the main query
+    q.quarantine_query = None
     if quarantine_dir is not None:
-        (
+        qw = (
             with_partition_cols(ticks.where(~tick_valid_expr()))
             .writeStream.format("parquet")
             .option("path", quarantine_dir)
             .option("checkpointLocation", checkpoint_dir + "_quarantine")
             .partitionBy("symbol", "date", "hour")
             .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
         )
+        # SAME trigger as the main query: a hardcoded availableNow trigger
+        # here drained only the data present at startup and then stopped,
+        # silently dropping every later invalid row of a CONTINUOUS run
+        # (r10 review)
+        if available_now:
+            qw = qw.trigger(availableNow=True)
+        else:
+            qw = qw.trigger(processingTime=f"{trigger_seconds} seconds")
+        q.quarantine_query = qw.start()
     return q
 
 
-def ingest_batch(ticks: DataFrame, out_dir: str) -> None:
+def ingest_batch(ticks: DataFrame, out_dir: str) -> tuple[int, int | None]:
     """Batch form of the same sink (backfill persist path, op P2): append
-    day partitions idempotently via dynamic partition overwrite."""
-    spark = ticks.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    day partitions idempotently via dynamic partition overwrite.
+
+    Returns ``(rows_written, max_ts_us)`` measured by ``observe()`` ON THE
+    WRITE ACTION ITSELF — the persisted, validity-filtered rows in ONE
+    pass.  The backfill loop previously recomputed count/max(ts) on the
+    UNFILTERED source plan in two extra actions, so (a) a day whose last
+    rows were invalid advanced the cursor past data that was never
+    persisted, and (b) a non-deterministic live fetch was executed three
+    times with three potentially different answers (r10 review)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = with_partition_cols(ticks.where(tick_valid_expr())).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.max(F.unix_micros("timestamp")).alias("max_ts_us"),
+    )
     (
-        with_partition_cols(ticks.where(tick_valid_expr()))
-        .write.mode("overwrite")
+        out.write.mode("overwrite")
+        # scoped to THIS write: setting the session-wide conf leaked
+        # dynamic-overwrite semantics into every later unrelated
+        # partitioned overwrite in the session (r10 review)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("symbol", "date", "hour")
         .parquet(out_dir)
     )
+    got = obs.get
+    return int(got["rows"]), got["max_ts_us"]

@@ -402,3 +402,86 @@ def test_corrupt_state_file_raises_descriptive_error(tmp_path):
     os.unlink(path)  # the documented recovery
     st = ct.initialize_job(key, 0, 1000)
     assert st.status == "RUNNING"
+
+
+def test_backfill_failed_day_replanned_on_retry(spark, tmp_path, control):
+    """r10 review regression: a failed day EARLIER than a later successful
+    day sits below the cursor HWM, so the gap/cursor planner alone never
+    revisits it — the retry used to mark the job COMPLETED with the day
+    permanently missing from the lake. critical_ranges (the reference's
+    field for exactly this) must carry it into the retry plan."""
+    import datetime as dt
+
+    from aetherium_trader_datapipeline_spark.plans.backfill_service import (
+        backfill_range,
+    )
+    from aetherium_trader_datapipeline_spark.sources.ticks import historical_ticks
+
+    data_dir = str(tmp_path / "t")
+    calls = {"fail": True}
+
+    def fetch(spark, symbol, day):
+        if day == "2024-01-03" and calls["fail"]:
+            raise RuntimeError("gateway down")
+        return historical_ticks(spark, symbol, day, today=dt.date(2024, 6, 1))
+
+    r1 = backfill_range(
+        spark, control, fetch, data_dir, "NQ", "2024-01-02", "2024-01-04"
+    )
+    assert r1.failed_days == ["2024-01-03"]
+    key = "ingest:job:NQ:2024-01-02"
+    st = control.get(key)
+    assert st.status == "FAILED"
+    assert {"start": "2024-01-03", "end": "2024-01-03"} in st.critical_ranges
+    # cursor advanced past the failed day (01-04 succeeded) — the hole
+    # is invisible to cursor/gap planning alone
+    assert st.cursor > int(
+        dt.datetime(2024, 1, 3, 23, 59, tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    assert spark.read.parquet(data_dir).where("date = '2024-01-03'").count() == 0
+
+    calls["fail"] = False  # gateway recovers
+    r2 = backfill_range(
+        spark, control, fetch, data_dir, "NQ", "2024-01-02", "2024-01-04"
+    )
+    assert "2024-01-03" not in r2.failed_days
+    st = control.get(key)
+    assert st.status == "COMPLETED"
+    assert st.critical_ranges == []  # cleared on success
+    assert spark.read.parquet(data_dir).where("date = '2024-01-03'").count() == 1440
+
+
+def test_backfill_cursor_reflects_persisted_rows_only(spark, tmp_path, control):
+    """r10 review regression: the cursor was computed from the UNFILTERED
+    fetch plan, so a day whose last rows were invalid advanced the HWM
+    past data that was never persisted. The metrics now come from
+    observe() on the write itself."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.plans.backfill_service import (
+        backfill_range,
+    )
+    from aetherium_trader_datapipeline_spark.sources.ticks import historical_ticks
+
+    def fetch(spark, symbol, day):
+        t = historical_ticks(spark, symbol, day, today=dt.date(2024, 6, 1))
+        # last 10 minutes of the day become INVALID (negative price)
+        cutoff = dt.datetime(2024, 1, 2, 23, 50, tzinfo=dt.timezone.utc)
+        return t.withColumn(
+            "bid_price",
+            F.when(F.col("timestamp") >= F.lit(cutoff), -1.0).otherwise(
+                F.col("bid_price")
+            ),
+        )
+
+    r = backfill_range(
+        spark, control, fetch, str(tmp_path / "t"), "NQ", "2024-01-02", "2024-01-02"
+    )
+    st = control.get("ingest:job:NQ:2024-01-02")
+    last_valid = int(
+        dt.datetime(2024, 1, 2, 23, 49, tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    assert st.cursor == last_valid  # NOT 23:59 — invalid tail not persisted
+    assert r.total_ticks == 1440 - 10  # counts persisted rows only

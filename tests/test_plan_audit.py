@@ -415,7 +415,7 @@ def test_collect_sites_are_allowlisted():
     # file -> (expected .collect() count, bound argument)
     allow = {
         "plans/bootstrap.py": (1, "per-date max-ts: O(existing dates)"),
-        "plans/backfill_service.py": (2, "backfill day list + max-ts scalar"),
+        "plans/backfill_service.py": (1, "backfill day list (write metrics now come from observe() on the write itself)"),
         "streaming/rollup.py": (1, "distinct dates in one micro-batch"),
         "operators/replay.py": (1, "single min/max bounds row"),
         "operators/inspect.py": (1, "per-file row-count audit: O(files)"),

@@ -1069,3 +1069,55 @@ def test_stateful_holt_winters_stream_equals_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) == 200
+
+
+def test_quarantine_query_matches_main_trigger(spark, tmp_path):
+    """r10 review regression: the quarantine query was hardcoded to
+    trigger(availableNow=True), so on a CONTINUOUS run it drained the
+    startup data then stopped — every later invalid row was silently
+    dropped. It must follow the main query's trigger and its handle must
+    be reachable for stop/await."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.streaming.ingest import ingest_stream
+
+    # continuous rate stream where every other row is invalid
+    src = (
+        spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        .select(
+            F.col("timestamp"),
+            F.lit("NQ").alias("symbol"),
+            F.when(F.col("value") % 2 == 0, 100.0).otherwise(-1.0).alias("bid_price"),
+            F.lit(1).alias("bid_size"),
+            F.lit(100.5).alias("ask_price"),
+            F.lit(1).alias("ask_size"),
+            F.lit(100.2).alias("last_price"),
+            F.lit(1).alias("last_size"),
+        )
+    )
+    out, qdir = str(tmp_path / "out"), str(tmp_path / "quar")
+    q = ingest_stream(
+        src, out, str(tmp_path / "ck"), trigger_seconds=1, quarantine_dir=qdir
+    )
+    assert q.quarantine_query is not None
+    try:
+        # poll the sink — processAllAvailable never returns on a rate
+        # source (new data keeps arriving); the processingTime trigger
+        # drains it continuously on its own
+        deadline = time.time() + 90
+        seen = 0
+        while time.time() < deadline:
+            try:
+                seen = spark.read.parquet(qdir).count()
+            except Exception:
+                seen = 0
+            if seen >= 20:  # well past the startup batch
+                break
+            time.sleep(1)
+        assert q.quarantine_query.isActive  # continuous, not drained-and-dead
+        assert seen >= 20
+    finally:
+        q.stop()
+        q.quarantine_query.stop()
