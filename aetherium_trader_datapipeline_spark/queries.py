@@ -1093,6 +1093,34 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x384_roll_spread", "x385_amihud_illiquidity",
         "x386_semivariance_bipower", "x387_fk_readability",
         "x388_mojibake_screen", "x389_lexical_diversity",
+        # CORRECTNESS_r10.json — all 50 green (derived from the actual row
+        # keys; zero reds).  The x390–x439 rotation window, exactly as the
+        # r10 full-tail pre-check replica predicted.
+        "x390_calibration_ece", "x391_woe_iv",
+        "x392_image_dhash", "x393_parkinson_vol",
+        "x394_garman_klass_vol", "x395_corwin_schultz",
+        "x396_effective_tick", "x397_association_rules",
+        "x398_compaction_plan", "x399_expected_shortfall",
+        "x400_drawdown_duration", "x401_implementation_shortfall",
+        "x402_participation_rate", "x403_order_size_distribution",
+        "x404_chunked_window_rv", "x405_jpeg_progressive_stats",
+        "x406_jpeg_420_pixel_stats", "x407_jpeg_progressive_color_stats",
+        "x408_jpeg_sa_progressive_stats", "x409_scaling_law_fit",
+        "x410_data_constrained_tokens", "x411_neyman_allocation",
+        "x412_ks_two_sample", "x413_mannwhitney_u",
+        "x414_chi2_independence", "x415_cuped_adjustment",
+        "x416_srm_check", "x417_event_study_car",
+        "x418_posting_delta_bits", "x419_encoding_size_estimate",
+        "x420_maxscore_prune", "x421_spearman_corr",
+        "x422_brier_decomposition", "x423_cohens_kappa",
+        "x424_adf_test", "x425_mean_reversion_halflife",
+        "x426_pairs_cointegration", "x427_modularity",
+        "x428_hits_scores", "x429_edge_cut_balance",
+        "x430_shapley_attribution", "x431_pinball_loss",
+        "x432_kendall_tau", "x433_hill_tail_index",
+        "x434_sortino_calmar", "x435_obv_adl",
+        "x436_tokenizer_fertility", "x437_shuffle_cost_model",
+        "x438_bloom_size_plan", "x439_mcv_stats",
     }
 )
 
@@ -1105,24 +1133,26 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Round-10 window: CORRECTNESS_r09.json came back 50/50 green (x340–x389,
-    # exactly the keys the r9 pre-check replica predicted).  All 50 are
-    # absorbed into _DRIVER_VERIFIED above (derived from the actual row keys)
-    # — cumulative driver-green is now 389/575 (67.7%).  No reds, so no
-    # `front` re-run list this round: the r10 window is simply the next 50
-    # never-verified keys in registration order (x390–x439).
+    # Round-11 window: CORRECTNESS_r10.json came back 50/50 green (x390–x439,
+    # exactly the keys the r10 full-tail pre-check replica predicted).  All
+    # 50 are absorbed into _DRIVER_VERIFIED above (derived from the actual
+    # row keys) — cumulative driver-green is now 439/575 (76.3%).  No reds,
+    # so no `front` re-run list this round: the r11 window is simply the next
+    # 50 never-verified keys in registration order (x440–x489).
     #
-    # ROUND-11 TODO (absorb after CORRECTNESS_r10.json lands): move the r10
+    # ROUND-12 TODO (absorb after CORRECTNESS_r11.json lands): move the r11
     # window's green keys into _DRIVER_VERIFIED.  Re-derive the list from
-    # CORRECTNESS_r10.json's actual row keys; any red row stays unverified
-    # and leads the r11 window via a `front` list.  186 keys remain
-    # never-verified after r9 — at 50/round the rotation needs ~4 more clean
-    # rounds, with the local type-strict oracle gate
-    # (tests/test_queries_oracle.py, all keys every session) plus the sf1
-    # full-registry sweep (SCALE.md) as the compensating controls.  Registry
-    # growth is FROZEN (VERDICT r6 ask #4, reaffirmed r7/r8/r9) until driver
-    # coverage crosses ~80% (reached at r11 if windows stay clean).  Keep
-    # absorbing at round-open, every round.
+    # CORRECTNESS_r11.json's actual row keys; any red row stays unverified
+    # and leads the r12 window via a `front` list.  136 keys remain
+    # never-verified after r10 — at 50/round the rotation closes at r13,
+    # with the local type-strict oracle gate (tests/test_queries_oracle.py,
+    # all keys every session), the r10 full-tail replica pre-check
+    # (.data/precheck_r10_full_tail.jsonl, 186/186 green at sf0.01) and the
+    # sf1 full-registry sweep (SCALE.md) as the compensating controls.
+    # Registry growth stays FROZEN at 575 (VERDICT r6 ask #4, reaffirmed
+    # every round since) — coverage crosses the 80% unfreeze bar at r11
+    # close (489/575 = 85%) if this window is clean.  Keep absorbing at
+    # round-open, every round.
 
     def tier(k: str) -> int:
         if k in _DRIVER_VERIFIED:
