@@ -5,6 +5,15 @@ x442 — vocabulary coverage curve: the share of corpus tokens covered by
 the top-k vocabulary for k ∈ {10, 100, 1000} — the table that sizes a
 tokenizer's vocab against its OOV rate (Heaps x306 gives growth; this
 gives coverage).  Rank by exact counts, cumulative integer sums.
+Scale shape: only k ≤ 1000 reaches the output, so the corpus total is a
+separate scalar aggregate and the rank/cumsum windows run on the
+`ORDER BY c DESC LIMIT 1000` relation (TakeOrderedAndProject — a
+per-partition top-k merge, never a global sort).  A 100 TB web corpus
+has a 1e8–1e9-term vocabulary; the earlier form ran ROW_NUMBER/SUM OVER
+an unpartitioned window across ALL of it through one task
+(WindowExec "No Partition Defined"), which is the canonical
+single-task scale killer.  The bounded form's only single-partition
+window sits above a 1000-row LIMIT.
 
 x443 — pairs-trading z-score backtest over the x426 cointegration
 spine: spread = ya − β·xb (β from exact hedge moments, spread
@@ -33,16 +42,23 @@ _X442 = """
     counts AS (
       SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term
     ),
-    ranked AS (
-      SELECT c,
-             ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk,
-             SUM(c) OVER () AS total
-      FROM counts
+    total AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM counts
+    ),
+    top_terms AS (
+      -- ORDER BY + LIMIT plans as TakeOrderedAndProject: each partition
+      -- keeps its local top-1000, the driver merges 1000 x n_partitions
+      -- rows.  The vocabulary relation (1e8-1e9 terms at corpus scale)
+      -- is never globally sorted and never crosses one task.
+      SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 1000
     ),
     cum AS (
-      SELECT rk, total,
-             SUM(c) OVER (ORDER BY rk) AS covered
-      FROM ranked
+      -- Single-partition windows, but over the <= 1000-row LIMIT above.
+      SELECT ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, term
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS covered
+      FROM top_terms
     ),
     ks AS (SELECT 10 AS k UNION ALL SELECT 100 UNION ALL SELECT 1000)
     SELECT ks.k,
@@ -51,8 +67,9 @@ _X442 = """
            CAST(MAX(CASE WHEN cum.rk <= ks.k THEN cum.covered END)
                 AS BIGINT) AS tokens_covered,
            ROUND(CAST(MAX(CASE WHEN cum.rk <= ks.k THEN cum.covered END)
-                      AS DOUBLE) / MAX(cum.total), 6) AS coverage_share
-    FROM ks JOIN cum ON cum.rk <= ks.k
+                      AS DOUBLE) / MAX(total.total_tokens), 6)
+             AS coverage_share
+    FROM ks CROSS JOIN total JOIN cum ON cum.rk <= ks.k
     GROUP BY ks.k ORDER BY ks.k
 """
 
