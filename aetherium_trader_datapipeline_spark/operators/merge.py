@@ -53,6 +53,25 @@ def _partition_dir(spark: SparkSession, partition_col: str, value) -> str:
     return f"{partition_col}={u.escapePathName(str(value))}"
 
 
+def _table_has_data(fs, root, partition_col: str) -> bool:
+    """True iff the table root holds at least one partition directory or
+    data file.  A table fully drained by a tombstone batch leaves the root
+    with only _SUCCESS (emptied-partition cleanup removed the dirs); bare
+    ``fs.exists(root)`` would classify that as an existing table and the
+    subsequent read would die on schema inference instead of taking the
+    new-table insert path (r10 advice)."""
+    if not fs.exists(root):
+        return False
+    prefix = f"{partition_col}="
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            return True
+        if st.isFile() and not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def merge_upsert(
     spark: SparkSession,
     table_path: str,
@@ -107,9 +126,12 @@ def merge_upsert(
         # Existence is probed EXPLICITLY: a broad except around the read
         # used to reclassify ANY failure (missing seq column, transient FS
         # error) as "new table" and silently overwrite touched partitions
-        # with only the change rows (r10 review finding).
+        # with only the change rows (r10 review finding).  The probe is a
+        # LISTING, not a bare exists(): a fully-drained table (all
+        # partitions tombstoned away) leaves the root with only _SUCCESS,
+        # which must take the new-table path, not a schema-inference crash.
         fs, root = _hadoop_fs(spark, table_path)
-        if fs.exists(root):
+        if _table_has_data(fs, root, partition_col):
             # mergeSchema: after an additive-evolution merge the footer
             # Spark samples for the schema may predate the new column,
             # which would silently NULL it for every kept row
@@ -146,8 +168,17 @@ def merge_upsert(
         # `surviving` collect, then the write), and the write's dynamic
         # overwrite deletes the very files the plan reads — truncating the
         # lineage here both halves the cost and removes the self-overwrite
-        # read hazard.
-        merged = merged.localCheckpoint()
+        # read hazard.  localCheckpoint stores blocks on executors only:
+        # under dynamic allocation or executor loss those blocks are
+        # unrecoverable and a large production merge fails mid-write (no
+        # data loss — the overwrite hasn't committed — but fragile exactly
+        # when executors churn).  When the session has a RELIABLE
+        # checkpoint dir configured, use it; localCheckpoint stays the
+        # fast path for local mode / unconfigured sessions (r10 advice).
+        if spark.sparkContext.getCheckpointDir() is not None:
+            merged = merged.checkpoint()
+        else:
+            merged = merged.localCheckpoint()
         # Dynamic overwrite only replaces partitions PRESENT in the output;
         # a partition fully emptied by tombstones writes no rows, so its old
         # files would survive.
@@ -223,13 +254,19 @@ def compact_partitions(
 ) -> dict:
     """Rewrite the given partitions (default: all) into ~target-size files.
 
-    File count per partition = ceil(partition_bytes / target): each row is
-    salted into one of that many buckets, so a 10 GB partition becomes ~80
-    parallel target-size files instead of one single-task 10 GB file
-    (hash-repartitioning on the partition column ALONE pins every row of a
-    value to one task — the r10 review's straggler finding).  Rows are
-    re-sorted by `sort_cols` inside each output file so footer min/max
-    stats stay tight after compaction.
+    Total output-file budget = Σ ceil(partition_bytes / target) from a
+    filesystem LISTING (no data scan).  Rows are RANGE-partitioned on
+    (partition_col, sort_cols): each output file covers a disjoint
+    sort-key range, so parquet footer min/max stays tight at the FILE
+    level — the earlier hash-salt spread every file's footer across the
+    whole key range, defeating exactly the file-level pruning compaction
+    exists to preserve (r10 advice).  Range boundaries come from Spark's
+    reservoir sample, so a 10 GB partition still fans out over ~80
+    parallel tasks instead of one straggler (hash-repartitioning on the
+    partition column alone pinned every row of a value to one task — the
+    r10 review's straggler finding), and per-partition file counts track
+    row counts.  Rows are re-sorted by `sort_cols` inside each output
+    file so row-group stats stay tight too.
     """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -252,29 +289,16 @@ def compact_partitions(
                 pred = pred | F.col(partition_col).isNull()
             df = df.where(pred)
 
-        # salt = uniform bucket in [0, k_p) with k_p from the size map —
-        # joined on the STRING form of the partition value (the listing
-        # yields strings; <=> handles the NULL partition)
-        kmap = spark.createDataFrame(k_rows, f"__pv string, __k long")
-        salted = (
-            df.join(
-                F.broadcast(kmap),
-                on=F.col(partition_col).cast("string").eqNullSafe(F.col("__pv")),
-                how="left",
-            )
-            .drop("__pv")
-            .withColumn(
-                "__salt",
-                F.pmod(
-                    F.hash(*[F.col(c) for c in (sort_cols or df.columns)]),
-                    F.coalesce(F.col("__k"), F.lit(1)),
-                ),
-            )
-            .drop("__k")
-        )
-        out = salted.repartition(
-            int(max(1, n_out)), F.col(partition_col), F.col("__salt")
-        ).drop("__salt")
+        # Range partitioning on (partition, sort key): boundaries from
+        # Spark's sample, so each task — hence each output file — holds a
+        # contiguous, disjoint slice of the sort-key domain within its
+        # table partition.  (The NULL partition sorts first; ties across a
+        # boundary may straddle two files, which costs at most one extra
+        # file probe per boundary value.)
+        range_cols = [F.col(partition_col)] + [
+            F.col(c) for c in (sort_cols or [c for c in df.columns if c != partition_col])
+        ]
+        out = df.repartitionByRange(int(max(1, n_out)), *range_cols)
         if sort_cols:
             out = out.sortWithinPartitions(partition_col, *sort_cols)
         out.write.mode("overwrite").partitionBy(partition_col).parquet(table_path)

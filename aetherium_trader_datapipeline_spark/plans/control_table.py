@@ -92,6 +92,20 @@ class ControlTable:
 
     def get(self, key: str) -> JobState | None:
         path = self._path(key)
+        # One-time migration from the pre-percent-encoding ':'→'_' filename
+        # scheme: without it a job last written by an older version would
+        # silently re-initialize with a reset cursor (get() misses the
+        # legacy name) while as_dataframe kept listing the orphaned legacy
+        # file — a ghost duplicate of the same job_key.  The rename is
+        # atomic; a concurrent reader losing the race just finds the file
+        # already moved.
+        if not os.path.exists(path):
+            legacy = os.path.join(self.root, key.replace(":", "_") + ".json")
+            if legacy != path and os.path.exists(legacy):
+                try:
+                    os.replace(legacy, path)
+                except FileNotFoundError:
+                    pass  # another reader migrated it first
         try:
             with open(path) as f:
                 return JobState(**json.load(f))

@@ -485,3 +485,31 @@ def test_backfill_cursor_reflects_persisted_rows_only(spark, tmp_path, control):
     )
     assert st.cursor == last_valid  # NOT 23:59 — invalid tail not persisted
     assert r.total_ticks == 1440 - 10  # counts persisted rows only
+
+
+def test_legacy_underscore_state_file_migrates_on_read(control):
+    """r10 advice regression: the pre-percent-encoding scheme wrote
+    'ingest:job:X:D' as 'ingest_job_X_D.json'.  get() must find and
+    migrate that file instead of silently re-initializing the job with a
+    reset cursor while the orphaned legacy row keeps surfacing in
+    listings."""
+    import json as _json
+    import os as _os
+
+    key = "ingest:job:NQ:2024-01-02"
+    st = control.initialize_job(key, day_start_ms=1000, end_time_ms=2000)
+    control.update_cursor(key, st.job_instance_id, 1500)
+    # simulate a state file written by the old version: rename the
+    # current (percent-encoded) file to the legacy ':'->'_' name
+    new_path = control._path(key)
+    legacy = _os.path.join(control.root, key.replace(":", "_") + ".json")
+    _os.rename(new_path, legacy)
+
+    got = control.get(key)
+    assert got is not None and got.cursor == 1500  # found via fallback
+    assert _os.path.exists(new_path)  # migrated to the canonical name
+    assert not _os.path.exists(legacy)  # no ghost duplicate left behind
+    # and a fresh initialize resumes (stale takeover path), not a reset
+    st2 = control.initialize_job(key, day_start_ms=1000, end_time_ms=2000,
+                                 now=_json.loads("9999999999.0"))
+    assert st2.cursor == 1500

@@ -254,3 +254,59 @@ def test_compact_partitions_splits_large_partition(spark):
     assert stats["target_files"] >= 4
     assert len(files_after) >= 3  # split, not a single monolithic file
     assert spark.read.parquet(base).count() == 60_000
+
+
+def test_compact_partitions_files_have_disjoint_sort_ranges(spark):
+    """r10 advice regression: the hash-salt split made every output file's
+    footer min/max span the whole sort-key domain, defeating file-level
+    pruning.  Range partitioning must produce (near-)disjoint per-file key
+    ranges: total overlap across file [min,max] spans stays at boundary
+    ties, not full-domain."""
+    base = os.path.join(tempfile.mkdtemp(prefix="compact-range-"), "t")
+    df = spark.range(0, 60_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        F.lit("big").alias("d"),
+    )
+    df.repartition(8).write.partitionBy("d").parquet(base)
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(base, "d=big", "*.parquet"))
+    )
+    compact_partitions(
+        spark, base, partition_col="d", sort_cols=["k"],
+        target_file_bytes=max(1, total // 5),
+    )
+    files = glob.glob(os.path.join(base, "d=big", "*.parquet"))
+    assert len(files) >= 3
+    spans = []
+    for f in files:
+        pdf = spark.read.parquet(f).agg(
+            F.min("k").alias("lo"), F.max("k").alias("hi")
+        ).collect()[0]
+        spans.append((pdf.lo, pdf.hi))
+    spans.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        # disjoint up to a single boundary tie value
+        assert lo2 >= hi1, f"overlapping file ranges: {spans}"
+    assert spark.read.parquet(base).count() == 60_000
+
+
+def test_merge_upsert_into_fully_drained_table_root(spark):
+    """r10 advice regression: a table fully emptied by tombstones leaves
+    the root with only _SUCCESS; the next merge must take the new-table
+    insert path instead of dying on schema inference."""
+    base = os.path.join(tempfile.mkdtemp(prefix="merge-drain-"), "t")
+    seed = spark.createDataFrame([(1, "a", "p1")], "k int, v string, d string")
+    merge_upsert(spark, base, seed, key_cols=["k"], partition_col="d")
+    kill = spark.createDataFrame(
+        [(1, None, "p1", True)], "k int, v string, d string, is_delete boolean"
+    )
+    merge_upsert(spark, base, kill, key_cols=["k"], partition_col="d",
+                 delete_col="is_delete")
+    assert os.path.isdir(base)  # root survives (e.g. _SUCCESS marker)
+    assert not glob.glob(os.path.join(base, "d=*"))
+    # re-seed: must insert cleanly, not crash on an unreadable empty table
+    reseed = spark.createDataFrame([(2, "b", "p2")], "k int, v string, d string")
+    merge_upsert(spark, base, reseed, key_cols=["k"], partition_col="d")
+    assert _rows(spark, base) == {(2, "b", "p2")}
