@@ -106,11 +106,17 @@ _X428 = """
     a2 AS (
       SELECT p.term, CAST(SUM(h1.hub) AS BIGINT) AS auth
       FROM postings p JOIN h1 ON p.doc_id = h1.doc_id GROUP BY p.term
+    ),
+    mx AS (
+      -- scalar max as an aggregate, not MAX() OVER (): the window form
+      -- funnelled the whole per-term relation (vocabulary-sized) through
+      -- one task just to read its max (the x442 class)
+      SELECT CAST(MAX(auth) AS BIGINT) AS max_auth FROM a2
     )
     SELECT a2.term, a1.df, a2.auth AS authority_score,
-           ROUND(CAST(a2.auth AS DOUBLE) / MAX(a2.auth) OVER (), 6)
+           ROUND(CAST(a2.auth AS DOUBLE) / mx.max_auth, 6)
              AS authority_norm
-    FROM a2 JOIN a1 ON a2.term = a1.term
+    FROM a2 JOIN a1 ON a2.term = a1.term CROSS JOIN mx
     ORDER BY a2.auth DESC, a2.term LIMIT 20
 """
 

@@ -69,18 +69,36 @@ _X552 = """
              p.mu
       FROM per_user u CROSS JOIN params p
     ),
+    -- top-5 / bottom-5 via ORDER BY ... LIMIT (TakeOrderedAndProject,
+    -- per-partition top-k): the earlier form ranked EVERY user through
+    -- one unpartitioned ROW_NUMBER window just to keep ten rows (the
+    -- x442 class).  A top-5 row that is also a bottom-5 row (tiny
+    -- populations) keeps the 'top_raw' bucket, exactly like hi<=5 won
+    -- the old CASE.
+    top5 AS (
+      SELECT user_id, n, k, raw_rate, eb_rate, mu
+      FROM shrunk ORDER BY raw_rate DESC, user_id LIMIT 5
+    ),
+    bot5 AS (
+      SELECT user_id, n, k, raw_rate, eb_rate, mu
+      FROM shrunk ORDER BY raw_rate, user_id LIMIT 5
+    ),
     extremes AS (
-      SELECT *, ROW_NUMBER() OVER (ORDER BY raw_rate DESC, user_id) AS hi,
-             ROW_NUMBER() OVER (ORDER BY raw_rate, user_id) AS lo
-      FROM shrunk
+      SELECT user_id, n, k, raw_rate, eb_rate, mu, 'top_raw' AS bucket
+      FROM top5
+      UNION ALL
+      SELECT b.user_id, b.n, b.k, b.raw_rate, b.eb_rate, b.mu,
+             'bottom_raw' AS bucket
+      FROM bot5 b
+      WHERE NOT EXISTS (SELECT 1 FROM top5 t WHERE t.user_id = b.user_id)
     )
     SELECT CAST(user_id AS BIGINT) AS user_id, n AS n_events,
            k AS n_purchases,
            ROUND(raw_rate, 6) AS raw_rate,
            ROUND(eb_rate, 6) AS eb_rate,
            ROUND(mu, 6) AS population_rate,
-           CASE WHEN hi <= 5 THEN 'top_raw' ELSE 'bottom_raw' END AS bucket
-    FROM extremes WHERE hi <= 5 OR lo <= 5
+           bucket
+    FROM extremes
     ORDER BY raw_rate DESC, user_id
 """
 

@@ -24,13 +24,19 @@ _X273_FMT = """
       GROUP BY tok
     ),
     top AS (
-      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk
-      FROM tf ORDER BY f DESC, tok LIMIT 100
+      -- LIMIT BEFORE the rank window (TakeOrderedAndProject): the
+      -- earlier form ranked the FULL vocabulary grid through one task
+      -- (the x442 class).  Rank-within-top-100 under the same total
+      -- order equals the global rank for exactly those rows.
+      SELECT f, tok FROM tf ORDER BY f DESC, tok LIMIT 100
+    ),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rk FROM top
     ),
     obs AS (
       SELECT CAST(ROUND(LN(CAST(rk AS DOUBLE)), 7) AS DECIMAL(18,7)) AS x,
              CAST(ROUND(LN(CAST(f AS DOUBLE)), 7) AS DECIMAL(18,7)) AS y
-      FROM top
+      FROM ranked
     ),
     m AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
