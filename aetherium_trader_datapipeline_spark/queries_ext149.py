@@ -30,14 +30,36 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 # -- x516: Weibull median-rank regression -----------------------------------------------------
 
 _X516 = """
-    WITH errs AS (
-      SELECT {epoch} AS et,
-             LAG({epoch}) OVER (ORDER BY ts, event_id) AS prev_et
+    WITH ets AS (
+      -- The inter-error gap multiset (consecutive pairs in (ts,event_id)
+      -- order, zero gaps dropped by et > prev_et) equals the multiset of
+      -- consecutive DISTINCT epoch-second diffs: a run of equal ets
+      -- contributes exactly one transition to the next distinct value.
+      -- That lets the sequence scan drop the global LAG over the raw
+      -- event stream (single task over the whole table — the x442
+      -- class): adjacent diffs run per-day in parallel, and only the
+      -- O(days) per-day bounds cross one task for boundary handoff.
+      SELECT DISTINCT {epoch} AS et
       FROM events WHERE event_type = 'error'
     ),
+    bucketed AS (SELECT et, et {intdiv} 86400 AS b FROM ets),
+    intra AS (
+      SELECT et - LAG(et) OVER (PARTITION BY b ORDER BY et) AS len
+      FROM bucketed
+    ),
+    day_bounds AS (
+      SELECT b, MIN(et) AS first_et, MAX(et) AS last_et
+      FROM bucketed GROUP BY b
+    ),
+    crossb AS (
+      SELECT first_et - LAG(last_et) OVER (ORDER BY b) AS len
+      FROM day_bounds
+    ),
     gaps AS (
-      SELECT CAST(et - prev_et AS BIGINT) AS t
-      FROM errs WHERE prev_et IS NOT NULL AND et > prev_et
+      SELECT CAST(len AS BIGINT) AS t
+      FROM (SELECT len FROM intra WHERE len IS NOT NULL
+            UNION ALL
+            SELECT len FROM crossb WHERE len IS NOT NULL) u
     ),
     ranked AS (
       SELECT t,

@@ -190,15 +190,35 @@ register_sql(
 # -- x554: inspection paradox ---------------------------------------------------------------------
 
 _X554 = """
-    WITH arrivals AS (
-      SELECT {epoch} AS et,
-             LAG({epoch}) OVER (ORDER BY ts, event_id) AS prev_et
+    WITH ets AS (
+      -- Same device as x516: the kept gap multiset (consecutive pairs,
+      -- et > prev_et) equals consecutive DISTINCT epoch diffs, so the
+      -- global LAG over the raw purchase stream (one task for the whole
+      -- table — the x442 class) becomes per-day partitioned diffs plus
+      -- an O(days) boundary handoff.
+      SELECT DISTINCT {epoch} AS et
       FROM events WHERE event_type = 'purchase'
     ),
+    bucketed AS (SELECT et, et {intdiv} 86400 AS b FROM ets),
+    intra AS (
+      SELECT LAG(et) OVER (PARTITION BY b ORDER BY et) AS g_start,
+             et AS g_end
+      FROM bucketed
+    ),
+    day_bounds AS (
+      SELECT b, MIN(et) AS first_et, MAX(et) AS last_et
+      FROM bucketed GROUP BY b
+    ),
+    crossb AS (
+      SELECT LAG(last_et) OVER (ORDER BY b) AS g_start,
+             first_et AS g_end
+      FROM day_bounds
+    ),
     gaps AS (
-      SELECT prev_et AS g_start, et AS g_end,
-             CAST(et - prev_et AS BIGINT) AS len_s
-      FROM arrivals WHERE prev_et IS NOT NULL AND et > prev_et
+      SELECT g_start, g_end, CAST(g_end - g_start AS BIGINT) AS len_s
+      FROM (SELECT g_start, g_end FROM intra WHERE g_start IS NOT NULL
+            UNION ALL
+            SELECT g_start, g_end FROM crossb WHERE g_start IS NOT NULL) u
     ),
     plain AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
@@ -242,10 +262,11 @@ _GEN_DUCK = "SELECT unnest(range(0, 720)) AS h"
 register_sql(
     "x554_inspection_paradox",
     spark_sql=_X554.format(
-        epoch="unix_seconds(ts)", gensrc=_GEN_SPARK
+        epoch="unix_seconds(ts)", gensrc=_GEN_SPARK, intdiv="DIV"
     ),
     duckdb_sql=_X554.format(
-        epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)", gensrc=_GEN_DUCK
+        epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)", gensrc=_GEN_DUCK,
+        intdiv="//",
     ),
     tags=("stats", "events"),
 )
