@@ -18,11 +18,12 @@ IEEE-identical across engines; final outputs ROUND(..., 6).
 Scale shapes: x196 is one hash exchange + streaming fold (key count
 parallelizes; see timeseries.py). x197 aggregates to |distinct rounded
 values| rows before its window — the window input is the *support* of the
-distribution, not the data. x198's global rank window is the documented
-small-output path: per-entity totals are one groupBy (the big work), and
-the ranked relation is |users| rows; at 100 TB-scale user counts replace
-the window with a range-partitioned sort + per-partition offset
-(zipWithIndex shape) — the aggregation stays identical.
+distribution, not the data. x198's rank-sum runs value-range-CHUNKED
+(r11): within-chunk ranks are partitioned windows, global ranks come from
+prefix offsets over the <=1000-row chunk grid, and SUM(rk*x) decomposes
+exactly into within-chunk products plus offset*chunk-sum — the
+range-partitioned sort + per-partition offset (zipWithIndex) shape,
+expressed in SQL so the oracle pairs bit-identically.
 """
 
 from __future__ import annotations
@@ -143,14 +144,47 @@ _X198_BODY = """
              SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS x
       FROM events GROUP BY user_id
     ),
-    ranked AS (
-      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS rk FROM peru
+    bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM peru),
+    chunked AS (
+      -- value-range chunking (the x498 boundary-handoff family): rank
+      -- windows run PARTITIONED by a monotone-in-x chunk id (<=1000
+      -- chunks), so no task ever sees more than its value band; the
+      -- per-user relation never crosses one task the way the r10-era
+      -- global ROW_NUMBER did (the x442 class).  Global rank rk =
+      -- chunk count-offset + within-chunk rank, so SUM(rk*x) decomposes
+      -- exactly: sum(r_in*x) + off*sum(x) per chunk, all DECIMAL-exact.
+      SELECT p.user_id, p.x,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(p.x - b.lo AS DOUBLE) * 1000
+                                        / CAST(b.hi - b.lo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
+      FROM peru p CROSS JOIN bounds b
+    ),
+    wrk AS (
+      SELECT ck, x,
+             ROW_NUMBER() OVER (PARTITION BY ck ORDER BY x, user_id) AS r_in
+      FROM chunked
+    ),
+    per_chunk AS (
+      SELECT ck, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(x) AS DECIMAL(38,2)) AS sxc,
+             CAST(SUM(r_in * x) AS DECIMAL(38,2)) AS srxc
+      FROM wrk GROUP BY ck
+    ),
+    offs AS (
+      -- prefix offsets over the <=1000-row chunk grid
+      SELECT ck, c, sxc, srxc,
+             COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM per_chunk
     ),
     agg AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS DOUBLE) AS sx,
-             CAST(SUM(rk * x) AS DOUBLE) AS srx
-      FROM ranked
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(sxc) AS DOUBLE) AS sx,
+             CAST(SUM(srxc + CAST(off AS DECIMAL(18,0)) * sxc) AS DOUBLE)
+               AS srx
+      FROM offs
     )
     SELECT n, ROUND(sx, 2) AS total_value,
            ROUND(2 * srx / (n * sx) - (n + 1.0) / n, 6) AS gini

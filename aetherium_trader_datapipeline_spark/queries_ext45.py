@@ -106,16 +106,56 @@ _X238_BODY = """
              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
       FROM lineitem GROUP BY l_partkey
     ),
+    bounds AS (SELECT MIN(r) AS lo, MAX(r) AS hi FROM pr),
+    chunked AS (
+      -- value-range chunking (x198/x498 family): ck ascends as r
+      -- DESCENDS, so (ck, r DESC, pk) is the original total order; the
+      -- rank/cumsum windows run PARTITIONED by the <=1000-chunk id
+      -- instead of pushing every part through one task (the x442 class)
+      SELECT p.pk, p.r,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(b.hi - p.r AS DOUBLE) * 1000
+                                        / CAST(b.hi - b.lo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
+      FROM pr p CROSS JOIN bounds b
+    ),
+    wrk AS (
+      SELECT ck, pk, r,
+             ROW_NUMBER() OVER (PARTITION BY ck ORDER BY r DESC, pk) AS r_in,
+             SUM(r) OVER (PARTITION BY ck ORDER BY r DESC, pk
+                          ROWS UNBOUNDED PRECEDING) AS cum_in
+      FROM chunked
+    ),
+    per_chunk AS (
+      SELECT ck, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(r) AS DECIMAL(38,4)) AS src
+      FROM chunked GROUP BY ck
+    ),
+    offs AS (
+      -- prefix offsets over the <=1000-row chunk grid; global rank and
+      -- cumulative revenue reconstruct exactly (DECIMAL addition)
+      SELECT ck,
+             COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS cnt_off,
+             COALESCE(SUM(src) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(38,4))) AS rev_off,
+             SUM(src) OVER () AS tot_r,
+             SUM(c) OVER () AS n_parts
+      FROM per_chunk
+    ),
     ranked AS (
-      SELECT pk, r,
-             ROW_NUMBER() OVER (ORDER BY r DESC, pk) AS rk,
-             SUM(r) OVER (ORDER BY r DESC, pk ROWS UNBOUNDED PRECEDING) AS cum_r,
-             SUM(r) OVER () AS tot_r,
-             COUNT(*) OVER () AS n_parts
-      FROM pr
+      SELECT w.pk, w.r,
+             o.cnt_off + w.r_in AS rk,
+             o.rev_off + w.cum_in AS cum_r,
+             o.tot_r, o.n_parts
+      FROM wrk w JOIN offs o ON w.ck = o.ck
     ),
     hit AS (
-      SELECT MIN(rk) AS k_parts, MAX(n_parts) AS n_parts
+      -- explicit BIGINT: DuckDB's window SUM widens to HUGEINT
+      SELECT CAST(MIN(rk) AS BIGINT) AS k_parts,
+             CAST(MAX(n_parts) AS BIGINT) AS n_parts
       FROM ranked WHERE CAST(cum_r AS DOUBLE) >= 0.8 * CAST(tot_r AS DOUBLE)
     )
     SELECT k_parts, n_parts,

@@ -59,18 +59,43 @@ _X258_BODY = """
              SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
       FROM lineitem GROUP BY l_partkey
     ),
-    ranked AS (
-      SELECT pk, r,
-             SUM(r) OVER (ORDER BY r DESC, pk ROWS UNBOUNDED PRECEDING) AS cum_r,
-             SUM(r) OVER () AS tot_r
-      FROM pr
+    bounds AS (SELECT MIN(r) AS lo, MAX(r) AS hi FROM pr),
+    chunked AS (
+      -- value-range chunking (x198/x238/x498 family): ck ascends as r
+      -- DESCENDS, so (ck, r DESC, pk) is the original total order; the
+      -- Lorenz cumsum runs PARTITIONED by the <=1000-chunk id instead of
+      -- pushing every part through one task (the x442 class)
+      SELECT p.pk, p.r,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(b.hi - p.r AS DOUBLE) * 1000
+                                        / CAST(b.hi - b.lo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
+      FROM pr p CROSS JOIN bounds b
+    ),
+    wrk AS (
+      SELECT ck, pk, r,
+             SUM(r) OVER (PARTITION BY ck ORDER BY r DESC, pk
+                          ROWS UNBOUNDED PRECEDING) AS cum_in
+      FROM chunked
+    ),
+    offs AS (
+      -- prefix revenue offsets over the <=1000-row chunk grid
+      SELECT ck,
+             COALESCE(SUM(src) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS DECIMAL(38,4))) AS rev_off,
+             SUM(src) OVER () AS tot_r
+      FROM (SELECT ck, CAST(SUM(r) AS DECIMAL(38,4)) AS src
+            FROM chunked GROUP BY ck)
     ),
     classed AS (
-      SELECT pk, r,
-             CASE WHEN CAST(cum_r AS DOUBLE) <= 0.80 * CAST(tot_r AS DOUBLE) THEN 'A'
-                  WHEN CAST(cum_r AS DOUBLE) <= 0.95 * CAST(tot_r AS DOUBLE) THEN 'B'
+      SELECT w.pk, w.r,
+             CASE WHEN CAST(o.rev_off + w.cum_in AS DOUBLE)
+                       <= 0.80 * CAST(o.tot_r AS DOUBLE) THEN 'A'
+                  WHEN CAST(o.rev_off + w.cum_in AS DOUBLE)
+                       <= 0.95 * CAST(o.tot_r AS DOUBLE) THEN 'B'
                   ELSE 'C' END AS abc
-      FROM ranked
+      FROM wrk w JOIN offs o ON w.ck = o.ck
     )
     SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
            ROUND(CAST(SUM(r) AS DOUBLE), 4) AS revenue
