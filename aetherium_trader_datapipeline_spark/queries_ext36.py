@@ -66,9 +66,57 @@ register_sql(
 
 # -- x210: RFM segmentation --------------------------------------------------
 # Recency anchor is the in-data max ts (no wall clock — deterministic).
-# ntile over (metric, user_id) total order: engine-identical quintiles.
+# Quintiles over (metric, user_id) total order, engine-identical: exact
+# NTILE(5) reconstructed from global ranks computed scale-safely via
+# value-range chunking (r11, x198/x238 family) — the r10-era triple
+# NTILE(5) window single-partition-sorted the whole per-user relation
+# three times (the x442 class).  Per metric: <=1000 monotone chunks,
+# partitioned rank windows, prefix offsets over the chunk grid, then the
+# x222 NTILE closed form (first n%5 quintiles hold n/5+1 rows).
 
-_X210_BODY = """
+
+def _x210_quintile(tag: str, metric: str, desc: bool, intdiv: str) -> str:
+    diff = f"b{tag}.hi - t.{metric}" if desc else f"t.{metric} - b{tag}.lo"
+    order = f"{metric} DESC, user_id" if desc else f"{metric}, user_id"
+    rk = "(o.off + w.r_in)"
+    return f"""
+    b{tag} AS (SELECT MIN({metric}) AS lo, MAX({metric}) AS hi FROM rfm),
+    c{tag} AS (
+      SELECT t.user_id, t.{metric},
+             CASE WHEN b{tag}.hi = b{tag}.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST({diff} AS DOUBLE) * 1000
+                                  / CAST(b{tag}.hi - b{tag}.lo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
+      FROM rfm t CROSS JOIN b{tag}
+    ),
+    w{tag} AS (
+      SELECT user_id, ck,
+             ROW_NUMBER() OVER (PARTITION BY ck ORDER BY {order}) AS r_in
+      FROM c{tag}
+    ),
+    g{tag} AS (
+      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c
+            FROM c{tag} GROUP BY ck)
+    ),
+    s{tag} AS (
+      SELECT w.user_id,
+             CASE WHEN nn.n {intdiv} 5 = 0 THEN {rk}
+                  WHEN {rk} <= (nn.n % 5) * (nn.n {intdiv} 5 + 1)
+                    THEN ({rk} + nn.n {intdiv} 5)
+                         {intdiv} (nn.n {intdiv} 5 + 1)
+                  ELSE nn.n % 5
+                       + ({rk} - (nn.n % 5) * (nn.n {intdiv} 5 + 1)
+                          + nn.n {intdiv} 5 - 1) {intdiv} (nn.n {intdiv} 5)
+             END AS score
+      FROM w{tag} w JOIN g{tag} o ON w.ck = o.ck CROSS JOIN nn
+    )"""
+
+
+def _x210_sql(daydiff: str, intdiv: str) -> str:
+    return f"""
     WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
     rfm AS (
       SELECT e.user_id,
@@ -78,22 +126,32 @@ _X210_BODY = """
       FROM events e CROSS JOIN anchor a
       GROUP BY e.user_id, a.mx
     ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm),
+    {_x210_quintile("r", "recency_days", True, intdiv)},
+    {_x210_quintile("f", "frequency", False, intdiv)},
+    {_x210_quintile("m", "monetary", False, intdiv)},
     scored AS (
-      SELECT user_id,
-             CAST(NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT) AS r_score,
-             CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f_score,
-             CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m_score
-      FROM rfm
+      SELECT sr.user_id,
+             CAST(sr.score AS BIGINT) AS r_score,
+             CAST(sf.score AS BIGINT) AS f_score,
+             CAST(sm.score AS BIGINT) AS m_score
+      FROM sr JOIN sf ON sr.user_id = sf.user_id
+              JOIN sm ON sr.user_id = sm.user_id
     )
     SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_users
     FROM scored GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
 """
 
+
 register_sql(
     "x210_rfm",
-    spark_sql=_X210_BODY.format(daydiff="DATEDIFF(CAST(a.mx AS DATE), CAST(MAX(e.ts) AS DATE))"),
-    duckdb_sql=_X210_BODY.format(daydiff="datediff('day', CAST(MAX(e.ts) AS DATE), CAST(a.mx AS DATE))"),
+    spark_sql=_x210_sql(
+        "DATEDIFF(CAST(a.mx AS DATE), CAST(MAX(e.ts) AS DATE))", "DIV"
+    ),
+    duckdb_sql=_x210_sql(
+        "datediff('day', CAST(MAX(e.ts) AS DATE), CAST(a.mx AS DATE))", "//"
+    ),
     tags=("analytics", "window"),
 )
 

@@ -465,13 +465,14 @@ register_sql(
 
 # -- x296: CCNet-style perplexity terciles ------------------------------------
 # Per-doc score is x156's exact bigram-LM convention (per-term
-# DECIMAL(18,9) log2 probs; order-independent sum); buckets are NTILE(3)
-# over (score, doc_id).  At 100 TB the tercile boundary comes from an
-# approx-quantile pass instead of a global NTILE; the per-bucket stats and
-# the keep-head/middle gate are unchanged.
+# DECIMAL(18,9) log2 probs; order-independent sum); buckets are exact
+# NTILE(3) terciles over (score, doc_id), computed scale-safely: global
+# ranks via value-range chunking (r11, x198/x238 family — partitioned
+# rank windows + prefix offsets over a <=1000-row chunk grid) and the
+# NTILE closed form, instead of one single-partition sort of every doc.
 
 
-def _x296_sql(toks: str) -> str:
+def _x296_sql(toks: str, intdiv: str = "DIV") -> str:
     return f"""
     WITH toks AS ({toks}),
     occ AS (
@@ -493,10 +494,46 @@ def _x296_sql(toks: str) -> str:
              CAST(ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4)
                   AS DECIMAL(18,6)) AS nll
       FROM scored GROUP BY doc_id),
+    nb AS (SELECT MIN(nll) AS lo, MAX(nll) AS hi,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM docscore),
+    dch AS (
+      -- value-range chunking (x198/x238 family): the r10-era NTILE(3)
+      -- single-partition-sorted every document (the x442 class); the
+      -- rank window now runs PARTITIONED by a monotone-in-nll chunk id
+      -- (<=1000 chunks) and the exact global rank reconstructs from
+      -- prefix offsets over the chunk grid
+      SELECT d.doc_id, d.nll,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(d.nll - b.lo AS DOUBLE) * 1000
+                                        / CAST(b.hi - b.lo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
+      FROM docscore d CROSS JOIN nb b),
+    dw AS (
+      SELECT doc_id, nll, ck,
+             ROW_NUMBER() OVER (PARTITION BY ck ORDER BY nll, doc_id)
+               AS r_in
+      FROM dch),
+    doff AS (
+      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM dch GROUP BY ck)),
     bucketed AS (
-      SELECT doc_id, nll,
-             NTILE(3) OVER (ORDER BY nll, doc_id) AS bucket
-      FROM docscore)
+      -- NTILE(3) reconstructed integer-exactly from the global rank
+      -- (the x222 closed form): the first n%3 terciles hold n{intdiv}3+1
+      -- rows, the rest n{intdiv}3
+      SELECT w.doc_id, w.nll,
+             CASE WHEN b.n {intdiv} 3 = 0 THEN o.off + w.r_in
+                  WHEN o.off + w.r_in
+                       <= (b.n % 3) * (b.n {intdiv} 3 + 1)
+                    THEN (o.off + w.r_in + b.n {intdiv} 3)
+                         {intdiv} (b.n {intdiv} 3 + 1)
+                  ELSE b.n % 3
+                       + (o.off + w.r_in
+                          - (b.n % 3) * (b.n {intdiv} 3 + 1)
+                          + b.n {intdiv} 3 - 1) {intdiv} (b.n {intdiv} 3)
+             END AS bucket
+      FROM dw w JOIN doff o ON w.ck = o.ck CROSS JOIN nb b)
     SELECT CAST(bucket AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(nll) AS DOUBLE) AS min_nll,
@@ -517,7 +554,8 @@ register_sql(
         """
       SELECT doc_id, i AS idx, ws[i] AS w FROM (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-        LATERAL unnest(generate_series(1, len(ws))) AS t(i)"""
+        LATERAL unnest(generate_series(1, len(ws))) AS t(i)""",
+        intdiv="//",
     ),
     tags=("text", "llm", "curation"),
 )

@@ -158,12 +158,36 @@ _X311_FMT = """
       WHERE b.bucket IN (6, 7)
         AND ((b.rid * 1103515245) % 4294967296) % 50 = 0
     ),
+    cb AS (SELECT MIN(r) AS lo, MAX(r) AS hi,
+                  CAST(COUNT(*) AS BIGINT) AS nc FROM cal),
+    cch AS (
+      -- the calibration split is RATE-based (2% of rows), so its order
+      -- statistic must not run through one unpartitioned rank window
+      -- (the x442 class at 100 TB).  Value-range chunking (x198/x238
+      -- family): <=1000 monotone chunks, partitioned ranks, prefix
+      -- offsets over the chunk grid reconstruct the exact global rank.
+      SELECT c.r, c.rid,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR((c.r - b.lo) * 1000
+                                        / (b.hi - b.lo)) AS BIGINT),
+                             CAST(999 AS BIGINT)) END AS ck
+      FROM cal c CROSS JOIN cb b
+    ),
+    cw AS (
+      SELECT r, ck,
+             ROW_NUMBER() OVER (PARTITION BY ck ORDER BY r, rid) AS r_in
+      FROM cch
+    ),
+    co AS (
+      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM cch GROUP BY ck)
+    ),
     q AS (
-      SELECT r AS radius FROM (
-        SELECT r, ROW_NUMBER() OVER (ORDER BY r, rid) AS rk,
-               COUNT(*) OVER () AS nc
-        FROM cal
-      ) t WHERE rk = CAST(CEIL(0.9 * nc) AS BIGINT)
+      SELECT w.r AS radius
+      FROM cw w JOIN co o ON w.ck = o.ck CROSS JOIN cb b
+      WHERE o.off + w.r_in = CAST(CEIL(0.9 * b.nc) AS BIGINT)
     ),
     test AS (
       SELECT CASE WHEN ABS(b.y - (c.icept + c.slope * b.x)) <= q.radius
