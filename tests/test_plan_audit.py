@@ -440,3 +440,172 @@ def test_collect_sites_are_allowlisted():
         "collect() sites changed; argue the new site's bound and update "
         f"the allowlist. got={got}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window boundedness gate (VERDICT r10 ask #3 — the x442 class)
+#
+# The global-band gate above already demands a COLLAPSE below any
+# single-partition band; x442 showed that is not enough: a window over a
+# collapsed-but-entity-scaled grid (the full term vocabulary) still moves
+# 1e8-1e9 rows through one task at 100 TB.  This gate is the stronger form:
+# every window with an empty partition spec must be AUTO-BOUNDED (a LIMIT
+# or scalar aggregate below it — the classifier proves it) or carry a
+# written bound argument here.  The r11 sweep classified all 575 keys and
+# rewrote the eleven entity-scaled offenders (x198 x210 x238 x258 x273
+# x296 x311 x428 x442 x516 x552 x554 — global ranks now come from
+# value-range chunking / LIMIT-first / scalar-agg forms); everything below
+# is bounded by a domain, a calendar, a literal, or a documented chunk
+# grid, NOT by row count.
+_CHUNK_GRID = ("prefix offsets over the <=1000-row value-range chunk grid "
+               "(x198/x238 family); rank windows are partitioned by chunk")
+_GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
+    # --- generated-spine / day-grid operators ---
+    "q33_gap_detection": "per-(symbol,day) presence grid vs a generated day spine; O(calendar days)",
+    "x52_backfill_plan": "backfill planner over the day spine; O(calendar days)",
+    "x141_gap_detection_sparse": "sparse-island day grid; O(calendar days)",
+    # --- value-range chunked rewrites (r11) ---
+    "x198_gini": _CHUNK_GRID,
+    "x210_rfm": _CHUNK_GRID + "; three metrics, three grids",
+    "x238_pareto_8020": _CHUNK_GRID,
+    "x258_abc_class": _CHUNK_GRID,
+    "x296_perplexity_buckets": _CHUNK_GRID,
+    "x311_conformal_interval": _CHUNK_GRID,
+    # --- quantized-domain support grids (cardinality = value domain) ---
+    "x197_ks_test": "cumsum over the distinct ROUND(value,2) support grid; quantized metric domain, not row count",
+    "x221_auc": "distinct score-cents grid (ROUND(value*100)); quantized domain",
+    "x222_calibration": "distinct score-cents grid + per-score partitioned ranks; quantized domain",
+    "x246_quantile_normalize": "distinct cents grid (r7 global-band rewrite); quantized domain",
+    "x470_selectivity_error": "distinct price grid; cents-quantized domain cap (the x575 device)",
+    "x496_auc_delong": "distinct 1e6-quantized score grid; fixed quantization domain",
+    "x564_kruskal_wallis": "distinct o_totalprice value grid; cents-quantized domain cap",
+    "x565_wilcoxon_signed_rank": "distinct |odd-even cents diff| grid; quantized domain",
+    "x575_histogram_selectivity": "distinct price grid; cents-quantized domain cap",
+    # --- calendar-bounded grids (days / hours / minutes / lifetimes) ---
+    "x219_km_table": "per-lifetime-day collapse x scalar total; O(observation days)",
+    "x226_new_vs_returning": "per-day new/returning grid; O(calendar days)",
+    "x234_var_es": "per-day portfolio returns; O(calendar days)",
+    "x332_systematic_sample": "per-orderdate count offsets; O(calendar days)",
+    "x364_portfolio_var": "per-day portfolio returns; O(calendar days)",
+    "x370_quantile_normalize": "pooled (sym,day) returns: 10 symbols x O(days)",
+    "x374_kaplan_meier": "per-lifetime-day risk table; O(days)",
+    "x473_error_budget_burn": "hourly burn grid; O(calendar hours)",
+    "x476_littles_law": "minute boundary-delta grid; O(calendar minutes)",
+    "x519_bass_diffusion": "per-day adopter counts; O(calendar days)",
+    "x542_cs_dispersion": "per-day cross-sectional dispersion; O(calendar days)",
+    "x516_weibull_reliability": "gap rank over consecutive distinct error-second diffs (calendar-second-bounded) + O(days) boundary handoff",
+    "x554_inspection_paradox": "O(days) day-bounds handoff grids (x516 family)",
+    # --- categorical-domain collapses (event_type / source / lang / nation / sym) ---
+    "x225_revenue_share": "25 nations",
+    "x326_mutual_information": "lang x source contingency cells; categorical domains",
+    "x350_token_budget_fill": "per-source collapse; curated source domain",
+    "x351_largest_remainder": "25 nations x scalars",
+    "x410_data_constrained_tokens": "per-source collapse",
+    "x411_neyman_allocation": "per-source collapse",
+    "x414_chi2_independence": "per-source / per-lang contingency collapses",
+    "x430_shapley_attribution": "per-channel (event_type domain)",
+    "x441_ab_power_plan": "per-event_type rates",
+    "x449_james_stein": "per-event_type group means",
+    "x453_bh_fdr": "per-source p-values",
+    "x454_tost_equivalence": "per-event_type means",
+    "x456_stratified_att": "event_type x 4 hour-blocks x scalar",
+    "x464_risk_parity": "10 symbols",
+    "x485_wilson_ci": "per-event_type counts",
+    "x492_deflated_sharpe": "10 symbols",
+    "x507_backfill_priority": "10 symbols x scalar span",
+    "x513_mix_waterfill": "per-source collapse",
+    "x525_consistent_hash_ring": "10 ring nodes",
+    "x547_mix_shift_decomposition": "4 user segments",
+    "x563_equalized_odds": "3 fairness groups",
+    "x571_t_closeness": "25 nations x scalar distribution",
+    # --- literal / fixed-arity frames ---
+    "x211_log_histogram": "<=64 log2 buckets (HDR-histogram posture)",
+    "x279_token_budget_histogram": "<=21 LEAST-capped buckets",
+    "x306_heaps_law": "4 literal corpus-prefix checkpoints",
+    "x309_poisson_bootstrap": "32 bootstrap replicates",
+    "x333_gini_stump": "distinct l_quantity split points (<=50)",
+    "x349_quality_funnel": "5 literal funnel stages",
+    "x390_calibration_ece": "10 confidence bins",
+    "x391_woe_iv": "price-range bins (o_totalprice/50000)",
+    "x422_brier_decomposition": "10 forecast bins x scalar",
+    "x427_modularity": "per-community terms x scalar edge count",
+    "x429_edge_cut_balance": "8 shards x scalar cut",
+    "x439_mcv_stats": "distinct l_quantity grid (<=50)",
+    "x480_markov_attribution": "absorbing-chain recursion over the 6-state matrix; state-count-bounded",
+    "x482_join_order_plan": "2 literal plan rows",
+    "x494_reserve_price_sweep": "5 literal reserves",
+    "x505_regression_discontinuity": "2 cutoff sides",
+    "x508_ransac_line": "5 literal trials",
+    "x509_lifecycle_tiering": "3 tiers",
+    "x514_lsh_param_plan": "6 layouts x 21 grid points",
+    # --- structure-scale grids (metadata, not rows) ---
+    "x294_zone_map_prune": "zone-map grid: one row per 8192-key zone — the metadata structure being sized",
+    "x304_hilbert_vs_zorder": "space-filling-curve cell grid; fixed curve resolution",
+    "x466_watermark_plan": "per-ingest-batch grid; batch count is trigger-cadence (wall-clock) bounded, not row-bounded",
+    "x498_sortedness_profile": "block-boundary handoff grid (|rows|/10^4) — the documented chunked-window form",
+    "x557_monetary_unit_sampling": "chunk-offset grid (|orders|/8192) — documented chunked form",
+    "x574_encoding_plan": "chunk grid (|lineitem|/8192) — documented chunked form",
+    # --- query-selectivity-bounded ---
+    "x447_rrf_fusion": "rank windows over the 3-literal-term posting union; query-selectivity-bounded — production caps per-list candidates (x420 MaxScore)",
+}
+
+
+def test_unpartitioned_windows_bounded_or_argued(spark):
+    """Every registry key's empty-partition-spec windows must classify as
+    bounded_by_limit / bounded_by_scalar_agg, or the key carries a written
+    bound argument in _GLOBAL_WINDOW_BOUNDS.  Stale allowlist entries
+    (keys whose windows all became auto-bounded) fail too, so the list
+    stays an honest inventory."""
+    from tests.windowaudit import AUTO_BOUNDED, global_windows
+
+    queries()
+    offenders, argued_hit = [], set()
+    for key in REGISTRY:
+        windows = global_windows(REGISTRY[key].run(spark, SF_DIR))
+        needs = [w for w in windows if w["status"] not in AUTO_BOUNDED]
+        if not needs:
+            continue
+        if key in _GLOBAL_WINDOW_BOUNDS:
+            argued_hit.add(key)
+            continue
+        offenders.append(f"{key}: {needs}")
+    assert offenders == [], (
+        "unargued single-partition window(s) — rewrite (LIMIT-first, "
+        "scalar-agg, or value-range chunking) or add a bound argument:\n"
+        + "\n".join(offenders)
+    )
+    stale = set(_GLOBAL_WINDOW_BOUNDS) - argued_hit
+    assert stale == set(), f"stale window-bound allowlist entries: {sorted(stale)}"
+
+
+def test_window_classifier_flags_raw_and_accepts_bounded(spark):
+    """Proof-case for the classifier itself: a global cumsum directly over
+    raw lineitem rows must classify as needs-argument, while the same
+    band above a LIMIT or a scalar aggregate must auto-bound."""
+    from tests.windowaudit import AUTO_BOUNDED, global_windows
+
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    load_tables(spark, SF_DIR)
+
+    def statuses(sql: str) -> set[str]:
+        return {w["status"] for w in global_windows(spark.sql(sql))}
+
+    raw = statuses(
+        "SELECT SUM(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber "
+        "ROWS UNBOUNDED PRECEDING) AS c FROM lineitem"
+    )
+    assert raw and not (raw & AUTO_BOUNDED), raw
+
+    limited = statuses(
+        "WITH t AS (SELECT l_orderkey AS k FROM lineitem ORDER BY "
+        "l_orderkey LIMIT 50) "
+        "SELECT ROW_NUMBER() OVER (ORDER BY k) AS r FROM t"
+    )
+    assert limited == {"bounded_by_limit"}, limited
+
+    scalar = statuses(
+        "WITH t AS (SELECT COUNT(*) AS n, SUM(l_quantity) AS s FROM "
+        "lineitem) SELECT RANK() OVER (ORDER BY n) AS r FROM t"
+    )
+    assert scalar == {"bounded_by_scalar_agg"}, scalar
