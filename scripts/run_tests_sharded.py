@@ -38,6 +38,34 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _DURATIONS: dict[str, float] = {}  # populated below by _load_measured()
 
 _MEASURED = """
+test_queries_oracle.py 372
+test_plan_audit.py 302
+test_streaming.py 164
+test_properties.py 79
+test_operators.py 79
+test_sessionizer_tws.py 68
+test_merge_compact.py 44
+test_microprice_tws.py 30
+test_asof_tws.py 29
+test_control_table.py 23
+test_multimodal.py 22
+test_e2e_curation.py 20
+test_cli.py 17
+test_curation.py 14
+test_tickflow_tws.py 12
+test_tws_state_types.py 11
+test_heavy_hitters.py 11
+test_dedup_tws.py 11
+test_plans.py 10
+test_layout.py 10
+test_bootstrap.py 9
+test_rollup_sketches.py 9
+test_properties_sql.py 8
+test_pydatasource.py 7
+test_e2e_platform.py 6
+test_skew_bucketing.py 5
+test_io_formats.py 4
+test_protoshim.py 1
 """
 
 
