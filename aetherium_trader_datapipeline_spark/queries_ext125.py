@@ -46,22 +46,71 @@ _X447 = """
       ) i ON t.term = i.term
       GROUP BY t.doc_id
     ),
-    ranked AS (
-      SELECT l.doc_id,
-             ROW_NUMBER() OVER (ORDER BY l.lex_fp DESC, l.doc_id) AS rank_lex,
-             ROW_NUMBER() OVER (ORDER BY d.n_chars DESC, l.doc_id)
-               AS rank_meta
+    cand AS (
+      SELECT l.doc_id, l.lex_fp, d.n_chars
       FROM lex l JOIN documents d ON l.doc_id = d.doc_id
     ),
+    -- per-list ranks via value-range chunking (x198/x238 family): the
+    -- candidate set is every doc matching the query terms — corpus-scaled
+    -- for common terms — so the rank windows must not single-partition
+    -- (the x442 class).  ck ascends as the list score DESCENDS; global
+    -- rank = prefix offset over the <=1000-row chunk grid + in-chunk rank.
+    lb AS (SELECT MIN(lex_fp) AS lo, MAX(lex_fp) AS hi FROM cand),
+    lc AS (
+      SELECT c.doc_id, c.lex_fp,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(b.hi - c.lex_fp AS DOUBLE)
+                                  * 1000 / CAST(b.hi - b.lo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
+      FROM cand c CROSS JOIN lb b
+    ),
+    lw AS (
+      SELECT doc_id, ck,
+             ROW_NUMBER() OVER (PARTITION BY ck
+                                ORDER BY lex_fp DESC, doc_id) AS r_in
+      FROM lc
+    ),
+    lg AS (
+      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM lc GROUP BY ck)
+    ),
+    mb AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM cand),
+    mc AS (
+      SELECT c.doc_id, c.n_chars,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(b.hi - c.n_chars AS DOUBLE)
+                                  * 1000 / CAST(b.hi - b.lo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
+      FROM cand c CROSS JOIN mb b
+    ),
+    mw AS (
+      SELECT doc_id, ck,
+             ROW_NUMBER() OVER (PARTITION BY ck
+                                ORDER BY n_chars DESC, doc_id) AS r_in
+      FROM mc
+    ),
+    mg AS (
+      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM mc GROUP BY ck)
+    ),
     fused AS (
-      SELECT doc_id, rank_lex, rank_meta,
-             CAST(FLOOR(1e12 / (60 + rank_lex)) AS BIGINT)
-               + CAST(FLOOR(1e12 / (60 + rank_meta)) AS BIGINT) AS rrf_fp
-      FROM ranked
+      SELECT lw.doc_id,
+             CAST(lg.off + lw.r_in AS BIGINT) AS rank_lex,
+             CAST(mg.off + mw.r_in AS BIGINT) AS rank_meta,
+             CAST(FLOOR(1e12 / (60 + lg.off + lw.r_in)) AS BIGINT)
+               + CAST(FLOOR(1e12 / (60 + mg.off + mw.r_in)) AS BIGINT)
+               AS rrf_fp
+      FROM lw JOIN lg ON lw.ck = lg.ck
+      JOIN mw ON lw.doc_id = mw.doc_id
+      JOIN mg ON mw.ck = mg.ck
     )
     SELECT doc_id,
-           CAST(rank_lex AS BIGINT) AS rank_lex,
-           CAST(rank_meta AS BIGINT) AS rank_meta,
+           rank_lex,
+           rank_meta,
            ROUND(rrf_fp / 1e12, 9) AS rrf_score
     FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10
 """

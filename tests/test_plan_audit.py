@@ -545,8 +545,10 @@ _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "x498_sortedness_profile": "block-boundary handoff grid (|rows|/10^4) — the documented chunked-window form",
     "x557_monetary_unit_sampling": "chunk-offset grid (|orders|/8192) — documented chunked form",
     "x574_encoding_plan": "chunk grid (|lineitem|/8192) — documented chunked form",
-    # --- query-selectivity-bounded ---
-    "x447_rrf_fusion": "rank windows over the 3-literal-term posting union; query-selectivity-bounded — production caps per-list candidates (x420 MaxScore)",
+    # (x447 was the one query-selectivity-bounded entry; since r11 its
+    # per-list ranks are value-range chunked like x198, so the bound is
+    # now the chunk grid, not query selectivity.)
+    "x447_rrf_fusion": _CHUNK_GRID + "; two ranked lists, two grids",
 }
 
 
