@@ -103,6 +103,7 @@ def merge_upsert(
     """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tmp_spill: str | None = None
     try:
         touched = [r[0] for r in changes.select(partition_col).distinct().collect()]
 
@@ -172,11 +173,21 @@ def merge_upsert(
         # under dynamic allocation or executor loss those blocks are
         # unrecoverable and a large production merge fails mid-write (no
         # data loss — the overwrite hasn't committed — but fragile exactly
-        # when executors churn).  When the session has a RELIABLE
-        # checkpoint dir configured, use it; localCheckpoint stays the
-        # fast path for local mode / unconfigured sessions (r10 advice).
-        if spark.sparkContext.getCheckpointDir() is not None:
-            merged = merged.checkpoint()
+        # when executors churn).  When the session has a checkpoint dir
+        # configured, spill to a TEMP PARQUET under it and read back — the
+        # durability of a reliable DataFrame.checkpoint() WITHOUT its leak
+        # (Spark deletes reliable checkpoint files only under
+        # referenceTracking.cleanCheckpoints + driver GC; a per-micro-batch
+        # merge would otherwise accumulate one full table copy per batch).
+        # The spill is deleted in this function's finally.  localCheckpoint
+        # stays the fast path for local mode / unconfigured sessions.
+        ck_dir = spark.sparkContext.getCheckpointDir()
+        if ck_dir is not None:
+            import uuid
+
+            tmp_spill = f"{ck_dir.rstrip('/')}/merge-spill-{uuid.uuid4().hex}"
+            merged.write.parquet(tmp_spill)
+            merged = spark.read.parquet(tmp_spill)
         else:
             merged = merged.localCheckpoint()
         # Dynamic overwrite only replaces partitions PRESENT in the output;
@@ -212,6 +223,13 @@ def merge_upsert(
         }
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if tmp_spill is not None:
+            # delete the durable spill whether the merge committed or not
+            # (on failure the dynamic overwrite never committed, so the
+            # table is untouched and the spill is just garbage)
+            sfs, spath = _hadoop_fs(spark, tmp_spill)
+            if sfs.exists(spath):
+                sfs.delete(spath, True)
 
 
 def _partition_sizes(
@@ -291,14 +309,21 @@ def compact_partitions(
 
         # Range partitioning on (partition, sort key): boundaries from
         # Spark's sample, so each task — hence each output file — holds a
-        # contiguous, disjoint slice of the sort-key domain within its
-        # table partition.  (The NULL partition sorts first; ties across a
-        # boundary may straddle two files, which costs at most one extra
-        # file probe per boundary value.)
+        # contiguous slice of the sort-key domain within its table
+        # partition.  A trailing row-hash TIE-BREAKER lets the range
+        # partitioner split runs of EQUAL sort keys across tasks —
+        # without it a low-cardinality sort key (3 statuses, say)
+        # collapses to |distinct keys| tasks and re-creates the oversized
+        # single-task files this rewrite removes (r11 review).  Cost: a
+        # boundary VALUE may straddle two files (one extra file probe per
+        # boundary value); every non-boundary value still maps to exactly
+        # one file, so footer min/max pruning stays file-effective.
         range_cols = [F.col(partition_col)] + [
             F.col(c) for c in (sort_cols or [c for c in df.columns if c != partition_col])
         ]
-        out = df.repartitionByRange(int(max(1, n_out)), *range_cols)
+        out = df.repartitionByRange(
+            int(max(1, n_out)), *range_cols, F.hash(*[F.col(c) for c in df.columns])
+        )
         if sort_cols:
             out = out.sortWithinPartitions(partition_col, *sort_cols)
         out.write.mode("overwrite").partitionBy(partition_col).parquet(table_path)

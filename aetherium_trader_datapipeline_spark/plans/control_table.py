@@ -96,16 +96,25 @@ class ControlTable:
         # scheme: without it a job last written by an older version would
         # silently re-initialize with a reset cursor (get() misses the
         # legacy name) while as_dataframe kept listing the orphaned legacy
-        # file — a ghost duplicate of the same job_key.  The rename is
-        # atomic; a concurrent reader losing the race just finds the file
-        # already moved.
+        # file — a ghost duplicate of the same job_key.  The legacy name is
+        # AMBIGUOUS ('A:B' and 'A_B' collide — the very bug percent-encoding
+        # fixed), so a candidate only migrates if its CONTENT names this
+        # exact job_key; otherwise it is some other job's canonical file
+        # and must not be hijacked.  The rename is atomic; a concurrent
+        # reader losing the race just finds the file already moved.
         if not os.path.exists(path):
             legacy = os.path.join(self.root, key.replace(":", "_") + ".json")
             if legacy != path and os.path.exists(legacy):
                 try:
-                    os.replace(legacy, path)
-                except FileNotFoundError:
-                    pass  # another reader migrated it first
+                    with open(legacy) as f:
+                        is_ours = json.load(f).get("job_key") == key
+                except (OSError, json.JSONDecodeError):
+                    is_ours = False
+                if is_ours:
+                    try:
+                        os.replace(legacy, path)
+                    except FileNotFoundError:
+                        pass  # another reader migrated it first
         try:
             with open(path) as f:
                 return JobState(**json.load(f))

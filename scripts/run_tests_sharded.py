@@ -28,7 +28,6 @@ import glob
 import os
 import subprocess
 import sys
-import tempfile
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -82,6 +81,8 @@ def main() -> int:
     ap.add_argument("-n", type=int, default=4)
     ap.add_argument("--pytest-args", default="-q")
     args = ap.parse_args()
+    if args.n < 1:
+        ap.error("-n must be >= 1")
     _load_measured()
 
     files = sorted(glob.glob(os.path.join(ROOT, "tests", "test_*.py")))
@@ -107,8 +108,9 @@ def main() -> int:
                *shard]
         env = dict(os.environ)
         # keep N concurrent JVMs from oversubscribing the host
-        env.setdefault("SPARK_GRAFT_CPUS", str(max(2, os.cpu_count() // args.n)))
-        env["SPARK_GRAFT_TEST_TMP"] = tempfile.mkdtemp(prefix=f"shard{i}-")
+        env.setdefault(
+            "SPARK_GRAFT_CPUS", str(max(2, (os.cpu_count() or 8) // args.n))
+        )
         procs.append((i, log, subprocess.Popen(
             cmd, cwd=ROOT, stdout=open(log, "w"), stderr=subprocess.STDOUT,
             env=env,

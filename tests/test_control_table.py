@@ -513,3 +513,22 @@ def test_legacy_underscore_state_file_migrates_on_read(control):
     st2 = control.initialize_job(key, day_start_ms=1000, end_time_ms=2000,
                                  now=_json.loads("9999999999.0"))
     assert st2.cursor == 1500
+
+
+def test_legacy_migration_does_not_hijack_underscore_named_job(control):
+    """r11 review regression: 'A:B' and 'A_B' share the legacy filename.
+    get('A:B') with no canonical file must NOT steal the live state file
+    of the legitimately-underscore-named job — only a file whose CONTENT
+    names the requested job_key migrates."""
+    import os as _os
+
+    underscore_key = "ingest_job_NQ_2024-01-02"  # canonical under quote()
+    st = control.initialize_job(underscore_key, day_start_ms=1, end_time_ms=2)
+    control.update_cursor(underscore_key, st.job_instance_id, 777)
+    victim_path = control._path(underscore_key)
+    assert _os.path.exists(victim_path)
+
+    colliding_key = "ingest:job:NQ:2024-01-02"  # same legacy filename
+    assert control.get(colliding_key) is None  # no hijack, no migration
+    assert _os.path.exists(victim_path)  # victim untouched
+    assert control.get(underscore_key).cursor == 777

@@ -310,3 +310,59 @@ def test_merge_upsert_into_fully_drained_table_root(spark):
     reseed = spark.createDataFrame([(2, "b", "p2")], "k int, v string, d string")
     merge_upsert(spark, base, reseed, key_cols=["k"], partition_col="d")
     assert _rows(spark, base) == {(2, "b", "p2")}
+
+
+def test_merge_upsert_cleans_checkpoint_spill(spark, tmp_path):
+    """r11 review regression: with a checkpoint dir configured, the merge
+    must not leak one full copy of the table per call (reliable
+    DataFrame.checkpoint files are only GC'd under an off-by-default
+    cleaner flag).  The durable spill must be gone after the merge."""
+    ck = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ck)
+    try:
+        base = os.path.join(str(tmp_path), "t")
+        seed = spark.createDataFrame(
+            [(1, "a", "p1"), (2, "b", "p2")], "k int, v string, d string"
+        )
+        merge_upsert(spark, base, seed, key_cols=["k"], partition_col="d")
+        upd = spark.createDataFrame([(1, "A", "p1")], "k int, v string, d string")
+        merge_upsert(spark, base, upd, key_cols=["k"], partition_col="d")
+        assert _rows(spark, base) == {(1, "A", "p1"), (2, "b", "p2")}
+        leftovers = glob.glob(os.path.join(ck, "merge-spill-*"))
+        assert leftovers == [], f"durable spill leaked: {leftovers}"
+    finally:
+        # PySpark has no unsetCheckpointDir; clear via the JVM setter so
+        # later tests in this session fall back to localCheckpoint
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(
+            spark.sparkContext._jvm.scala.Option.apply(None)
+        )
+
+
+def test_compact_partitions_splits_low_cardinality_sort_key(spark):
+    """r11 review regression: range partitioning alone never splits runs
+    of EQUAL sort keys — a 3-value sort column collapsed a large
+    partition back to 3 oversized files.  The row-hash tie-breaker must
+    keep the file count near target even when every row shares one of a
+    few sort-key values."""
+    base = os.path.join(tempfile.mkdtemp(prefix="compact-ties-"), "t")
+    df = spark.range(0, 60_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("status"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+        F.lit("big").alias("d"),
+    )
+    df.repartition(8).write.partitionBy("d").parquet(base)
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(base, "d=big", "*.parquet"))
+    )
+    stats = compact_partitions(
+        spark, base, partition_col="d", sort_cols=["status"],
+        target_file_bytes=max(1, total // 8),
+    )
+    files_after = glob.glob(os.path.join(base, "d=big", "*.parquet"))
+    assert stats["target_files"] >= 6
+    assert len(files_after) > 3, (
+        "equal sort keys collapsed the split back to |distinct| files"
+    )
+    assert spark.read.parquet(base).count() == 60_000
