@@ -107,12 +107,34 @@ _X466 = """
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM arr GROUP BY batch
     ),
-    hwm AS (
-      SELECT batch, cnt,
-             MAX(bmax) OVER (ORDER BY batch
+    -- TWO-LEVEL prefix max (r11): the flat batch grid is |events|/1000
+    -- rows — linear through one task.  Level 1 runs PARTITIONED by a
+    -- super-batch of 8192 batches; level 2's global band sees only the
+    -- |events|/1000/8192 super-batch grid.  hwm_prev = max(prefix max
+    -- inside my super-batch, max over all earlier super-batches), with
+    -- NULL cases spelled out (GREATEST's NULL handling differs between
+    -- engines).
+    b2 AS (SELECT batch, batch {intdiv} 8192 AS ck2, bmax, cnt FROM batches),
+    in_max AS (
+      SELECT batch, ck2, cnt,
+             MAX(bmax) OVER (PARTITION BY ck2 ORDER BY batch
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING) AS hwm_prev
-      FROM batches
+                             AND 1 PRECEDING) AS in_prev
+      FROM b2
+    ),
+    k2p AS (
+      SELECT ck2,
+             MAX(m) OVER (ORDER BY ck2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS k_prev
+      FROM (SELECT ck2, MAX(bmax) AS m FROM b2 GROUP BY ck2)
+    ),
+    hwm AS (
+      SELECT i.batch, i.cnt,
+             CASE WHEN i.in_prev IS NULL THEN p.k_prev
+                  WHEN p.k_prev IS NULL THEN i.in_prev
+                  WHEN i.in_prev >= p.k_prev THEN i.in_prev
+                  ELSE p.k_prev END AS hwm_prev
+      FROM in_max i JOIN k2p p ON i.ck2 = p.ck2
     ),
     delays AS (
       SELECT 60 AS w UNION ALL SELECT 300 UNION ALL SELECT 900

@@ -117,20 +117,44 @@ _X498 = """
         FROM events
       ) s
     ),
-    ev_bounds AS (
-      SELECT CAST(SUM(CASE WHEN first_ts < prev_last THEN 1 ELSE 0 END)
-                  AS BIGINT) AS inv_bound,
-             CAST(COUNT(*) AS BIGINT) AS n_blocks
+    ev_blk AS (
+      SELECT event_id {intdiv} 10000 AS blk,
+             event_id {intdiv} 10000 {intdiv} 8192 AS ck2,
+             {minby}(ts, event_id) AS first_ts,
+             {maxby}(ts, event_id) AS last_ts
+      FROM events GROUP BY event_id {intdiv} 10000
+    ),
+    ev_bin AS (
+      -- TWO-LEVEL boundary handoff (r11): the flat block grid is
+      -- |rows|/10^4 — linear through one task.  Level 1 compares
+      -- adjacent blocks PARTITIONED by a super-block of 8192 blocks;
+      -- level 2's global band sees only the |rows|/10^4/8192
+      -- super-block grid.
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN prev_last IS NOT NULL
+                            AND first_ts < prev_last
+                           THEN 1 ELSE 0 END) AS BIGINT) AS inv_in
       FROM (
         SELECT first_ts,
-               LAG(last_ts) OVER (ORDER BY blk) AS prev_last
-        FROM (
-          SELECT event_id {intdiv} 10000 AS blk,
-                 {minby}(ts, event_id) AS first_ts,
-                 {maxby}(ts, event_id) AS last_ts
-          FROM events GROUP BY event_id {intdiv} 10000
-        ) b
-      ) x
+               LAG(last_ts) OVER (PARTITION BY ck2 ORDER BY blk)
+                 AS prev_last
+        FROM ev_blk
+      ) s
+    ),
+    ev_bx AS (
+      SELECT COALESCE(CAST(SUM(CASE WHEN prev_l IS NOT NULL AND f < prev_l
+                                    THEN 1 ELSE 0 END) AS BIGINT), 0)
+               AS inv_x
+      FROM (
+        SELECT f, LAG(l) OVER (ORDER BY ck2) AS prev_l
+        FROM (SELECT ck2, {minby}(first_ts, blk) AS f,
+                     {maxby}(last_ts, blk) AS l
+              FROM ev_blk GROUP BY ck2) k
+      ) s
+    ),
+    ev_bounds AS (
+      SELECT CAST(i.inv_in + x.inv_x AS BIGINT) AS inv_bound, i.n_blocks
+      FROM ev_bin i CROSS JOIN ev_bx x
     ),
     li_within AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -148,23 +172,43 @@ _X498 = """
         FROM lineitem
       ) s
     ),
-    li_bounds AS (
-      SELECT CAST(SUM(CASE WHEN first_pk < prev_last THEN 1 ELSE 0 END)
-                  AS BIGINT) AS inv_bound,
-             CAST(COUNT(*) AS BIGINT) AS n_blocks
+    li_blk AS (
+      SELECT l_orderkey {intdiv} 1000 AS blk,
+             l_orderkey {intdiv} 1000 {intdiv} 8192 AS ck2,
+             {minby}(l_partkey,
+                     (l_orderkey * 100 + l_linenumber) * 10000000
+                     + l_partkey) AS first_pk,
+             {maxby}(l_partkey,
+                     (l_orderkey * 100 + l_linenumber) * 10000000
+                     + l_partkey) AS last_pk
+      FROM lineitem GROUP BY l_orderkey {intdiv} 1000
+    ),
+    li_bin AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN prev_last IS NOT NULL
+                            AND first_pk < prev_last
+                           THEN 1 ELSE 0 END) AS BIGINT) AS inv_in
       FROM (
-        SELECT first_pk, LAG(last_pk) OVER (ORDER BY blk) AS prev_last
-        FROM (
-          SELECT l_orderkey {intdiv} 1000 AS blk,
-                 {minby}(l_partkey,
-                         (l_orderkey * 100 + l_linenumber) * 10000000
-                         + l_partkey) AS first_pk,
-                 {maxby}(l_partkey,
-                         (l_orderkey * 100 + l_linenumber) * 10000000
-                         + l_partkey) AS last_pk
-          FROM lineitem GROUP BY l_orderkey {intdiv} 1000
-        ) b
-      ) x
+        SELECT first_pk,
+               LAG(last_pk) OVER (PARTITION BY ck2 ORDER BY blk)
+                 AS prev_last
+        FROM li_blk
+      ) s
+    ),
+    li_bx AS (
+      SELECT COALESCE(CAST(SUM(CASE WHEN prev_l IS NOT NULL AND f < prev_l
+                                    THEN 1 ELSE 0 END) AS BIGINT), 0)
+               AS inv_x
+      FROM (
+        SELECT f, LAG(l) OVER (ORDER BY ck2) AS prev_l
+        FROM (SELECT ck2, {minby}(first_pk, blk) AS f,
+                     {maxby}(last_pk, blk) AS l
+              FROM li_blk GROUP BY ck2) k
+      ) s
+    ),
+    li_bounds AS (
+      SELECT CAST(i.inv_in + x.inv_x AS BIGINT) AS inv_bound, i.n_blocks
+      FROM li_bin i CROSS JOIN li_bx x
     )
     SELECT 'events_ts_by_arrival' AS layout, w.n AS n_rows,
            CAST(w.inv_within + b.inv_bound AS BIGINT) AS inversions,

@@ -135,15 +135,35 @@ _X557 = """
                               ORDER BY o_orderkey) AS c_run
       FROM booked
     ),
+    per_chunk AS (
+      SELECT chunk, chunk {intdiv} 8192 AS ck2,
+             CAST(SUM(cents) AS BIGINT) AS csum
+      FROM booked GROUP BY chunk, chunk {intdiv} 8192
+    ),
+    lvl1 AS (
+      -- TWO-LEVEL prefix sums (r11): the flat chunk grid is
+      -- |orders|/8192 rows — linear, ~2e7 through one task at 100 TB.
+      -- Level 1 runs PARTITIONED by a super-chunk of 8192 chunks;
+      -- level 2's global band sees only the |orders|/8192^2 super-chunk
+      -- grid (~2e3 rows at 100 TB).  coff = coff2 + coff_in, exact
+      -- integer addition.
+      SELECT chunk, ck2, csum,
+             SUM(csum) OVER (PARTITION BY ck2 ORDER BY chunk) - csum
+               AS coff_in
+      FROM per_chunk
+    ),
+    lvl2 AS (
+      SELECT ck2,
+             COALESCE(SUM(s2) OVER (ORDER BY ck2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS coff2,
+             SUM(s2) OVER () AS pop_cents
+      FROM (SELECT ck2, CAST(SUM(csum) AS BIGINT) AS s2
+            FROM per_chunk GROUP BY ck2)
+    ),
     offs AS (
-      -- chunk offsets: a global band over the per-chunk collapse
-      -- (|orders|/8192 rows — sub-linear frame per the global-band
-      -- policy)
-      SELECT chunk,
-             SUM(csum) OVER (ORDER BY chunk) - csum AS coff,
-             SUM(csum) OVER () AS pop_cents
-      FROM (SELECT chunk, CAST(SUM(cents) AS BIGINT) AS csum
-            FROM booked GROUP BY chunk)
+      SELECT l1.chunk, l2.coff2 + l1.coff_in AS coff, l2.pop_cents
+      FROM lvl1 l1 JOIN lvl2 l2 ON l1.ck2 = l2.ck2
     ),
     cum AS (
       SELECT i.o_orderkey, i.cents, i.misstated,

@@ -182,7 +182,7 @@ _X574_FMT = """
     cagg AS (
       -- per-chunk collapse: change sums + the (constant-per-chunk)
       -- edge values
-      SELECT chunk,
+      SELECT chunk, chunk {intdiv} 8192 AS ck2,
              CAST(SUM(g1) AS BIGINT) AS s1,
              CAST(SUM(g2) AS BIGINT) AS s2,
              CAST(SUM(g3) AS BIGINT) AS s3,
@@ -192,25 +192,53 @@ _X574_FMT = """
              MIN(fv3) AS cf3, MIN(lv3) AS cl3
       FROM cf GROUP BY chunk
     ),
-    handoff AS (
-      -- cross-chunk boundaries: a global band over the per-chunk
-      -- collapse (|lineitem|/~8192 rows — sub-linear frame per the
-      -- global-band policy in tests/test_plan_audit.py)
+    handoff_in AS (
+      -- TWO-LEVEL boundary handoff (r11): the flat chunk grid is
+      -- |lineitem|/8192 rows — linear through one task.  Level 1
+      -- compares adjacent chunks PARTITIONED by a super-chunk of 8192
+      -- chunks (the first chunk of each super-chunk sees LAG NULL and
+      -- contributes 0 here — its boundary is counted at level 2);
+      -- level 2's global band sees only the |lineitem|/8192^2
+      -- super-chunk grid.
       SELECT cnt, s1, s2, s3,
-        CASE WHEN cf1 != LAG(cl1) OVER (ORDER BY chunk)
+        CASE WHEN cf1 != LAG(cl1) OVER (PARTITION BY ck2 ORDER BY chunk)
              THEN 1 ELSE 0 END AS g1,
-        CASE WHEN cf2 != LAG(cl2) OVER (ORDER BY chunk)
+        CASE WHEN cf2 != LAG(cl2) OVER (PARTITION BY ck2 ORDER BY chunk)
              THEN 1 ELSE 0 END AS g2,
-        CASE WHEN cf3 != LAG(cl3) OVER (ORDER BY chunk)
+        CASE WHEN cf3 != LAG(cl3) OVER (PARTITION BY ck2 ORDER BY chunk)
              THEN 1 ELSE 0 END AS g3
       FROM cagg
     ),
+    k2b AS (
+      -- per super-chunk edge values: first chunk's firsts, last
+      -- chunk's lasts
+      SELECT ck2,
+             MIN_BY(cf1, chunk) AS f1, MAX_BY(cl1, chunk) AS l1,
+             MIN_BY(cf2, chunk) AS f2, MAX_BY(cl2, chunk) AS l2,
+             MIN_BY(cf3, chunk) AS f3, MAX_BY(cl3, chunk) AS l3
+      FROM cagg GROUP BY ck2
+    ),
+    handoff_x AS (
+      SELECT
+        CASE WHEN f1 != LAG(l1) OVER (ORDER BY ck2) THEN 1 ELSE 0 END AS g1,
+        CASE WHEN f2 != LAG(l2) OVER (ORDER BY ck2) THEN 1 ELSE 0 END AS g2,
+        CASE WHEN f3 != LAG(l3) OVER (ORDER BY ck2) THEN 1 ELSE 0 END AS g3
+      FROM k2b
+    ),
     chg AS (
-      SELECT CAST(SUM(s1 + g1) AS BIGINT) AS t1,
-             CAST(SUM(s2 + g2) AS BIGINT) AS t2,
-             CAST(SUM(s3 + g3) AS BIGINT) AS t3,
-             CAST(SUM(cnt) AS BIGINT) AS n
-      FROM handoff
+      SELECT CAST(a.t1 + b.x1 AS BIGINT) AS t1,
+             CAST(a.t2 + b.x2 AS BIGINT) AS t2,
+             CAST(a.t3 + b.x3 AS BIGINT) AS t3,
+             a.n
+      FROM (SELECT CAST(SUM(s1 + g1) AS BIGINT) AS t1,
+                   CAST(SUM(s2 + g2) AS BIGINT) AS t2,
+                   CAST(SUM(s3 + g3) AS BIGINT) AS t3,
+                   CAST(SUM(cnt) AS BIGINT) AS n
+            FROM handoff_in) a
+      CROSS JOIN (SELECT COALESCE(CAST(SUM(g1) AS BIGINT), 0) AS x1,
+                         COALESCE(CAST(SUM(g2) AS BIGINT), 0) AS x2,
+                         COALESCE(CAST(SUM(g3) AS BIGINT), 0) AS x3
+                  FROM handoff_x) b
     ),
     ndv AS (
       SELECT CAST(COUNT(DISTINCT c1) AS BIGINT) AS ndv1,

@@ -541,10 +541,10 @@ _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     # --- structure-scale grids (metadata, not rows) ---
     "x294_zone_map_prune": "zone-map grid: one row per 8192-key zone — the metadata structure being sized",
     "x304_hilbert_vs_zorder": "space-filling-curve cell grid; fixed curve resolution",
-    "x466_watermark_plan": "per-ingest-batch grid; batch count is trigger-cadence (wall-clock) bounded, not row-bounded",
-    "x498_sortedness_profile": "block-boundary handoff grid (|rows|/10^4) — the documented chunked-window form",
-    "x557_monetary_unit_sampling": "chunk-offset grid (|orders|/8192) — documented chunked form",
-    "x574_encoding_plan": "chunk grid (|lineitem|/8192) — documented chunked form",
+    "x466_watermark_plan": "two-level prefix max (r11): level-1 partitioned by 8192-batch super-batches; the global band sees only the super-batch grid",
+    "x498_sortedness_profile": "two-level boundary handoff (r11): level-1 partitioned by 8192-block super-blocks; the global band sees only the |rows|/10^4/8192 grid",
+    "x557_monetary_unit_sampling": "two-level prefix sums (r11): level-1 partitioned by 8192-chunk super-chunks; the global band sees only the |orders|/8192^2 grid",
+    "x574_encoding_plan": "two-level boundary handoff (r11): level-1 partitioned by 8192-chunk super-chunks; the global band sees only the super-chunk grid",
     # (x447 was the one query-selectivity-bounded entry; since r11 its
     # per-list ranks are value-range chunked like x198, so the bound is
     # now the chunk grid, not query selectivity.)
