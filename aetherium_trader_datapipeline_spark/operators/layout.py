@@ -323,11 +323,58 @@ def grid_rank(
         .groupBy("__b")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    wg = Window.orderBy("__b")
-    grid = counts.select(
-        F.col("__b").alias("__gb"),
-        (F.sum("__c").over(wg) - F.col("__c")).alias("__cb"),
-    )
+    # TWO-LEVEL offsets (r11): the bucket grid itself can be linear in
+    # rows (a contiguous-key chunk grid is |keys|/8192), so its prefix
+    # sum must not run through one unpartitioned window either.  A
+    # monotone super-bucket (integer DIV for numeric buckets, year() for
+    # dates) partitions the level-1 cumsum; the only global band left is
+    # the super-bucket grid.  Non-coarsenable bucket types fall back to
+    # the single-level band with the sub-linear-grid argument.
+    btype = dict(counts.dtypes)["__b"]
+    if btype in ("bigint", "int", "smallint", "tinyint"):
+        sup = F.expr("__b DIV 8192")  # trunc-div is weakly monotone
+    elif btype == "date":
+        sup = F.expr("year(__b)")
+    elif btype in ("double", "float") or btype.startswith("decimal"):
+        sup = F.expr("CAST(FLOOR(__b / 8192.0) AS BIGINT)")
+    else:
+        sup = None
+    if sup is None:
+        wg = Window.orderBy("__b")
+        grid = counts.select(
+            F.col("__b").alias("__gb"),
+            (F.sum("__c").over(wg) - F.col("__c")).alias("__cb"),
+        )
+    else:
+        counts2 = counts.withColumn("__b2", sup)
+        w_in = Window.partitionBy("__b2").orderBy("__b")
+        lvl1 = counts2.withColumn(
+            "__cin", F.sum("__c").over(w_in) - F.col("__c")
+        )
+        w2 = Window.orderBy("__b2").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        k2p = (
+            counts2.groupBy("__b2")
+            .agg(F.sum("__c").alias("__s2"))
+            .select(
+                "__b2",
+                F.coalesce(F.sum("__s2").over(w2), F.lit(0)).alias("__off2"),
+            )
+        )
+        grid = (
+            # eqNullSafe: the NULL bucket's super-bucket is NULL too; a
+            # plain equi-join would drop it and the downstream inner
+            # join would silently lose every NULL-bucket data row
+            lvl1.join(
+                k2p.withColumnRenamed("__b2", "__kb2"),
+                F.col("__b2").eqNullSafe(F.col("__kb2")),
+            )
+            .select(
+                F.col("__b").alias("__gb"),
+                (F.col("__off2") + F.col("__cin")).alias("__cb"),
+            )
+        )
     w = Window.partitionBy("__b").orderBy(*order_cols)
     # eqNullSafe: the grid's groupBy already carries the NULL-bucket group,
     # so a NULL bucket expression ranks (first — Spark's NULLS FIRST window

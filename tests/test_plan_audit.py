@@ -539,8 +539,8 @@ _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "x509_lifecycle_tiering": "3 tiers",
     "x514_lsh_param_plan": "6 layouts x 21 grid points",
     # --- structure-scale grids (metadata, not rows) ---
-    "x294_zone_map_prune": "zone-map grid: one row per 8192-key zone — the metadata structure being sized",
-    "x304_hilbert_vs_zorder": "space-filling-curve cell grid; fixed curve resolution",
+    "x294_zone_map_prune": "grid_rank two-level offsets (r11): level-1 partitioned by super-bucket; global band sees only the super-bucket grid",
+    "x304_hilbert_vs_zorder": "grid_rank two-level offsets (r11), as x294; curve cells are additionally resolution-bounded",
     "x466_watermark_plan": "two-level prefix max (r11): level-1 partitioned by 8192-batch super-batches; the global band sees only the super-batch grid",
     "x498_sortedness_profile": "two-level boundary handoff (r11): level-1 partitioned by 8192-block super-blocks; the global band sees only the |rows|/10^4/8192 grid",
     "x557_monetary_unit_sampling": "two-level prefix sums (r11): level-1 partitioned by 8192-chunk super-chunks; the global band sees only the |orders|/8192^2 grid",
