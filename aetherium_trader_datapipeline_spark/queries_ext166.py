@@ -116,15 +116,35 @@ _X565 = """
       FROM spend WHERE odd_cents != even_cents
     ),
     cells AS (
-      SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+      SELECT ad, ad {intdiv} 8192 AS ck2,
+             CAST(COUNT(*) AS BIGINT) AS t,
              CAST(SUM(pos) AS BIGINT) AS a_pos
       FROM diffs GROUP BY ad
     ),
-    ranked AS (
-      SELECT t, a_pos,
-             SUM(t) OVER (ORDER BY ad) - t AS cum_before,
-             SUM(t) OVER () AS n
+    -- TWO-LEVEL rank offsets (r11, x557 family): distinct |cent-diff|
+    -- values are entity-scaled in the worst case (<= customers), so the
+    -- tie-rank cumsum must not run through one unpartitioned window.
+    -- Level 1 is partitioned by an 8192-value super-bucket; the global
+    -- band sees only the super-bucket grid.
+    lvl1 AS (
+      SELECT ad, ck2, t, a_pos,
+             SUM(t) OVER (PARTITION BY ck2 ORDER BY ad) - t AS cin
       FROM cells
+    ),
+    lvl2 AS (
+      SELECT ck2,
+             COALESCE(SUM(s2) OVER (ORDER BY ck2
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS coff2,
+             SUM(s2) OVER () AS n
+      FROM (SELECT ck2, CAST(SUM(t) AS BIGINT) AS s2
+            FROM cells GROUP BY ck2)
+    ),
+    ranked AS (
+      SELECT l1.t, l1.a_pos,
+             l2.coff2 + l1.cin AS cum_before,
+             l2.n
+      FROM lvl1 l1 JOIN lvl2 l2 ON l1.ck2 = l2.ck2
     ),
     sums AS (
       SELECT CAST(MAX(n) AS BIGINT) AS n,
@@ -151,8 +171,8 @@ _X565 = """
 
 register_sql(
     "x565_wilcoxon_signed_rank",
-    spark_sql=_X565,
-    duckdb_sql=_X565,
+    spark_sql=_X565.format(intdiv="DIV"),
+    duckdb_sql=_X565.format(intdiv="//"),
     tags=("stats",),
 )
 

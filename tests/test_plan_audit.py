@@ -479,7 +479,7 @@ _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "x470_selectivity_error": "distinct price grid; cents-quantized domain cap (the x575 device)",
     "x496_auc_delong": "distinct 1e6-quantized score grid; fixed quantization domain",
     "x564_kruskal_wallis": "distinct o_totalprice value grid; cents-quantized domain cap",
-    "x565_wilcoxon_signed_rank": "distinct |odd-even cents diff| grid; quantized domain",
+    "x565_wilcoxon_signed_rank": "two-level rank offsets (r11): level-1 partitioned by 8192-value super-buckets over the diff grid; the global band sees only the super-bucket grid",
     "x575_histogram_selectivity": "distinct price grid; cents-quantized domain cap",
     # --- calendar-bounded grids (days / hours / minutes / lifetimes) ---
     "x219_km_table": "per-lifetime-day collapse x scalar total; O(observation days)",
