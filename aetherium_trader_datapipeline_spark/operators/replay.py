@@ -14,7 +14,7 @@ a consumer at controlled speed (docs/…系統設計文件.md:68,105-112).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -47,8 +47,18 @@ def paced_replay(
     exactly-once offsets over the replay.
     """
     spark = df.sparkSession
-    w = Window.orderBy(key_col, ts_col)
-    indexed = df.withColumn("__idx", F.row_number().over(w) - 1).cache()
+    # Exact global (key, ts) row index WITHOUT a single-task window over
+    # the whole replay frame (the x442 class at a large lake): grid_rank
+    # decomposes it as offsets-over-the-key-grid (bounded: one row per
+    # symbol) + a key-partitioned rank (r11).
+    from aetherium_trader_datapipeline_spark.operators.layout import grid_rank
+
+    indexed = (
+        grid_rank(df, key_col, [ts_col], "__rn")
+        .withColumn("__idx", F.col("__rn") - 1)
+        .drop("__rn")
+        .cache()
+    )
     rate = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", str(rows_per_second))
