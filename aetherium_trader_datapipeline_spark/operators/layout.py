@@ -335,8 +335,21 @@ def grid_rank(
         sup = F.expr("__b DIV 8192")  # trunc-div is weakly monotone
     elif btype == "date":
         sup = F.expr("year(__b)")
-    elif btype in ("double", "float") or btype.startswith("decimal"):
-        sup = F.expr("CAST(FLOOR(__b / 8192.0) AS BIGINT)")
+    elif btype in ("double", "float"):
+        # FLOOR(double) returns LONG and silently maps NaN to 0 —
+        # which would rank NaN buckets FIRST instead of last, breaking
+        # the single-sort equivalence (r11 review).  Map NaN to +Inf
+        # explicitly: it sorts after every finite super-bucket (a +Inf
+        # data value floors/clamps to ~9.2e18, still below +Inf), so
+        # NaN keeps its Spark sort position (last).  Overflowing
+        # magnitudes clamp to Long.Max inside FLOOR — clamping is
+        # weakly monotone, which is all the decomposition needs.
+        sup = F.expr(
+            "CASE WHEN isnan(__b) THEN double('Infinity') "
+            "ELSE CAST(FLOOR(__b / 8192.0) AS DOUBLE) END"
+        )
+    elif btype.startswith("decimal"):
+        sup = F.expr("CAST(FLOOR(__b / 8192.0) AS DOUBLE)")  # no NaN in decimals
     else:
         sup = None
     if sup is None:
@@ -379,10 +392,14 @@ def grid_rank(
     # eqNullSafe: the grid's groupBy already carries the NULL-bucket group,
     # so a NULL bucket expression ranks (first — Spark's NULLS FIRST window
     # order) instead of silently vanishing, matching what a single global
-    # ROW_NUMBER would do.
+    # ROW_NUMBER would do.  No forced broadcast: a contiguous-key chunk
+    # grid is |keys|/8192 rows — a forced driver collect of ~2e7 rows at
+    # lake scale would undo the two-level bound above; AQE still picks a
+    # broadcast join on its own whenever the grid is actually small
+    # (r11 review).
     return (
         df.withColumn("__b", F.expr(bucket))
-        .join(F.broadcast(grid), F.col("__b").eqNullSafe(F.col("__gb")))
+        .join(grid, F.col("__b").eqNullSafe(F.col("__gb")))
         .withColumn(out, F.col("__cb") + F.row_number().over(w))
         .drop("__b", "__gb", "__cb")
     )

@@ -321,8 +321,15 @@ def compact_partitions(
         range_cols = [F.col(partition_col)] + [
             F.col(c) for c in (sort_cols or [c for c in df.columns if c != partition_col])
         ]
+        # hash() rejects MapType — skip map-bearing columns (fully
+        # identical rows then tie, which is harmless: they carry the
+        # same content into whichever file wins)
+        hashable = [c for c, t in df.dtypes if "map<" not in t]
+        tiebreak = (
+            F.hash(*[F.col(c) for c in hashable]) if hashable else F.lit(0)
+        )
         out = df.repartitionByRange(
-            int(max(1, n_out)), *range_cols, F.hash(*[F.col(c) for c in df.columns])
+            int(max(1, n_out)), *range_cols, tiebreak
         )
         if sort_cols:
             out = out.sortWithinPartitions(partition_col, *sort_cols)

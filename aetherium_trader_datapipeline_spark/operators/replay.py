@@ -54,7 +54,10 @@ def paced_replay(
     from aetherium_trader_datapipeline_spark.operators.layout import grid_rank
 
     indexed = (
-        grid_rank(df, key_col, [ts_col], "__rn")
+        # backtick-quote: grid_rank's bucket is a SQL EXPRESSION string,
+        # so a reserved-word or spaced column name must be quoted to keep
+        # the old Window.orderBy(name) resolution semantics
+        grid_rank(df, f"`{key_col}`", [ts_col], "__rn")
         .withColumn("__idx", F.col("__rn") - 1)
         .drop("__rn")
         .cache()

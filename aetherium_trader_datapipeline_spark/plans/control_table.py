@@ -107,10 +107,28 @@ class ControlTable:
             if legacy != path and os.path.exists(legacy):
                 try:
                     with open(legacy) as f:
-                        is_ours = json.load(f).get("job_key") == key
-                except (OSError, json.JSONDecodeError):
-                    is_ours = False
-                if is_ours:
+                        data = json.load(f)
+                except FileNotFoundError:
+                    data = None  # another reader migrated it first
+                except (OSError, json.JSONDecodeError,
+                        UnicodeDecodeError) as ex:
+                    # A corrupt candidate CANNOT be attributed (the name is
+                    # ambiguous between 'A:B' and 'A_B') — fail LOUDLY with
+                    # remediation rather than silently re-initializing a
+                    # cursor that may belong to this very job (r11 review).
+                    raise ControlTableCorruptError(
+                        f"unreadable legacy job-state file {legacy!r} ({ex});"
+                        f" it may hold state for {key!r} — inspect and delete"
+                        " or rename it to re-initialize"
+                    ) from ex
+                owner = data.get("job_key") if isinstance(data, dict) else None
+                if data is not None and owner is None:
+                    raise ControlTableCorruptError(
+                        f"legacy job-state file {legacy!r} carries no job_key;"
+                        f" it may hold state for {key!r} — inspect and delete"
+                        " or rename it to re-initialize"
+                    )
+                if owner == key:
                     try:
                         os.replace(legacy, path)
                     except FileNotFoundError:

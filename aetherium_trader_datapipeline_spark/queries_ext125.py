@@ -54,59 +54,56 @@ _X447 = """
     -- candidate set is every doc matching the query terms — corpus-scaled
     -- for common terms — so the rank windows must not single-partition
     -- (the x442 class).  ck ascends as the list score DESCENDS; global
-    -- rank = prefix offset over the <=1000-row chunk grid + in-chunk rank.
-    lb AS (SELECT MIN(lex_fp) AS lo, MAX(lex_fp) AS hi FROM cand),
-    lc AS (
-      SELECT c.doc_id, c.lex_fp,
-             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
-                  ELSE LEAST(CAST(FLOOR(CAST(b.hi - c.lex_fp AS DOUBLE)
-                                  * 1000 / CAST(b.hi - b.lo AS DOUBLE))
-                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
-      FROM cand c CROSS JOIN lb b
+    -- rank = prefix offset over the <=1000-row chunk grid + in-chunk
+    -- rank.  Both lists share ONE chunk-id CTE and ONE two-window pass
+    -- so Spark's CTE inlining re-expands the expensive tokenize scan 4x
+    -- instead of 8x (r11 review).
+    bounds AS (
+      SELECT MIN(lex_fp) AS llo, MAX(lex_fp) AS lhi,
+             MIN(n_chars) AS mlo, MAX(n_chars) AS mhi
+      FROM cand
     ),
-    lw AS (
-      SELECT doc_id, ck,
-             ROW_NUMBER() OVER (PARTITION BY ck
-                                ORDER BY lex_fp DESC, doc_id) AS r_in
-      FROM lc
+    cch AS (
+      SELECT c.doc_id, c.lex_fp, c.n_chars,
+             CASE WHEN b.lhi = b.llo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(b.lhi - c.lex_fp AS DOUBLE)
+                                  * 1000 / CAST(b.lhi - b.llo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ckl,
+             CASE WHEN b.mhi = b.mlo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(b.mhi - c.n_chars AS DOUBLE)
+                                  * 1000 / CAST(b.mhi - b.mlo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ckm
+      FROM cand c CROSS JOIN bounds b
+    ),
+    wrk AS (
+      SELECT doc_id, ckl, ckm,
+             ROW_NUMBER() OVER (PARTITION BY ckl
+                                ORDER BY lex_fp DESC, doc_id) AS rl_in,
+             ROW_NUMBER() OVER (PARTITION BY ckm
+                                ORDER BY n_chars DESC, doc_id) AS rm_in
+      FROM cch
     ),
     lg AS (
-      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+      SELECT ckl, COALESCE(SUM(c) OVER (ORDER BY ckl
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                CAST(0 AS BIGINT)) AS off
-      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM lc GROUP BY ck)
-    ),
-    mb AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM cand),
-    mc AS (
-      SELECT c.doc_id, c.n_chars,
-             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
-                  ELSE LEAST(CAST(FLOOR(CAST(b.hi - c.n_chars AS DOUBLE)
-                                  * 1000 / CAST(b.hi - b.lo AS DOUBLE))
-                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
-      FROM cand c CROSS JOIN mb b
-    ),
-    mw AS (
-      SELECT doc_id, ck,
-             ROW_NUMBER() OVER (PARTITION BY ck
-                                ORDER BY n_chars DESC, doc_id) AS r_in
-      FROM mc
+      FROM (SELECT ckl, CAST(COUNT(*) AS BIGINT) AS c FROM cch GROUP BY ckl)
     ),
     mg AS (
-      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+      SELECT ckm, COALESCE(SUM(c) OVER (ORDER BY ckm
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                CAST(0 AS BIGINT)) AS off
-      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM mc GROUP BY ck)
+      FROM (SELECT ckm, CAST(COUNT(*) AS BIGINT) AS c FROM cch GROUP BY ckm)
     ),
     fused AS (
-      SELECT lw.doc_id,
-             CAST(lg.off + lw.r_in AS BIGINT) AS rank_lex,
-             CAST(mg.off + mw.r_in AS BIGINT) AS rank_meta,
-             CAST(FLOOR(1e12 / (60 + lg.off + lw.r_in)) AS BIGINT)
-               + CAST(FLOOR(1e12 / (60 + mg.off + mw.r_in)) AS BIGINT)
+      SELECT w.doc_id,
+             CAST(lg.off + w.rl_in AS BIGINT) AS rank_lex,
+             CAST(mg.off + w.rm_in AS BIGINT) AS rank_meta,
+             CAST(FLOOR(1e12 / (60 + lg.off + w.rl_in)) AS BIGINT)
+               + CAST(FLOOR(1e12 / (60 + mg.off + w.rm_in)) AS BIGINT)
                AS rrf_fp
-      FROM lw JOIN lg ON lw.ck = lg.ck
-      JOIN mw ON lw.doc_id = mw.doc_id
-      JOIN mg ON mw.ck = mg.ck
+      FROM wrk w JOIN lg ON w.ckl = lg.ckl
+      JOIN mg ON w.ckm = mg.ckm
     )
     SELECT doc_id,
            rank_lex,

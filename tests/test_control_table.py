@@ -532,3 +532,36 @@ def test_legacy_migration_does_not_hijack_underscore_named_job(control):
     assert control.get(colliding_key) is None  # no hijack, no migration
     assert _os.path.exists(victim_path)  # victim untouched
     assert control.get(underscore_key).cursor == 777
+
+
+def test_corrupt_legacy_state_file_raises_not_resets(control):
+    """r11 review regression: a corrupt legacy-named file cannot be
+    attributed ('A:B' vs 'A_B' share the name), so get() must fail
+    LOUDLY with remediation — the silent path re-initialized a cursor
+    that may belong to this very job while the ghost file kept wedging
+    listings."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from aetherium_trader_datapipeline_spark.plans.control_table import (
+        ControlTableCorruptError,
+    )
+
+    key = "ingest:job:NQ:2024-01-05"
+    legacy = _os.path.join(control.root, key.replace(":", "_") + ".json")
+    with open(legacy, "w") as f:
+        f.write("{ not json")
+    with _pytest.raises(ControlTableCorruptError):
+        control.get(key)
+    # valid JSON but not a job-state object -> same loud failure
+    with open(legacy, "w") as f:
+        f.write("[]")
+    with _pytest.raises(ControlTableCorruptError):
+        control.get(key)
+    # another job's VALID file with the colliding name -> silently skipped
+    with open(legacy, "w") as f:
+        f.write('{"job_key": "something_else", "status": "COMPLETED", '
+                '"job_instance_id": "x", "cursor": 1, "end_time": 2, '
+                '"heartbeat_at": 3.0}')
+    assert control.get(key) is None

@@ -233,3 +233,21 @@ def test_write_clustered_rejects_bad_args(spark, tmp_path):
         hilbert_clustered_key(df, ["a", "b", "c"])
     with _pytest.raises(ValueError):
         write_clustered(df, str(tmp_path / "x"), ["a", "b"], curve="peano")
+
+
+def test_grid_rank_double_bucket_handles_nan(spark):
+    """r11 review regression: the float super-bucket must not cast NaN
+    (or huge magnitudes) to BIGINT — ANSI mode throws — and NaN buckets
+    must still rank LAST, matching a single global sort."""
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import grid_rank
+
+    df = spark.createDataFrame(
+        [(1.0, 1), (float("nan"), 2), (9000.5, 3), (1.0, 4),
+         (1e300, 5)],
+        "b double, k int",
+    )
+    got = {(r.k, r.rk) for r in grid_rank(df, "b", ["k"], "rk").collect()}
+    # order: 1.0 (k=1), 1.0 (k=4), 9000.5, 1e300, NaN last
+    assert got == {(1, 1), (4, 2), (3, 3), (5, 4), (2, 5)}, got

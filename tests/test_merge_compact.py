@@ -328,7 +328,13 @@ def test_merge_upsert_cleans_checkpoint_spill(spark, tmp_path):
         upd = spark.createDataFrame([(1, "A", "p1")], "k int, v string, d string")
         merge_upsert(spark, base, upd, key_cols=["k"], partition_col="d")
         assert _rows(spark, base) == {(1, "A", "p1"), (2, "b", "p2")}
-        leftovers = glob.glob(os.path.join(ck, "merge-spill-*"))
+        # setCheckpointDir appends a session UUID subdir — the spill lands
+        # UNDER it, so the leak check must recurse (a flat glob matched
+        # nothing and passed vacuously; r11 review)
+        assert spark.sparkContext.getCheckpointDir() is not None
+        leftovers = glob.glob(
+            os.path.join(ck, "**", "merge-spill-*"), recursive=True
+        )
         assert leftovers == [], f"durable spill leaked: {leftovers}"
     finally:
         # PySpark has no unsetCheckpointDir; clear via the JVM setter so
@@ -366,3 +372,21 @@ def test_compact_partitions_splits_low_cardinality_sort_key(spark):
         "equal sort keys collapsed the split back to |distinct| files"
     )
     assert spark.read.parquet(base).count() == 60_000
+
+
+def test_compact_partitions_survives_map_columns(spark):
+    """r11 review regression: the row-hash tie-breaker must skip MapType
+    columns (hash() rejects them) instead of failing the whole
+    compaction at plan time."""
+    base = os.path.join(tempfile.mkdtemp(prefix="compact-map-"), "t")
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("k"),
+        F.create_map(F.lit("a"), F.col("id").cast("string")).alias("props"),
+        F.lit("p").alias("d"),
+    )
+    df.repartition(6).write.partitionBy("d").parquet(base)
+    stats = compact_partitions(
+        spark, base, partition_col="d", sort_cols=["k"]
+    )
+    assert stats["partitions"] == 1
+    assert spark.read.parquet(base).count() == 2_000
