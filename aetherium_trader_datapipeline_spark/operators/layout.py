@@ -350,6 +350,17 @@ def grid_rank(
         )
     elif btype.startswith("decimal"):
         sup = F.expr("CAST(FLOOR(__b / 8192.0) AS DOUBLE)")  # no NaN in decimals
+    elif btype == "string":
+        # A fixed-length prefix is weakly monotone under the default
+        # binary (UTF8_BINARY) collation: a <= b implies prefix(a) <=
+        # prefix(b), which is all the two-level decomposition needs.
+        # Before this, string buckets silently fell back to the
+        # single-level band — fine for a bounded symbol domain, linear
+        # through one task for a high-cardinality string bucket
+        # (r11 advice).  4 chars keeps the super grid tiny for natural
+        # keys (symbols, dates-as-strings, hex prefixes) while still
+        # splitting large domains.
+        sup = F.expr("substring(__b, 1, 4)")
     else:
         sup = None
     if sup is None:

@@ -59,16 +59,35 @@ def _table_has_data(fs, root, partition_col: str) -> bool:
     with only _SUCCESS (emptied-partition cleanup removed the dirs); bare
     ``fs.exists(root)`` would classify that as an existing table and the
     subsequent read would die on schema inference instead of taking the
-    new-table insert path (r10 advice)."""
+    new-table insert path (r10 advice).
+
+    A root that exists but holds ONLY foreign content — partition dirs
+    keyed by a different column, or arbitrary subdirectories — raises
+    instead of returning False: taking the new-table insert path there
+    would silently write a second partition layout alongside the old one
+    (a caller typo'd partition_col, or the table's layout changed), which
+    is the same silent-reclassify hazard the explicit existence probe was
+    introduced to remove (r11 advice)."""
     if not fs.exists(root):
         return False
     prefix = f"{partition_col}="
+    foreign: list[str] = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(prefix):
             return True
         if st.isFile() and not name.startswith(("_", ".")):
             return True
+        if st.isDirectory() and not name.startswith(("_", ".")):
+            foreign.append(name)
+    if foreign:
+        raise ValueError(
+            f"table root {root} contains directories that are not "
+            f"'{partition_col}=' partitions: {sorted(foreign)[:5]} — refusing "
+            f"to treat it as a new table (wrong partition_col, or a layout "
+            f"change?). Merge into the table's actual partition column, or "
+            f"point merge_upsert at an empty/absent root."
+        )
     return False
 
 
@@ -285,6 +304,15 @@ def compact_partitions(
     r10 review's straggler finding), and per-partition file counts track
     row counts.  Rows are re-sorted by `sort_cols` inside each output
     file so row-group stats stay tight too.
+
+    SIZING IS BEST-EFFORT (r11 advice, accepted): n_out derives from BYTE
+    footprints but repartitionByRange splits by sampled ROW counts pooled
+    across the selected partitions, so partitions with wider rows — or a
+    mix of row widths across partitions — land off target_file_bytes, and
+    reservoir-sampled boundaries make per-file sizes approximate anyway.
+    Compaction's contract here is "bounded file count, preserved sort",
+    not exact file sizes; a caller needing tighter sizing should weight
+    the budget per partition by estimated bytes/row from the listing.
     """
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

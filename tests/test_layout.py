@@ -251,3 +251,26 @@ def test_grid_rank_double_bucket_handles_nan(spark):
     got = {(r.k, r.rk) for r in grid_rank(df, "b", ["k"], "rk").collect()}
     # order: 1.0 (k=1), 1.0 (k=4), 9000.5, 1e300, NaN last
     assert got == {(1, 1), (4, 2), (3, 3), (5, 4), (2, 5)}, got
+
+
+def test_grid_rank_string_bucket_two_level(spark):
+    """r11 advice regression: string buckets now coarsen through a
+    4-char-prefix super-bucket (weakly monotone under binary collation)
+    instead of silently falling back to the single-level global band.
+    Ranks must equal the single-sort ROW_NUMBER, including ties across
+    prefix boundaries, short strings, and a NULL bucket."""
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import grid_rank
+
+    vals = [
+        ("AAPL", 1), ("AAPL", 2), ("AA", 3), ("ZZZZ9", 4),
+        ("ZZZZ1", 5), ("MSFT", 6), (None, 7), ("A", 8),
+    ]
+    df = spark.createDataFrame(vals, "b string, k int")
+    got = {(r.b, r.k, r.rk) for r in grid_rank(df, "b", ["k"], "rk").collect()}
+    expect_order = sorted(
+        vals, key=lambda t: (t[0] is not None, t[0] if t[0] is not None else "", t[1])
+    )
+    expect = {(b, k, i + 1) for i, (b, k) in enumerate(expect_order)}
+    assert got == expect, got

@@ -458,7 +458,17 @@ def test_collect_sites_are_allowlisted():
 # is bounded by a domain, a calendar, a literal, or a documented chunk
 # grid, NOT by row count.
 _CHUNK_GRID = ("prefix offsets over the <=1000-row value-range chunk grid "
-               "(x198/x238 family); rank windows are partitioned by chunk")
+               "(x198/x238 family); rank windows are partitioned by chunk. "
+               "SKEW CAVEAT (r11 advice): chunk boundaries are equal-WIDTH "
+               "in value space, so a distribution where most rows share one "
+               "value (or sit in a narrow band relative to min/max outliers) "
+               "funnels through one chunk's task — equal-width bounds the "
+               "grid, not the per-chunk row count.  For the registry's "
+               "metrics this is acceptable: the chunked columns are "
+               "aggregated monetary/score totals whose mass is spread by "
+               "construction; a production caller with tie-dense data "
+               "should switch to quantile (approx_percentile) boundaries "
+               "or recurse one sub-chunk level on oversized chunks")
 _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     # --- generated-spine / day-grid operators ---
     "q33_gap_detection": "per-(symbol,day) presence grid vs a generated day spine; O(calendar days)",
