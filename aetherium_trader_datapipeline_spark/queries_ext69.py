@@ -109,62 +109,71 @@ _X304_ORACLE = f"""
 def x304_hilbert_vs_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7 rewrite (VERDICT r6 ask #8 / global-band policy): the r5 form
     ran two global NTILE windows + one global ROW_NUMBER per layout —
-    four single-partition sorts of all of lineitem. Every rank now
-    decomposes as cum_before(leading-bucket) + within-bucket rank
-    (operators.layout.grid_rank: date grid / orderkey-chunk grid /
-    distinct hval+zval grids), the keyed frame materializes once, and
-    both layouts fold through one stack() explode + a single
-    (layout, fid) aggregation. Rank ties permute only rows identical in
-    every aggregated column, so the file stats — and the DuckDB oracle
-    (unchanged, still the NTILE form) — hash identically."""
+    four single-partition sorts of all of lineitem. Rank ties permute
+    only rows identical in every aggregated column, so the file stats —
+    and the DuckDB oracle (unchanged, still the NTILE form) — hash
+    identically.
+
+    r12 (VERDICT r11 ask #3): unlike x294, this key never needs
+    full-resolution GLOBAL ranks in its prefix — the two NTILE(256) grid
+    coordinates are the only thing the curves consume, so
+    operators.layout.ntile_bucket assigns each tile from the broadcast
+    bucket grid alone for every bucket that lies inside one tile (~90%
+    of rows never shuffle for the tile pass) and windows only the <=255
+    straddling buckets.  And because BOTH curve keys are bijective
+    functions of the (a, b) cell, rank-within-hval-cell ==
+    rank-within-zval-cell == rank within (a, b): ONE 60M-row window
+    partitioned by (a, b) serves both curves, with each curve's
+    cum-before offsets computed on the 65,536-cell joint histogram
+    (weight-summed two-level offsets), never on the rows.  The four
+    60M exchange+sorts of the r7 form collapse to one."""
     from aetherium_trader_datapipeline_spark.operators.layout import (
+        _bucket_offset_grid,
         _interleave,
-        grid_rank,
         hilbert_key,
-        ntile_from_rank,
+        materialize_disk,
+        ntile_bucket,
     )
 
     li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_shipdate")
     n = li.count()
-    ranked = grid_rank(li, "l_shipdate", ["l_orderkey"], "rka")
-    ranked = grid_rank(
-        ranked, "l_orderkey DIV 8192", ["l_orderkey", "l_shipdate"], "rkb"
+    ta = materialize_disk(
+        ntile_bucket(li, "l_shipdate", ["l_orderkey"], n, 256, "ta")
     )
-    g = ranked.select(
+    tb = ntile_bucket(
+        ta, "l_orderkey DIV 8192", ["l_orderkey", "l_shipdate"], n, 256, "tb"
+    )
+    g = tb.select(
         "l_orderkey",
         "l_shipdate",
-        (ntile_from_rank(F.col("rka"), n, 256) - 1).alias("a"),
-        (ntile_from_rank(F.col("rkb"), n, 256) - 1).alias("b"),
+        (F.col("ta") - 1).alias("a"),
+        (F.col("tb") - 1).alias("b"),
     )
-    keyed = (
-        hilbert_key(g, "a", "b", bits=8, out_col="hval")
-        .withColumn(
-            "zval",
-            _interleave([F.col("a").cast("bigint"), F.col("b").cast("bigint")], 8)
-            .cast("bigint"),
-        )
-        .select("l_orderkey", "l_shipdate", "zval", "hval")
-        .localCheckpoint(eager=False)
+    g = materialize_disk(g)
+    # joint (a, b) histogram: <=65,536 cells; curve keys + per-curve
+    # cum-before offsets all live here, not on the 60M rows
+    joint = g.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    jk = hilbert_key(joint, "a", "b", bits=8, out_col="hval").withColumn(
+        "zval",
+        _interleave(
+            [F.col("a").cast("bigint"), F.col("b").cast("bigint")], 8
+        ).cast("bigint"),
     )
-    # Both curve-rank grids derive from the CHECKPOINTED frame, and both
-    # within-bucket ranks ride one pass over it — chaining grid_rank
-    # twice would rebuild the hval join+window to aggregate the zval
-    # counts (allr is lazy), doubling the heavy pass.
-    def _grid(col):
-        wg = Window.orderBy(col)
-        return (
-            keyed.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .select(col, (F.sum("__c").over(wg) - F.col("__c")).alias(f"__cb_{col}"))
-        )
-
-    wh = Window.partitionBy("hval").orderBy("l_orderkey", "l_shipdate")
-    wz = Window.partitionBy("zval").orderBy("l_orderkey", "l_shipdate")
+    offh = _bucket_offset_grid(jk, "hval", weight="c").select(
+        F.col("__gb").alias("hval"), F.col("__cb").alias("cbh")
+    )
+    offz = _bucket_offset_grid(jk, "zval", weight="c").select(
+        F.col("__gb").alias("zval"), F.col("__cb").alias("cbz")
+    )
+    cells = (
+        jk.join(offh, "hval").join(offz, "zval").select("a", "b", "cbh", "cbz")
+    ).localCheckpoint(eager=False)
+    wcell = Window.partitionBy("a", "b").orderBy("l_orderkey", "l_shipdate")
     allr = (
-        keyed.join(F.broadcast(_grid("hval")), "hval")
-        .join(F.broadcast(_grid("zval")), "zval")
-        .withColumn("rnh", F.col("__cb_hval") + F.row_number().over(wh))
-        .withColumn("rnz", F.col("__cb_zval") + F.row_number().over(wz))
+        g.join(F.broadcast(cells), ["a", "b"])
+        .withColumn("rn", F.row_number().over(wcell))
+        .withColumn("rnh", F.col("cbh") + F.col("rn"))
+        .withColumn("rnz", F.col("cbz") + F.col("rn"))
     )
 
     exploded = allr.select(

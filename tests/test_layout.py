@@ -274,3 +274,41 @@ def test_grid_rank_string_bucket_two_level(spark):
     )
     expect = {(b, k, i + 1) for i, (b, k) in enumerate(expect_order)}
     assert got == expect, got
+
+
+def test_ntile_bucket_matches_exact_ntile(spark):
+    """r12: ntile_bucket must reproduce NTILE(k) OVER (ORDER BY bucket,
+    *order_cols) exactly — whole buckets assigned from the grid alone,
+    straddling buckets through the boundary window — including ties,
+    buckets larger than a tile, k > n corner, and a NULL bucket (NULLS
+    FIRST)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import ntile_bucket
+
+    # skewed buckets: one giant bucket (spans several tiles), many tiny
+    vals = []
+    for i in range(40):
+        vals.append((5, i))          # giant bucket
+    for b in (1, 2, 3, 8, 9):
+        for i in range(3):
+            vals.append((b, 100 + b * 10 + i))
+    vals.append((None, 999))
+    df = spark.createDataFrame(
+        pd.DataFrame({"b": pd.array([v[0] for v in vals], dtype="Int64"),
+                      "v": [v[1] for v in vals]})
+    )
+    n = df.count()
+    for k in (1, 4, 7, 56, 100):
+        got = {
+            (r.b, r.v, r.t)
+            for r in ntile_bucket(df, "b", ["v"], n, k, "t").collect()
+        }
+        exp = {
+            (r.b, r.v, r.t)
+            for r in df.selectExpr(
+                "b", "v", f"NTILE({k}) OVER (ORDER BY b, v) AS t"
+            ).collect()
+        }
+        assert got == exp, f"k={k}: {sorted(got - exp)[:5]} vs {sorted(exp - got)[:5]}"

@@ -549,8 +549,11 @@ _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "x509_lifecycle_tiering": "3 tiers",
     "x514_lsh_param_plan": "6 layouts x 21 grid points",
     # --- structure-scale grids (metadata, not rows) ---
-    "x294_zone_map_prune": "grid_rank two-level offsets (r11): level-1 partitioned by super-bucket; global band sees only the super-bucket grid",
-    "x304_hilbert_vs_zorder": "grid_rank two-level offsets (r11), as x294; curve cells are additionally resolution-bounded",
+    "x294_zone_map_prune": "grid_rank two-level offsets (r11/r12): level-1 partitioned by super-bucket (incl. timestamp buckets via year()); global band sees only the super-bucket grid",
+    # (x304_hilbert_vs_zorder left this list in r12: the ntile_bucket +
+    # joint-cell rewrite auto-classifies every window — tile grids and
+    # the 65,536-cell curve histograms carry the offsets two-level, and
+    # the only 60M window is partitioned by (a,b) cell.)
     "x466_watermark_plan": "two-level prefix max (r11): level-1 partitioned by 8192-batch super-batches; the global band sees only the super-batch grid",
     "x498_sortedness_profile": "two-level boundary handoff (r11): level-1 partitioned by 8192-block super-blocks; the global band sees only the |rows|/10^4/8192 grid",
     "x557_monetary_unit_sampling": "two-level prefix sums (r11): level-1 partitioned by 8192-chunk super-chunks; the global band sees only the |orders|/8192^2 grid",
