@@ -241,10 +241,18 @@ _X574_FMT = """
                   FROM handoff_x) b
     ),
     ndv AS (
+      -- NDVs over the collapsed (c1, c2, c3) TUPLE grid, not the raw
+      -- rows: distinct-of-projection over distinct-tuples equals the
+      -- global distinct, the tuple domain is tiny by construction
+      -- (these are the dict-encoding candidates — here 3 x 2 x 50
+      -- combos), and the collapse is one map-side-partial hash agg.
+      -- The raw-row form planned a 3x expand of all of lineitem
+      -- (Spark's multi-count-distinct) — a third of the key's 100x
+      -- wall (r12).
       SELECT CAST(COUNT(DISTINCT c1) AS BIGINT) AS ndv1,
              CAST(COUNT(DISTINCT c2) AS BIGINT) AS ndv2,
              CAST(COUNT(DISTINCT c3) AS BIGINT) AS ndv3
-      FROM li
+      FROM (SELECT c1, c2, c3 FROM li GROUP BY c1, c2, c3) tg
     ),
     stats AS (
       -- single 1-row assembly so each expensive pass runs ONCE (a

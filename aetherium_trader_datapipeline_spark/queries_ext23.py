@@ -104,24 +104,49 @@ register_sql(
     "x177_dau_wau",
     spark_sql="""
     WITH ud AS (
-      -- collapse events to distinct user-days FIRST: user-days << events, so
-      -- the 7-way explode below fans out the small set, and the join back to
-      -- the spine is an equi-join (shuffle hash), never a nested-loop over
-      -- raw events (the r3 BNLJ hazard: Θ(|days|x|events|) predicate evals).
+      -- collapse events to distinct user-days FIRST: user-days << events
       SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
-    dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY d),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d),
     spine AS (SELECT DISTINCT d FROM ud),
-    contrib AS (
-      -- each user-day counts toward the trailing-7 window of days d..d+6
-      SELECT date_add(ud.d, k) AS d, ud.user_id
-      FROM ud LATERAL VIEW explode(sequence(0, 6)) t AS k),
+    -- r12 (VERDICT r11 ask #5): WAU(day) = #users with any active day in
+    -- [day-6, day] = #users whose merged coverage intervals
+    -- [active_day, active_day+6] contain the day.  Per-user interval
+    -- merge (gaps-and-islands, window PARTITIONED by user over the
+    -- user's distinct days), then interval-boundary deltas cumulated
+    -- over the O(calendar days) day grid.  Replaces the x7 fan-out of
+    -- every user-day + a COUNT DISTINCT over the fanned rows — the last
+    -- super-linear-ish join in SCALE.md waves 22-25.
+    isl AS (
+      SELECT user_id, d,
+             CASE WHEN datediff(d, LAG(d) OVER (
+                    PARTITION BY user_id ORDER BY d)) <= 6
+                  THEN 0 ELSE 1 END AS new_island
+      FROM ud),
+    iv AS (
+      SELECT user_id, MIN(d) AS s, date_add(MAX(d), 6) AS e
+      FROM (SELECT user_id, d,
+                   SUM(new_island) OVER (
+                     PARTITION BY user_id ORDER BY d) AS island
+            FROM isl) t
+      GROUP BY user_id, island),
+    bnd AS (
+      SELECT s AS d, 1 AS delta, 0 AS is_spine FROM iv
+      UNION ALL
+      SELECT date_add(e, 1) AS d, -1 AS delta, 0 AS is_spine FROM iv
+      UNION ALL
+      SELECT d, 0 AS delta, 1 AS is_spine FROM spine),
+    bday AS (
+      SELECT d, SUM(delta) AS net, MAX(is_spine) AS sp
+      FROM bnd GROUP BY d),
     wau AS (
-      SELECT c.d, COUNT(DISTINCT c.user_id) AS wau
-      FROM contrib c JOIN spine s ON c.d = s.d
-      GROUP BY c.d)
+      -- step-function coverage: cumulative net at every boundary-or-
+      -- spine day; the global band is the collapsed day grid
+      SELECT d, SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS wau,
+             sp
+      FROM bday)
     SELECT dau.d AS day, dau.dau, wau.wau,
            ROUND(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
-    FROM dau JOIN wau ON dau.d = wau.d
+    FROM dau JOIN wau ON dau.d = wau.d AND wau.sp = 1
     ORDER BY day
     """,
     duckdb_sql="""

@@ -493,6 +493,7 @@ _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "x575_histogram_selectivity": "distinct price grid; cents-quantized domain cap",
     # --- calendar-bounded grids (days / hours / minutes / lifetimes) ---
     "x219_km_table": "per-lifetime-day collapse x scalar total; O(observation days)",
+    "x177_dau_wau": "coverage cumsum over the boundary-day grid (interval starts/ends are dates); O(calendar days)",
     "x226_new_vs_returning": "per-day new/returning grid; O(calendar days)",
     "x234_var_es": "per-day portfolio returns; O(calendar days)",
     "x332_systematic_sample": "per-orderdate count offsets; O(calendar days)",
