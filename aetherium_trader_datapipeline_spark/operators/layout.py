@@ -319,9 +319,11 @@ def grid_rank(
     PLAN NOTE: the bucket grid is computed by aggregating ``df`` itself,
     so ``df`` appears TWICE in the final plan (grid branch + data
     branch).  When ``df`` is itself expensive (e.g. the output of a
-    previous grid_rank), materialize it first (``localCheckpoint``) —
-    otherwise the upstream window executes once per branch (r12: this
-    double execution was ~30% of x294's 100x wall).
+    previous grid_rank), materialize it first with
+    :func:`materialize_disk` — NOT localCheckpoint, whose deserialized
+    on-heap rows OOM an 8 GB local JVM at two 60M-row frames (measured,
+    r12) — otherwise the upstream window executes once per branch
+    (that double execution was ~30% of x294's 100x wall).
     """
     from pyspark.sql import Window
 

@@ -71,24 +71,30 @@ def _table_has_data(fs, root, partition_col: str) -> bool:
     if not fs.exists(root):
         return False
     prefix = f"{partition_col}="
+    has_data = False
     foreign: list[str] = []
+    # classify EVERY entry before deciding: an early return on the first
+    # matching dir would let a MIXED root (d=... alongside dd=... — one
+    # bad historical merge, or external writes) pass as healthy and keep
+    # accreting the second layout (r12 review)
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith(prefix):
-            return True
-        if st.isFile() and not name.startswith(("_", ".")):
-            return True
-        if st.isDirectory() and not name.startswith(("_", ".")):
+            has_data = True
+        elif st.isFile() and not name.startswith(("_", ".")):
+            has_data = True
+        elif st.isDirectory() and not name.startswith(("_", ".")):
             foreign.append(name)
     if foreign:
         raise ValueError(
             f"table root {root} contains directories that are not "
             f"'{partition_col}=' partitions: {sorted(foreign)[:5]} — refusing "
-            f"to treat it as a new table (wrong partition_col, or a layout "
+            f"to {'merge into' if has_data else 'treat as new'} a root with "
+            f"a foreign partition layout (wrong partition_col, or a layout "
             f"change?). Merge into the table's actual partition column, or "
             f"point merge_upsert at an empty/absent root."
         )
-    return False
+    return has_data
 
 
 def merge_upsert(

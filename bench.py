@@ -46,6 +46,11 @@ def main() -> None:
     for k in keys:
         samples = []
         for _ in range(N_RUNS):
+            # drop DataFrame caches a key may create (persist-based
+            # materializations): a canonically identical plan would
+            # otherwise read run 1's cache and fake runs 2..N (r12
+            # review; no current headline key persists, this is a guard)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             REGISTRY[k].run(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)

@@ -82,6 +82,12 @@ def main() -> None:
         spec.run(spark, args.sf).collect()  # warm-up
         samples = []
         for _ in range(args.runs):
+            # drop DataFrame caches the key itself created (x294/x304
+            # persist wide intermediates): a canonically identical plan
+            # would otherwise read the previous run's cache and fake the
+            # sample; non-matching plans would pile up a fresh persisted
+            # copy per run instead (r12 review)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             spec.run(spark, args.sf).collect()
             samples.append(round(time.perf_counter() - t0, 4))

@@ -240,6 +240,14 @@ def main() -> int:
                 rec["status"] = "error"
                 rec["problems"] = [repr(ex)[:300]]
             rec["wall_s"] = round(time.time() - t0, 2)
+            # drop any DataFrame caches the key created (x294/x304
+            # persist DISK_ONLY intermediates) so a 575-key sweep does
+            # not retain one cache per such key for the whole session
+            # (r12 review)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
             out.write(json.dumps(rec) + "\n")
             out.flush()
             if rec["status"] != "ok":

@@ -279,36 +279,46 @@ def test_grid_rank_string_bucket_two_level(spark):
 def test_ntile_bucket_matches_exact_ntile(spark):
     """r12: ntile_bucket must reproduce NTILE(k) OVER (ORDER BY bucket,
     *order_cols) exactly — whole buckets assigned from the grid alone,
-    straddling buckets through the boundary window — including ties,
-    buckets larger than a tile, k > n corner, and a NULL bucket (NULLS
-    FIRST)."""
+    straddling buckets through the boundary window — including DUPLICATE
+    (bucket, order) rows whose ties may straddle a tile boundary, buckets
+    larger than a tile, the k > n corner, and a NULL bucket (NULLS
+    FIRST).  Tied rows permute arbitrarily across a boundary (in
+    ntile_bucket exactly as in NTILE's own row_number tie-break), so the
+    comparison is MULTISET equality of (b, v, tile) triples — invariant
+    under any tie permutation, strict about tile sizes and everything
+    else."""
     import pandas as pd
     from pyspark.sql import functions as F
 
     from aetherium_trader_datapipeline_spark.operators.layout import ntile_bucket
 
-    # skewed buckets: one giant bucket (spans several tiles), many tiny
+    # skewed buckets: one giant bucket (spans several tiles) with heavy
+    # duplicate (b, v) runs, many tiny buckets, duplicated small rows
     vals = []
     for i in range(40):
-        vals.append((5, i))          # giant bucket
+        vals.append((5, i // 4))     # giant bucket, each v repeated 4x
     for b in (1, 2, 3, 8, 9):
         for i in range(3):
-            vals.append((b, 100 + b * 10 + i))
+            vals.append((b, 100 + b * 10))  # all three rows tie on (b, v)
+    vals.append((None, 999))
     vals.append((None, 999))
     df = spark.createDataFrame(
         pd.DataFrame({"b": pd.array([v[0] for v in vals], dtype="Int64"),
                       "v": [v[1] for v in vals]})
     )
     n = df.count()
+    nkey = lambda t: (t[0] is not None, t[0] or 0, t[1], t[2])  # noqa: E731
     for k in (1, 4, 7, 56, 100):
-        got = {
-            (r.b, r.v, r.t)
-            for r in ntile_bucket(df, "b", ["v"], n, k, "t").collect()
-        }
-        exp = {
-            (r.b, r.v, r.t)
-            for r in df.selectExpr(
-                "b", "v", f"NTILE({k}) OVER (ORDER BY b, v) AS t"
-            ).collect()
-        }
-        assert got == exp, f"k={k}: {sorted(got - exp)[:5]} vs {sorted(exp - got)[:5]}"
+        got = sorted(
+            ((r.b, r.v, r.t)
+             for r in ntile_bucket(df, "b", ["v"], n, k, "t").collect()),
+            key=nkey,
+        )
+        exp = sorted(
+            ((r.b, r.v, r.t)
+             for r in df.selectExpr(
+                 "b", "v", f"NTILE({k}) OVER (ORDER BY b, v) AS t"
+             ).collect()),
+            key=nkey,
+        )
+        assert got == exp, f"k={k}: first diff {next((a, b) for a, b in zip(got, exp) if a != b)}"

@@ -422,3 +422,20 @@ def test_merge_upsert_refuses_mismatched_partition_layout(spark):
         merge_upsert(spark, base, wrong, key_cols=["k"], partition_col="dd")
     # the original layout is untouched
     assert _rows(spark, base) == {(1, "a", "p1")}
+
+
+def test_merge_upsert_refuses_mixed_partition_layout(spark):
+    """r12 review regression: the foreign-layout guard must fire even
+    when MATCHING partition dirs also exist — a mixed root (one bad
+    historical merge) must not keep accreting the second layout."""
+    import pytest
+
+    base = os.path.join(tempfile.mkdtemp(prefix="merge-mixed-"), "t")
+    seed = spark.createDataFrame([(1, "a", "p1")], "k int, v string, d string")
+    merge_upsert(spark, base, seed, key_cols=["k"], partition_col="d")
+    # simulate the historical bad merge: a second layout appears on disk
+    os.makedirs(os.path.join(base, "dd=px"))
+    upd = spark.createDataFrame([(1, "A", "p1")], "k int, v string, d string")
+    with pytest.raises(ValueError, match="foreign partition layout"):
+        merge_upsert(spark, base, upd, key_cols=["k"], partition_col="d")
+    assert _rows(spark, base) == {(1, "a", "p1")}  # untouched
