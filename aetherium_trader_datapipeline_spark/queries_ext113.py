@@ -172,10 +172,14 @@ _X414 = """
       FROM per_source p JOIN rtot r ON p.source = r.source
     ),
     meta AS (
+      -- distincts over the collapsed (source, lang) tuple grid, not the
+      -- raw docs: the multi-COUNT(DISTINCT) plans as a 3x row EXPAND of
+      -- its input, and the grid is contingency-table-sized (r12)
       SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
              CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM documents
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM (SELECT source, lang, COUNT(*) AS c
+            FROM documents GROUP BY source, lang) tg
     )
     SELECT t.source,
            ROUND(t.src_fp / 1e9, 6) AS chi2_contrib,

@@ -222,10 +222,13 @@ _X312_FMT = """
       FROM qi GROUP BY lang, source, len_bucket
     ),
     ks AS ({gen_k}),
-    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(COUNT(DISTINCT (lang, source, len_bucket)) AS BIGINT)
-                     AS n_groups
-            FROM qi)
+    tot AS (
+      -- grp IS the distinct (lang, source, len_bucket) grid — reuse it
+      -- instead of a COUNT(DISTINCT tuple) over raw docs, which plans
+      -- as a 2x row EXPAND of the whole table (r12)
+      SELECT CAST(SUM(sz) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_groups
+      FROM grp)
     SELECT k.k,
            t.n_groups,
            CAST(SUM(CASE WHEN g.sz < k.k THEN 1 ELSE 0 END) AS BIGINT)
@@ -242,8 +245,7 @@ register_sql(
     "x312_k_anonymity",
     spark_sql=_X312_FMT.format(
         gen_k="SELECT explode(array(2, 5, 10)) AS k", div="DIV"
-    ).replace("COUNT(DISTINCT (lang, source, len_bucket))",
-              "COUNT(DISTINCT lang, source, len_bucket)"),
+    ),
     duckdb_sql=_X312_FMT.format(gen_k="SELECT unnest([2, 5, 10]) AS k", div="//"),
     tags=("privacy", "audit"),
 )

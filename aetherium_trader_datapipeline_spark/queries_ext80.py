@@ -50,13 +50,23 @@ _X324 = """
              {h} % 64 AS bucket,
              CASE WHEN {h2} % 2 = 0 THEN 1 ELSE -1 END AS sign
       FROM toks
+    ),
+    grid AS (
+      -- collapse the token stream to the (bucket, doc, tok) grid FIRST:
+      -- the multi-COUNT(DISTINCT) over raw tokens planned as a 3x row
+      -- EXPAND of the whole token stream; after this map-side-partial
+      -- collapse the expand touches only distinct per-doc tokens, and
+      -- n_tok / signed_mass re-aggregate exactly from the carried counts
+      -- (sign is a pure function of tok, so sign * c is exact) (r12)
+      SELECT bucket, doc_id, tok, sign, COUNT(*) AS c
+      FROM hashed GROUP BY bucket, doc_id, tok, sign
     )
     SELECT CAST(bucket AS BIGINT) AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(c) AS BIGINT) AS n_tok,
            CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tok,
-           CAST(SUM(sign) AS BIGINT) AS signed_mass,
+           CAST(SUM(sign * c) AS BIGINT) AS signed_mass,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-    FROM hashed GROUP BY bucket ORDER BY bucket
+    FROM grid GROUP BY bucket ORDER BY bucket
 """
 
 register_sql(

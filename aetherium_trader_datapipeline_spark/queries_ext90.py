@@ -84,18 +84,29 @@ _X355 = """
              e.value, e.event_type, e.user_id
       FROM events e CROSS JOIN med
     ),
+    cellg AS (
+      -- every profile agg decomposes through the (half, type, user)
+      -- grid (counts sum, nulls sum, min/max fold), so the
+      -- multi-COUNT(DISTINCT) — which plans as a 3x row EXPAND — runs
+      -- over the collapsed grid (~users x types), never the raw events
+      -- (r12)
+      SELECT half, event_type, user_id,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nv,
+             MIN(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS mnv,
+             MAX(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS mxv
+      FROM halves GROUP BY half, event_type, user_id
+    ),
     prof AS (
       SELECT half,
-             CAST(COUNT(*) AS BIGINT) AS n_rows,
-             CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS value_nulls,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(SUM(nv) AS BIGINT) AS value_nulls,
              CAST(COUNT(DISTINCT event_type) AS BIGINT) AS et_distinct,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users_distinct,
-             CAST(MIN(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
-               AS value_min_micro,
-             CAST(MAX(CAST(ROUND(value * 1000000, 0) AS BIGINT)) AS BIGINT)
-               AS value_max_micro
-      FROM halves GROUP BY half
+             CAST(MIN(mnv) AS BIGINT) AS value_min_micro,
+             CAST(MAX(mxv) AS BIGINT) AS value_max_micro
+      FROM cellg GROUP BY half
     )
     SELECT half, n_rows, value_nulls,
            ROUND(CAST(value_nulls AS DOUBLE) / n_rows, 6) AS null_rate,
