@@ -299,6 +299,7 @@ def grid_rank(
     bucket: str,
     order_cols: list[str],
     out: str,
+    grid_source: DataFrame | None = None,
 ) -> DataFrame:
     """Append the exact global ROW_NUMBER rank under the total order
     (bucket, *order_cols) — decomposed scalably (r7, VERDICT r6 ask #8):
@@ -319,15 +320,22 @@ def grid_rank(
     PLAN NOTE: the bucket grid is computed by aggregating ``df`` itself,
     so ``df`` appears TWICE in the final plan (grid branch + data
     branch).  When ``df`` is itself expensive (e.g. the output of a
-    previous grid_rank), materialize it first with
-    :func:`materialize_disk` — NOT localCheckpoint, whose deserialized
-    on-heap rows OOM an 8 GB local JVM at two 60M-row frames (measured,
-    r12) — otherwise the upstream window executes once per branch
-    (that double execution was ~30% of x294's 100x wall).
+    previous grid_rank), either pass ``grid_source`` — a CHEAPER frame
+    with the SAME ROWS (the raw scan a previous grid_rank decorated;
+    bucket counts depend only on the row multiset, so the grid is
+    identical and the expensive frame executes once) — or materialize
+    ``df`` first with :func:`materialize_disk` (NOT localCheckpoint,
+    whose deserialized on-heap rows OOM an 8 GB local JVM at two
+    60M-row frames; measured, r12).  An out-of-sync grid_source (row
+    set differs from df under the bucket expression) silently corrupts
+    ranks — it is the caller's contract, used only where provenance is
+    a straight-line select.
     """
     from pyspark.sql import Window
 
-    grid = _bucket_offset_grid(df, bucket).drop("__c")
+    grid = _bucket_offset_grid(
+        df if grid_source is None else grid_source, bucket
+    ).drop("__c")
     w = Window.partitionBy("__b").orderBy(*order_cols)
     # eqNullSafe: the grid's groupBy already carries the NULL-bucket group,
     # so a NULL bucket expression ranks (first — Spark's NULLS FIRST window

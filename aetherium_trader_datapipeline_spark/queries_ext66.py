@@ -362,9 +362,18 @@ def x294_zone_map_prune(spark, sf_dir):
     li = load_tables(spark, sf_dir)["lineitem"].select("l_orderkey", "l_shipdate")
     n = li.count()
 
-    ranked = materialize_disk(grid_rank(li, "l_shipdate", ["l_orderkey"], "rka"))
+    # rkb's bucket grid depends only on the ROW MULTISET, which the rka
+    # decoration leaves untouched — sourcing it from the raw scan (via
+    # grid_source) leaves the rka window with exactly ONE consumer, so
+    # the 60M-row materialization between the chained grid_ranks (and
+    # its write+read) disappears entirely (r12).
+    ranked = grid_rank(li, "l_shipdate", ["l_orderkey"], "rka")
     ranked = grid_rank(
-        ranked, "l_orderkey DIV 8192", ["l_orderkey", "l_shipdate"], "rkb"
+        ranked,
+        "l_orderkey DIV 8192",
+        ["l_orderkey", "l_shipdate"],
+        "rkb",
+        grid_source=li,
     )
     lz = (
         ranked.withColumn("a", ntile_from_rank(F.col("rka"), n, 256) - 1)
