@@ -40,6 +40,12 @@ def main() -> None:
     for t, df in load_tables(spark, replica).items():
         df.agg(F.count(F.lit(1))).collect()  # warm the scans
 
+    # SPARK_GRAFT_TIME_RUNS > 1 prints the median of N timed runs
+    # (plus the samples): single-run 100x probes on this shared host
+    # measured a 1.6x same-code spread in r12 — medians are the honest
+    # default for any number that lands in SCALE.md. Default stays 1 so
+    # historical single-run rows remain comparable.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_TIME_RUNS", "1")))
     for k in keys:
         # Time a noop-sink write, not .count(): count() lets Catalyst
         # prune every non-grouping column (window/aggregate work
@@ -48,21 +54,23 @@ def main() -> None:
         # vs the real materialized cost). The noop sink materializes all
         # output columns without writing bytes. Row count is taken
         # untimed afterwards.
-        df = REGISTRY[k].run(spark, replica)
-        t0 = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
-        wall = round(time.monotonic() - t0, 2)
-        print(
-            json.dumps(
-                {
-                    "key": k,
-                    "wall_s": wall,
-                    "rows": df.count(),
-                    "dir": replica,
-                }
-            ),
-            flush=True,
-        )
+        samples = []
+        for _ in range(n_runs):
+            spark.catalog.clearCache()  # persist-based keys: no cross-run reuse
+            df = REGISTRY[k].run(spark, replica)
+            t0 = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.monotonic() - t0, 2))
+        samples.sort()
+        rec = {
+            "key": k,
+            "wall_s": samples[len(samples) // 2],
+            "rows": df.count(),
+            "dir": replica,
+        }
+        if n_runs > 1:
+            rec["samples"] = samples
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

@@ -506,3 +506,69 @@ def test_bpe_merge_parity_on_overlap_runs():
     assert by_round[2][0] == (1, "aa", "aa", 1)
     # after the second merge ('aaaa' -> one symbol) no pairs remain
     assert 3 not in by_round
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_grid_rank_is_a_valid_rank_permutation(spark, rows):
+    """r12: grid_rank(bucket, order) must be SOME valid ROW_NUMBER under
+    (bucket NULLS FIRST, order): a permutation of 1..n whose sorted-by-
+    rank sequence is non-decreasing in (bucket, order) — ties permute
+    arbitrarily, everything else is pinned.  Random NULL buckets,
+    duplicate rows, singleton and giant buckets."""
+    from aetherium_trader_datapipeline_spark.operators.layout import grid_rank
+
+    df = spark.createDataFrame(rows, "b int, v int")
+    got = [(r.b, r.v, r.rk) for r in grid_rank(df, "b", ["v"], "rk").collect()]
+    n = len(rows)
+    assert sorted(r for _, _, r in got) == list(range(1, n + 1))
+    by_rank = sorted(got, key=lambda t: t[2])
+    keys = [((t[0] is not None, t[0] if t[0] is not None else 0), t[1]) for t in by_rank]
+    assert keys == sorted(keys), f"rank order violates (bucket, v): {by_rank}"
+    # multiset of rows preserved
+    assert sorted(
+        ((t[0] is not None, t[0] or 0), t[1]) for t in got
+    ) == sorted(((b is not None, b or 0), v) for b, v in rows)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    k=st.integers(min_value=1, max_value=60),
+)
+@settings(**SETTINGS)
+def test_ntile_bucket_matches_spark_ntile(spark, rows, k):
+    """r12: ntile_bucket == NTILE(k) OVER (ORDER BY b, v) as a multiset
+    of (b, v, tile) — tie rows may swap tiles across a boundary, which
+    the multiset comparison is invariant to while still pinning every
+    tile size.  Random NULLs, duplicates, k larger than n."""
+    from aetherium_trader_datapipeline_spark.operators.layout import ntile_bucket
+
+    df = spark.createDataFrame(rows, "b int, v int")
+    nkey = lambda t: (t[0] is not None, t[0] or 0, t[1], t[2])  # noqa: E731
+    got = sorted(
+        ((r.b, r.v, r.t) for r in
+         ntile_bucket(df, "b", ["v"], len(rows), k, "t").collect()),
+        key=nkey,
+    )
+    exp = sorted(
+        ((r.b, r.v, r.t) for r in
+         df.selectExpr("b", "v", f"NTILE({k}) OVER (ORDER BY b, v) AS t").collect()),
+        key=nkey,
+    )
+    assert got == exp
