@@ -12,6 +12,8 @@ alongside approx_count_distinct x53).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,3 +38,243 @@ def hll_merge_estimate(
     if group_cols:
         return rollup.groupBy(*group_cols).agg(merged, F.sum("n_rows").alias("n_rows"))
     return rollup.agg(merged, F.sum("n_rows").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV sketches (set-operation-capable distinct sketches)
+#
+# HLL answers UNION-distinct only.  A Theta sketch (the Apache DataSketches
+# family; Spark has no built-in) is a uniform random sample of the distinct
+# hash space — the k SMALLEST 64-bit hashes plus the threshold theta — so it
+# additionally supports INTERSECTION and A-NOT-B estimates on stored
+# sketches, never rescanning the base data ("how many users did A and B
+# share last quarter" from two metadata-sized rollup rows).  This is the
+# registry-unfreeze candidate family recorded in SURVEY.md §2.4; library +
+# tests land first (r12), keys when the freeze lifts.
+#
+# Representation (one row per group):
+#   theta_hashes array<bigint>  -- the retained distinct hashes, ASC-sorted
+#   theta        bigint         -- first EXCLUDED hash (the (k+1)-th
+#                                  smallest), or NULL = never saturated
+#                                  (the sketch is EXACT: every distinct
+#                                  hash is retained)
+#   theta_k      int            -- nominal capacity k
+#
+# Estimator: |H| when theta is NULL, else |H| / P(h < theta) with h uniform
+# on [-2^63, 2^63): P = (theta + 2^63) / 2^64.  Relative error ~1/sqrt(k).
+#
+# KMV's merge property makes tests exact, not tolerance-based:
+# theta_sketch(A) ∪ theta_sketch(B) retains EXACTLY the same hashes and
+# theta as theta_sketch(A ∪ B) at equal k — merging is lossless w.r.t. the
+# direct sketch, so stream/batch/rollup paths agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_TWO63 = float(2**63)
+_TWO64 = float(2**64)
+_EMPTY_HASHES = "CAST(array() AS array<bigint>)"
+
+
+def theta_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 4096,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """One KMV/theta sketch row per group over ``value_col``.
+
+    Plan shape (all JVM-side, no UDF): distinct (group, xxhash64(value))
+    via a partial-agg groupBy; then a TWO-LEVEL k-min prune so no window
+    task ever sorts more than its salt bucket — level 1 keeps the k+1
+    smallest per (group, hash-salt) partition (a superset of the group's
+    k+1 smallest: the global minima lie inside their buckets' minima),
+    level 2 ranks the surviving <= (k+1)*salt_buckets rows per group.
+    The final per-group array is <= k+1 elements — driver-safe to store,
+    broadcast-safe to join.
+
+    With empty ``group_cols`` the level-2 window is global but bounded by
+    the LITERAL (k+1)*salt_buckets rows level 1 emits (window-gate class:
+    bounded-by-literal, not by data).
+    """
+    h = F.xxhash64(F.col(value_col)).alias("__h")
+    uniq = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, h)
+        .dropDuplicates([*group_cols, "__h"])
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("__h"), F.lit(salt_buckets))
+    ).orderBy("__h")
+    w2 = Window.partitionBy(*group_cols).orderBy("__h")
+    pruned = (
+        uniq.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k + 1)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= k + 1)
+    )
+    arr = F.sort_array(F.collect_list("__h"))
+    agg = pruned.groupBy(*group_cols).agg(arr.alias("__arr"))
+    sat = F.size(F.col("__arr")) == k + 1
+    return agg.select(
+        *group_cols,
+        F.when(sat, F.slice("__arr", 1, k)).otherwise(F.col("__arr")).alias(
+            "theta_hashes"
+        ),
+        F.when(sat, F.element_at("__arr", k + 1))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("theta"),
+        F.lit(k).alias("theta_k"),
+    )
+
+
+def _theta_fraction(theta) -> F.Column:
+    """P(h < theta) for h uniform on [-2^63, 2^63) — the sampled fraction
+    of the hash space.  NULL theta (exact sketch) maps to 1.0."""
+    t = F.col(theta) if isinstance(theta, str) else theta
+    return F.when(t.isNull(), F.lit(1.0)).otherwise(
+        (t.cast("double") + F.lit(_TWO63)) / F.lit(_TWO64)
+    )
+
+
+def theta_estimate(sketch: DataFrame, out: str = "estimate") -> DataFrame:
+    """Append the distinct-count estimate: exact retained size when the
+    sketch never saturated, else size / sampled-fraction."""
+    return sketch.withColumn(
+        out,
+        F.size("theta_hashes").cast("double") / _theta_fraction("theta"),
+    )
+
+
+def _theta_join(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Full-outer join of two sketch tables on the group key (NULL-safe —
+    a NULL group value is a real group), with both sides' sketch columns
+    renamed apart and the group columns coalesced.  Groups present on one
+    side only surface with the other side's sketch columns NULL; each set
+    op defines its own identity for the missing side."""
+    ra = a.select(
+        *[F.col(c).alias(f"__ga_{c}") for c in group_cols],
+        F.col("theta_hashes").alias("__ha"),
+        F.col("theta").alias("__ta"),
+        F.col("theta_k").alias("__ka"),
+    )
+    rb = b.select(
+        *[F.col(c).alias(f"__gb_{c}") for c in group_cols],
+        F.col("theta_hashes").alias("__hb"),
+        F.col("theta").alias("__tb"),
+        F.col("theta_k").alias("__kb"),
+    )
+    if group_cols:
+        cond = reduce(
+            lambda x, y: x & y,
+            [
+                F.col(f"__ga_{c}").eqNullSafe(F.col(f"__gb_{c}"))
+                for c in group_cols
+            ],
+        )
+        joined = ra.join(rb, cond, "full_outer")
+    else:
+        joined = ra.join(rb, F.lit(True), "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ga_{c}"), F.col(f"__gb_{c}")).alias(c)
+            for c in group_cols
+        ],
+        "__ha",
+        "__ta",
+        "__ka",
+        "__hb",
+        "__tb",
+        "__kb",
+    )
+
+
+# min-over-thetas treating NULL as +infinity (exact sketch samples the
+# whole space); NULL only when BOTH are NULL.
+_THETA_MIN = (
+    "CASE WHEN __ta IS NULL THEN __tb WHEN __tb IS NULL THEN __ta "
+    "ELSE least(__ta, __tb) END"
+)
+
+
+def _finish(joined: DataFrame, group_cols: list[str], merged: F.Column, trim: bool) -> DataFrame:
+    """Common tail: filter the merged hash array to < theta, optionally
+    re-trim to k (union can overflow k; intersection/difference cannot
+    grow past min(|Ha|, k)), and emit the sketch schema."""
+    out = joined.withColumns(
+        {
+            "__t": F.expr(_THETA_MIN),
+            "__k": F.least(
+                F.coalesce("__ka", "__kb"), F.coalesce("__kb", "__ka")
+            ),
+        }
+    ).withColumn(
+        "__m",
+        F.when(
+            F.col("__t").isNotNull(),
+            F.filter(merged, lambda x: x < F.col("__t")),
+        ).otherwise(merged),
+    )
+    if trim:
+        overflow = F.size("__m") > F.col("__k")
+        out = out.withColumns(
+            {
+                "theta_hashes": F.when(
+                    overflow, F.slice("__m", F.lit(1), F.col("__k"))
+                ).otherwise(F.col("__m")),
+                # F.get is 0-based: index k == the (k+1)-th smallest —
+                # the first excluded hash, the new theta
+                "theta": F.when(
+                    overflow, F.get("__m", F.col("__k"))
+                ).otherwise(F.col("__t")),
+            }
+        )
+    else:
+        out = out.withColumns(
+            {"theta_hashes": F.col("__m"), "theta": F.col("__t")}
+        )
+    return out.select(
+        *group_cols, "theta_hashes", "theta", F.col("__k").alias("theta_k")
+    )
+
+
+def theta_union(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group union sketch: merged retained hashes below min(theta),
+    re-trimmed to k when the merge overflows (the excluded (k+1)-th value
+    becomes the new theta — exactly what a direct sketch of the unioned
+    data retains, so merge == direct, bit-for-bit)."""
+    j = _theta_join(a, b, group_cols)
+    merged = F.array_sort(
+        F.array_union(
+            F.coalesce("__ha", F.expr(_EMPTY_HASHES)),
+            F.coalesce("__hb", F.expr(_EMPTY_HASHES)),
+        )
+    )
+    return _finish(j, group_cols, merged, trim=True)
+
+
+def theta_intersect(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group intersection sketch: hashes retained by BOTH sides below
+    min(theta).  Estimate variance is higher than union's (the effective
+    sample is the overlap); groups on one side only yield the empty
+    sketch.  Never overflows k, so no re-trim."""
+    j = _theta_join(a, b, group_cols)
+    merged = F.array_intersect(
+        F.coalesce("__ha", F.expr(_EMPTY_HASHES)),
+        F.coalesce("__hb", F.expr(_EMPTY_HASHES)),
+    )
+    return _finish(j, group_cols, merged, trim=False)
+
+
+def theta_a_not_b(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group difference sketch (in A, not in B): A's retained hashes
+    minus B's, below min(theta).  A-side-only groups pass A's sketch
+    through (re-thresholded); B-side-only groups yield the empty
+    sketch."""
+    j = _theta_join(a, b, group_cols)
+    merged = F.array_except(
+        F.coalesce("__ha", F.expr(_EMPTY_HASHES)),
+        F.coalesce("__hb", F.expr(_EMPTY_HASHES)),
+    )
+    return _finish(j, group_cols, merged, trim=False)
