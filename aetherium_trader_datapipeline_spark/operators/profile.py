@@ -1,0 +1,115 @@
+"""Per-column NULL / constancy / cardinality profiler.
+
+The schema-on-write half of data quality: before publishing (or before
+choosing encodings, partition keys, or dedup columns for) a 100 TB table,
+you want, per column — row count, NULL count, distinct count, min/max,
+the modal value and its frequency, and whether the column is constant.
+The reference validates fixed tick fields at ingest
+(ingestion/domain/src/validation.rs); this is the table-at-rest,
+any-schema generalization, next to operators/expectations.py (which
+gates on declared rules; the profiler MEASURES, rules then cite it).
+
+Two plan shapes, same output contract:
+
+- :func:`profile_columns` — one collapsed value grid PER COLUMN
+  (``groupBy(col).count()``).  Each grid scan is column-pruned, so a
+  parquet source reads exactly one column per branch; every grid is a
+  map-side partial aggregation collapsing to NDV rows before the
+  shuffle.  The right default: total bytes read ≈ one full-table scan
+  split across branches, no row ever crosses the network un-collapsed.
+- :func:`profile_columns_tuple_grid` — ONE scan building the joint
+  (c1..cn) tuple grid, per-column stats derived by re-aggregating the
+  grid (the x574 device: distinct-of-projection over distinct tuples IS
+  the column distinct; counts sum).  Strictly better when the joint
+  tuple NDV is small (dict-encodable dimension prefixes); useless when
+  any column is near-unique — the grid degenerates to the row count.
+  The applicability bound is the caller's, as in x574.
+
+Output (one row per profiled column):
+  column, value_type, n_rows, n_null, n_distinct (non-NULL), min_value,
+  max_value, top_value, top_count, is_constant — min/max/top stringified
+  AFTER native-type aggregation (numeric min is numeric, then cast).
+``is_constant`` is n_distinct <= 1 over non-NULL values (an all-NULL or
+empty column profiles as constant; n_distinct says which).
+Modal ties break deterministically toward the larger value string.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOP = (
+    "max_by(named_struct('v', CAST(__v AS STRING), 'c', __c), "
+    "struct(__c, CAST(__v AS STRING))) FILTER (WHERE __v IS NOT NULL)"
+)
+
+
+def _profile_grid(grid: DataFrame, colname: str, value_type: str) -> DataFrame:
+    """One profile row from a collapsed (__v value, __c count) grid."""
+    return grid.agg(
+        F.lit(colname).alias("column"),
+        F.lit(value_type).alias("value_type"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("__v").isNull(), F.col("__c"))), F.lit(0)
+        ).alias("n_null"),
+        F.count("__v").alias("n_distinct"),
+        F.min("__v").cast("string").alias("min_value"),
+        F.max("__v").cast("string").alias("max_value"),
+        F.expr(_TOP).alias("__top"),
+    ).select(
+        "column",
+        "value_type",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        F.col("__top.v").alias("top_value"),
+        F.col("__top.c").alias("top_count"),
+        (F.col("n_distinct") <= 1).alias("is_constant"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Profile ``cols`` (default: every column) via one column-pruned
+    value grid per column.  See the module docstring for the plan shape
+    and output contract."""
+    cols = list(df.columns) if cols is None else list(cols)
+    types = dict(df.dtypes)
+    parts = []
+    for c in cols:
+        grid = (
+            df.select(F.col(c).alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        parts.append(_profile_grid(grid, c, types[c]))
+    return reduce(DataFrame.unionByName, parts)
+
+
+def profile_columns_tuple_grid(
+    df: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Profile ``cols`` from ONE joint tuple grid (x574's device).  The
+    grid is lazily checkpointed — it feeds every per-column branch, and
+    by the applicability contract it is small (joint NDV of
+    dict-encodable columns), so the tiny-grid localCheckpoint policy
+    applies, not materialize_disk."""
+    cols = list(df.columns) if cols is None else list(cols)
+    types = dict(df.dtypes)
+    tg = (
+        df.groupBy(*[F.col(c).alias(f"__t{i}") for i, c in enumerate(cols)])
+        .agg(F.count(F.lit(1)).alias("__tc"))
+        .localCheckpoint(eager=False)
+    )
+    parts = []
+    for i, c in enumerate(cols):
+        grid = tg.groupBy(F.col(f"__t{i}").alias("__v")).agg(
+            F.sum("__tc").alias("__c")
+        )
+        parts.append(_profile_grid(grid, c, types[c]))
+    return reduce(DataFrame.unionByName, parts)

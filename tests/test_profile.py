@@ -1,0 +1,87 @@
+"""Column profiler (operators/profile.py) vs a DuckDB oracle, edge
+cases (NULL-only, constant, modal ties, empty input), and the
+per-column-grid == tuple-grid equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from aetherium_trader_datapipeline_spark.operators.profile import (
+    profile_columns,
+    profile_columns_tuple_grid,
+)
+from tests.conftest import SF_DIR
+from tests.oracle import duckdb_run
+
+
+def _by_col(df):
+    return {r.column: r.asDict() for r in df.collect()}
+
+
+def test_profile_matches_duckdb_oracle(spark, tables):
+    cols = ["l_returnflag", "l_orderkey", "l_quantity", "l_shipdate"]
+    got = _by_col(profile_columns(tables["lineitem"], cols))
+    for c in cols:
+        _, rows = duckdb_run(
+            f"""SELECT COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}),
+                       CAST(MIN({c}) AS VARCHAR), CAST(MAX({c}) AS VARCHAR)
+                FROM read_parquet('{SF_DIR}/lineitem.parquet')""",
+            SF_DIR,
+        )
+        n_rows, n_null, n_distinct, mn, mx = rows[0]
+        _, top = duckdb_run(
+            f"""SELECT CAST({c} AS VARCHAR) v, COUNT(*) cnt
+                FROM read_parquet('{SF_DIR}/lineitem.parquet')
+                WHERE {c} IS NOT NULL
+                GROUP BY 1 ORDER BY cnt DESC, v DESC LIMIT 1""",
+            SF_DIR,
+        )
+        g = got[c]
+        assert g["n_rows"] == n_rows and g["n_null"] == n_null, c
+        assert g["n_distinct"] == n_distinct, c
+        assert (g["min_value"], g["max_value"]) == (str(mn), str(mx)), c
+        assert (g["top_value"], g["top_count"]) == (str(top[0][0]), top[0][1]), c
+        assert g["is_constant"] is False, c
+
+
+def test_profile_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, None, "k", "a"), (2, None, "k", "b"), (3, None, "k", "b"),
+         (4, None, "k", "a")],
+        "id int, dead string, konst string, tie string",
+    )
+    got = _by_col(profile_columns(df))
+    assert got["dead"]["n_null"] == 4 and got["dead"]["n_distinct"] == 0
+    assert got["dead"]["is_constant"] is True
+    assert got["dead"]["min_value"] is None and got["dead"]["top_value"] is None
+    assert got["konst"]["is_constant"] is True and got["konst"]["n_distinct"] == 1
+    assert got["konst"]["top_count"] == 4
+    # modal tie (a: 2, b: 2) breaks toward the larger value string
+    assert got["tie"]["top_value"] == "b" and got["tie"]["top_count"] == 2
+    assert got["id"]["value_type"] == "int" and got["id"]["n_distinct"] == 4
+
+
+def test_profile_empty_input(spark):
+    df = spark.createDataFrame([], "a int, b string")
+    got = _by_col(profile_columns(df))
+    for c in ("a", "b"):
+        g = got[c]
+        assert g["n_rows"] == 0 and g["n_null"] == 0 and g["n_distinct"] == 0
+        assert g["is_constant"] is True
+        assert g["min_value"] is None and g["top_value"] is None
+
+
+def test_profile_tuple_grid_equals_per_column(spark, tables):
+    """The one-scan tuple-grid form returns row-identical profiles on
+    dict-encodable columns (its applicability domain) — including a
+    NULL-bearing column so the grid's NULL tuples are exercised."""
+    li = tables["lineitem"].withColumn(
+        "flag_or_null",
+        F.when(F.col("l_linenumber") == 1, F.col("l_returnflag")),
+    )
+    cols = ["l_returnflag", "l_linestatus", "flag_or_null", "l_tax"]
+    a = sorted(map(tuple, profile_columns(li, cols).collect()))
+    b = sorted(map(tuple, profile_columns_tuple_grid(li, cols).collect()))
+    assert a == b
+    nulls = _by_col(profile_columns_tuple_grid(li, cols))["flag_or_null"]
+    assert nulls["n_null"] > 0 and nulls["is_constant"] is False
