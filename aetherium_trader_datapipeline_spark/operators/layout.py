@@ -353,6 +353,25 @@ def grid_rank(
     )
 
 
+def _bucket_counts(
+    df: DataFrame, bucket: str, weight: str | None = None
+) -> DataFrame:
+    """Collapsed per-bucket counts ``(__b, __c)`` — the mergeable half of
+    the grid (counts sum across batches; offsets do not, so they are
+    derived separately in :func:`_offsets_from_counts`)."""
+    if weight is None:
+        return (
+            df.select(F.expr(bucket).alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+    return (
+        df.select(F.expr(bucket).alias("__b"), F.col(weight))
+        .groupBy("__b")
+        .agg(F.sum(weight).alias("__c"))
+    )
+
+
 def _bucket_offset_grid(
     df: DataFrame, bucket: str, weight: str | None = None
 ) -> DataFrame:
@@ -367,20 +386,13 @@ def _bucket_offset_grid(
     column — offsets then accumulate SUM(weight) instead of COUNT(*), so
     curve-order ranks can be decomposed over the tiny grid without ever
     re-aggregating the underlying rows."""
+    return _offsets_from_counts(_bucket_counts(df, bucket, weight))
+
+
+def _offsets_from_counts(counts: DataFrame) -> DataFrame:
+    """Exact cum-before offsets over a collapsed ``(__b, __c)`` grid."""
     from pyspark.sql import Window
 
-    if weight is None:
-        counts = (
-            df.select(F.expr(bucket).alias("__b"))
-            .groupBy("__b")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
-    else:
-        counts = (
-            df.select(F.expr(bucket).alias("__b"), F.col(weight))
-            .groupBy("__b")
-            .agg(F.sum(weight).alias("__c"))
-        )
     # TWO-LEVEL offsets (r11): the bucket grid itself can be linear in
     # rows (a contiguous-key chunk grid is |keys|/8192), so its prefix
     # sum must not run through one unpartitioned window either.  A
@@ -494,6 +506,24 @@ def ntile_bucket(
     rows inside (bucket, *order_cols) groups permute arbitrarily across
     a tile boundary — exactly as NTILE's row_number tie-break does.
     """
+    return _ntile_assign(
+        df, _bucket_offset_grid(df, bucket), bucket, order_cols, n_total, k, out
+    )
+
+
+def _ntile_assign(
+    df: DataFrame,
+    offsets: DataFrame,
+    bucket: str,
+    order_cols: list[str],
+    n_total: int,
+    k: int,
+    out: str,
+) -> DataFrame:
+    """Whole/straddling-bucket NTILE assignment from a prebuilt offsets
+    grid ``(__gb, __c, __cb)`` — shared by :func:`ntile_bucket` (grid
+    from ``df`` itself) and :func:`ntile_bucket_from_grid` (grid merged
+    incrementally across batches)."""
     from pyspark.sql import Window
 
     # The grid feeds BOTH the whole and straddling branches; without
@@ -501,7 +531,7 @@ def ntile_bucket(
     # (measured: 2 extra 60M-row scans+aggs per call at 100x).  The grid
     # is bucket-cardinality-sized, so the checkpoint is a few KB-MB.
     grid = (
-        _bucket_offset_grid(df, bucket)
+        offsets
         .withColumns(
             {
                 "__tlo": ntile_from_rank(F.col("__cb") + F.lit(1), n_total, k),
@@ -570,3 +600,74 @@ def ntile_from_rank(rank: Column, n_total: int, k: int) -> Column:
         "div", rk - F.lit(threshold) + F.lit(q - 1), F.lit(q).cast("bigint")
     )
     return F.when(rank <= F.lit(threshold), big).otherwise(small).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Incremental layout state (registry-unfreeze candidate family,
+# SURVEY.md §2.4): a GROWING table's NTILE/layout decisions should not
+# rescan history every batch.  The per-bucket count grid is the mergeable
+# sufficient statistic — counts sum across batches (offsets don't, so they
+# are derived from the merged grid at assignment time).  Store the grid as
+# a tiny table next to the data; each ingest batch merges its own counts
+# in; re-layout jobs assign tiles from the stored grid without the
+# counting scan.
+# ---------------------------------------------------------------------------
+
+
+def bucket_count_grid(df: DataFrame, bucket: str) -> DataFrame:
+    """Mergeable layout state: ``(bucket_value, n_rows)`` per distinct
+    value of the SQL ``bucket`` expression (NULL is a real bucket).  One
+    map-side-partial aggregation; grid-sized output."""
+    return _bucket_counts(df, bucket).select(
+        F.col("__b").alias("bucket_value"), F.col("__c").alias("n_rows")
+    )
+
+
+def merge_count_grids(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two count grids (union + re-sum — associative and
+    commutative, so daily grids fold into monthly into total in any
+    order; NULL buckets merge via the groupBy's NULL group)."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket_value")
+        .agg(F.sum("n_rows").alias("n_rows"))
+    )
+
+
+def ntile_bucket_from_grid(
+    df: DataFrame,
+    grid: DataFrame,
+    bucket: str,
+    order_cols: list[str],
+    k: int,
+    out: str,
+    n_total: int | None = None,
+) -> DataFrame:
+    """:func:`ntile_bucket` with the counting scan replaced by a stored
+    (possibly incrementally merged) :func:`bucket_count_grid`.  Assigning
+    over the FULL data the grid describes is exact — identical to
+    ``ntile_bucket`` recomputed from scratch (the tests pin this).
+
+    Assigning a PARTIAL frame (e.g. only the newest batch) is exact for
+    every whole bucket — the broadcast-grid fast path, the overwhelming
+    majority — but the <=k-1 straddling buckets rank only the rows
+    present in ``df``, so their intra-bucket tile split can differ from
+    a full recompute.  Callers wanting batch-only assignment should
+    route straddling buckets' historical rows in, or accept the
+    bounded approximation.
+
+    ``n_total`` defaults to the grid's total row count (one scalar agg
+    over the tiny grid).  The grid MUST describe ``df``'s population
+    (same bucket expression, superset-of-rows contract as documented) —
+    a stale grid silently mis-tiles, exactly like grid_rank's
+    grid_source contract."""
+    if n_total is None:
+        n_total = int(
+            grid.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n")).head()["n"]
+        )
+    counts = grid.select(
+        F.col("bucket_value").alias("__b"), F.col("n_rows").alias("__c")
+    )
+    return _ntile_assign(
+        df, _offsets_from_counts(counts), bucket, order_cols, n_total, k, out
+    )

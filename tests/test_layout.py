@@ -322,3 +322,96 @@ def test_ntile_bucket_matches_exact_ntile(spark):
             key=nkey,
         )
         assert got == exp, f"k={k}: first diff {next((a, b) for a, b in zip(got, exp) if a != b)}"
+
+
+def test_incremental_grid_assignment_equals_direct(spark):
+    """Mergeable layout state: per-batch bucket_count_grids merged in any
+    fold order, then ntile_bucket_from_grid over the full data, must be
+    MULTISET-identical to ntile_bucket recomputed from scratch AND to
+    Spark's own NTILE — including a NULL bucket and an n_total derived
+    from the grid instead of passed in."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        bucket_count_grid,
+        merge_count_grids,
+        ntile_bucket,
+        ntile_bucket_from_grid,
+    )
+
+    vals = [(i % 11 if i % 13 else None, i * 7 % 29) for i in range(300)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"b": pd.array([v[0] for v in vals], dtype="Int64"),
+                      "v": [v[1] for v in vals],
+                      "i": range(len(vals))})
+    )
+    # three "daily batches"
+    b0, b1, b2 = (df.where(F.col("i") % 3 == m).drop("i") for m in range(3))
+    full = df.drop("i")
+    g0, g1, g2 = (bucket_count_grid(b, "b") for b in (b0, b1, b2))
+    merged = merge_count_grids(merge_count_grids(g0, g1), g2)
+    refold = merge_count_grids(g2, merge_count_grids(g1, g0))
+    gkey = lambda t: (t[0] is not None, t[0] or 0, t[1])  # noqa: E731
+    assert sorted(map(tuple, merged.collect()), key=gkey) == sorted(
+        map(tuple, refold.collect()), key=gkey
+    )
+    # grid totals == data totals, NULL bucket included
+    assert merged.agg(F.sum("n_rows")).head()[0] == full.count()
+
+    n, k = full.count(), 7
+    nkey = lambda t: (t[0] is not None, t[0] or 0, t[1], t[2])  # noqa: E731
+    inc = sorted(((r.b, r.v, r.t) for r in ntile_bucket_from_grid(
+        full, merged, "b", ["v"], k, "t").collect()), key=nkey)
+    direct = sorted(((r.b, r.v, r.t) for r in ntile_bucket(
+        full, "b", ["v"], n, k, "t").collect()), key=nkey)
+    exact = sorted(((r.b, r.v, r.t) for r in full.selectExpr(
+        "b", "v", f"NTILE({k}) OVER (ORDER BY b, v) AS t").collect()), key=nkey)
+    assert inc == direct == exact
+    # explicit n_total takes the same path
+    inc2 = sorted(((r.b, r.v, r.t) for r in ntile_bucket_from_grid(
+        full, merged, "b", ["v"], k, "t", n_total=n).collect()), key=nkey)
+    assert inc2 == inc
+
+
+def test_partial_frame_whole_buckets_exact(spark):
+    """Assigning only the NEWEST batch from the merged grid is exact for
+    every whole (non-straddling) bucket — the documented contract; the
+    <=k-1 straddling buckets are excluded from the comparison."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        _bucket_offset_grid,
+        bucket_count_grid,
+        merge_count_grids,
+        ntile_bucket_from_grid,
+        ntile_from_rank,
+    )
+
+    vals = [(i % 17, i * 3 % 23, i) for i in range(400)]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"b": [v[0] for v in vals], "v": [v[1] for v in vals],
+         "i": [v[2] for v in vals]}))
+    old = df.where(F.col("i") % 4 != 0).drop("i")
+    new = df.where(F.col("i") % 4 == 0).drop("i")
+    full = df.drop("i")
+    merged = merge_count_grids(
+        bucket_count_grid(old, "b"), bucket_count_grid(new, "b")
+    )
+    n, k = full.count(), 5
+    # which buckets straddle a tile boundary under the merged grid?
+    grid = _bucket_offset_grid(full, "b").withColumns(
+        {"lo": ntile_from_rank(F.col("__cb") + F.lit(1), n, k),
+         "hi": ntile_from_rank(F.col("__cb") + F.col("__c"), n, k)})
+    whole = {r["__gb"] for r in grid.where("lo = hi").collect()}
+    assert whole  # the comparison must not be vacuous
+
+    got = {(r.b, r.v): r.t for r in ntile_bucket_from_grid(
+        new, merged, "b", ["v"], k, "t", n_total=n).collect()
+        if r.b in whole}
+    exp = {(r.b, r.v): r.t for r in full.selectExpr(
+        "b", "v", f"NTILE({k}) OVER (ORDER BY b, v) AS t").collect()
+        if r.b in whole}
+    for key, t in got.items():
+        assert exp[key] == t, key
