@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Scale probe for the round-12 library operator families (SURVEY.md
+§2.4 candidates): theta sketches, the column profiler, the
+join-completeness audit, and grid-based NTILE assignment.
+
+Usage:
+  python scripts/probe_library_ops.py [replica_dir]
+defaults: /root/repo/.data/sf1  (10x; .data/sf10x is the 100x replica)
+
+One JSON line per op: {"op": ..., "wall_s": ..., "rows": ..., "dir": ...}
+Construction is kept lazy; the timed window is the action, matching
+scripts/time_keys.py policy.  Compare decades for sublinearity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    replica = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.data/sf1"
+
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.joinaudit import (
+        join_completeness_report,
+    )
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        bucket_count_grid,
+        merge_count_grids,
+        ntile_bucket_from_grid,
+    )
+    from aetherium_trader_datapipeline_spark.operators.profile import (
+        profile_columns,
+        profile_columns_tuple_grid,
+    )
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        theta_estimate,
+        theta_sketch,
+        theta_union,
+    )
+    from aetherium_trader_datapipeline_spark.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="probe-wh-")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    li = spark.read.parquet(f"{replica}/lineitem.parquet")
+    ev = spark.read.parquet(f"{replica}/events.parquet")
+    li.agg(F.sum("l_orderkey")).collect()  # warm scan
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def timed(op, df, action="collect"):
+        t0 = time.monotonic()
+        rows = df.count() if action == "count" else len(df.collect())
+        print(
+            json.dumps(
+                {
+                    "op": op,
+                    "wall_s": round(time.monotonic() - t0, 2),
+                    "rows": rows,
+                    "dir": replica,
+                }
+            ),
+            flush=True,
+        )
+
+    # per-month KMV sketches of order keys, estimated
+    timed(
+        "theta_sketch_monthly",
+        theta_estimate(
+            theta_sketch(
+                li.withColumn("m", F.date_trunc("month", "l_shipdate")),
+                ["m"],
+                "l_orderkey",
+                k=4096,
+            )
+        ).select("m", "estimate"),
+    )
+    # split-half sketch + lossless merge + estimate (global)
+    half_a = li.where(F.col("l_orderkey") % 2 == 0)
+    half_b = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = theta_estimate(
+        theta_union(
+            theta_sketch(half_a, [], "l_orderkey", k=4096),
+            theta_sketch(half_b, [], "l_orderkey", k=4096),
+            [],
+        )
+    )
+    timed("theta_union_global", merged.select("estimate"))
+
+    timed(
+        "profile_columns_4",
+        profile_columns(
+            li, ["l_returnflag", "l_orderkey", "l_quantity", "l_shipdate"]
+        ),
+    )
+    timed(
+        "profile_tuple_grid_3",
+        profile_columns_tuple_grid(
+            li, ["l_returnflag", "l_linestatus", "l_tax"]
+        ),
+    )
+
+    acks = ev.where(F.col("value") > 100.0).select("event_id", "ts")
+    timed(
+        "join_audit_events",
+        join_completeness_report(
+            ev, acks, ["event_id"], "ts", "ts", "1 day", by=None
+        ),
+    )
+
+    grid = merge_count_grids(
+        bucket_count_grid(half_a, "l_orderkey DIV 8192"),
+        bucket_count_grid(half_b, "l_orderkey DIV 8192"),
+    )
+    n_total = li.count()
+    assigned = ntile_bucket_from_grid(
+        li, grid, "l_orderkey DIV 8192", ["l_orderkey", "l_linenumber"],
+        256, "tile", n_total=n_total,
+    )
+    timed(
+        "ntile_from_merged_grid",
+        assigned.groupBy("tile").agg(F.count(F.lit(1)).alias("n")),
+    )
+
+
+if __name__ == "__main__":
+    main()
