@@ -642,6 +642,7 @@ def ntile_bucket_from_grid(
     k: int,
     out: str,
     n_total: int | None = None,
+    on_missing_bucket: str = "error",
 ) -> DataFrame:
     """:func:`ntile_bucket` with the counting scan replaced by a stored
     (possibly incrementally merged) :func:`bucket_count_grid`.  Assigning
@@ -658,9 +659,16 @@ def ntile_bucket_from_grid(
 
     ``n_total`` defaults to the grid's total row count (one scalar agg
     over the tiny grid).  The grid MUST describe ``df``'s population
-    (same bucket expression, superset-of-rows contract as documented) —
-    a stale grid silently mis-tiles, exactly like grid_rank's
-    grid_source contract."""
+    (same bucket expression): buckets the grid under-counts mis-tile,
+    and rows whose bucket is ABSENT from the grid match neither
+    assignment branch — with ``on_missing_bucket='error'`` (default) a
+    third anti-join branch fails the job at execution time naming the
+    offending bucket, because a re-layout that silently drops rows is
+    never acceptable; pass ``'drop'`` to skip the guard branch (one scan
+    cheaper) only when the grid provably covers ``df`` (e.g. it was just
+    merged from this very batch)."""
+    if on_missing_bucket not in ("error", "drop"):
+        raise ValueError(f"unknown on_missing_bucket: {on_missing_bucket!r}")
     if n_total is None:
         n_total = int(
             grid.agg(F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n")).head()["n"]
@@ -668,6 +676,30 @@ def ntile_bucket_from_grid(
     counts = grid.select(
         F.col("bucket_value").alias("__b"), F.col("n_rows").alias("__c")
     )
-    return _ntile_assign(
+    assigned = _ntile_assign(
         df, _offsets_from_counts(counts), bucket, order_cols, n_total, k, out
     )
+    if on_missing_bucket == "drop":
+        return assigned
+    missing = (
+        df.withColumn("__b", F.expr(bucket))
+        .join(
+            counts.select(F.col("__b").alias("__gb")),
+            F.col("__b").eqNullSafe(F.col("__gb")),
+            "left_anti",
+        )
+        .withColumn(
+            out,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ntile_bucket_from_grid: bucket value absent from "
+                        "the count grid (stale/unmerged grid): "
+                    ),
+                    F.coalesce(F.col("__b").cast("string"), F.lit("NULL")),
+                )
+            ).cast("int"),
+        )
+        .drop("__b")
+    )
+    return assigned.unionByName(missing)

@@ -74,11 +74,31 @@ def _profile_grid(grid: DataFrame, colname: str, value_type: str) -> DataFrame:
     )
 
 
+def _resolve_cols(df: DataFrame, cols: list[str] | None) -> list[str]:
+    """Default to every PROFILABLE column: maps are neither groupable
+    nor orderable in Spark, so the all-columns default skips them
+    (profiling a publish-gate table as-is must not crash on a props
+    map); naming a map column EXPLICITLY raises with the column named,
+    instead of an AnalysisException from deep inside the grid plan."""
+    types = dict(df.dtypes)
+    if cols is None:
+        return [c for c in df.columns if not types[c].startswith("map")]
+    for c in cols:
+        if types.get(c, "").startswith("map"):
+            raise ValueError(
+                f"column {c!r} has map type {types[c]!r} — maps are not "
+                "groupable/orderable; profile its keys or values instead "
+                "(e.g. map_keys/map_values into an array column)"
+            )
+    return list(cols)
+
+
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Profile ``cols`` (default: every column) via one column-pruned
-    value grid per column.  See the module docstring for the plan shape
-    and output contract."""
-    cols = list(df.columns) if cols is None else list(cols)
+    """Profile ``cols`` (default: every profilable column — map-typed
+    columns are skipped, see :func:`_resolve_cols`) via one
+    column-pruned value grid per column.  See the module docstring for
+    the plan shape and output contract."""
+    cols = _resolve_cols(df, cols)
     types = dict(df.dtypes)
     parts = []
     for c in cols:
@@ -99,7 +119,7 @@ def profile_columns_tuple_grid(
     by the applicability contract it is small (joint NDV of
     dict-encodable columns), so the tiny-grid localCheckpoint policy
     applies, not materialize_disk."""
-    cols = list(df.columns) if cols is None else list(cols)
+    cols = _resolve_cols(df, cols)
     types = dict(df.dtypes)
     tg = (
         df.groupBy(*[F.col(c).alias(f"__t{i}") for i, c in enumerate(cols)])

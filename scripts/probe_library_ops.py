@@ -8,8 +8,10 @@ Usage:
 defaults: /root/repo/.data/sf1  (10x; .data/sf10x is the 100x replica)
 
 One JSON line per op: {"op": ..., "wall_s": ..., "rows": ..., "dir": ...}
-Construction is kept lazy; the timed window is the action, matching
-scripts/time_keys.py policy.  Compare decades for sublinearity.
+Each op's DataFrame is CONSTRUCTED inside the timed window (a thunk), so
+eager construction-time jobs — e.g. the join audit's frontier scalar
+scan — are measured, not leaked outside the clock (r12 review).
+Compare decades for sublinearity.
 """
 
 from __future__ import annotations
@@ -57,8 +59,9 @@ def main() -> None:
     li.agg(F.sum("l_orderkey")).collect()  # warm scan
     ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
-    def timed(op, df, action="collect"):
+    def timed(op, build, action="collect"):
         t0 = time.monotonic()
+        df = build()
         rows = df.count() if action == "count" else len(df.collect())
         print(
             json.dumps(
@@ -75,7 +78,7 @@ def main() -> None:
     # per-month KMV sketches of order keys, estimated
     timed(
         "theta_sketch_monthly",
-        theta_estimate(
+        lambda: theta_estimate(
             theta_sketch(
                 li.withColumn("m", F.date_trunc("month", "l_shipdate")),
                 ["m"],
@@ -94,17 +97,17 @@ def main() -> None:
             [],
         )
     )
-    timed("theta_union_global", merged.select("estimate"))
+    timed("theta_union_global", lambda: merged.select("estimate"))
 
     timed(
         "profile_columns_4",
-        profile_columns(
+        lambda: profile_columns(
             li, ["l_returnflag", "l_orderkey", "l_quantity", "l_shipdate"]
         ),
     )
     timed(
         "profile_tuple_grid_3",
-        profile_columns_tuple_grid(
+        lambda: profile_columns_tuple_grid(
             li, ["l_returnflag", "l_linestatus", "l_tax"]
         ),
     )
@@ -112,24 +115,27 @@ def main() -> None:
     acks = ev.where(F.col("value") > 100.0).select("event_id", "ts")
     timed(
         "join_audit_events",
-        join_completeness_report(
+        lambda: join_completeness_report(
             ev, acks, ["event_id"], "ts", "ts", "1 day", by=None
         ),
     )
 
-    grid = merge_count_grids(
-        bucket_count_grid(half_a, "l_orderkey DIV 8192"),
-        bucket_count_grid(half_b, "l_orderkey DIV 8192"),
-    )
     n_total = li.count()
-    assigned = ntile_bucket_from_grid(
-        li, grid, "l_orderkey DIV 8192", ["l_orderkey", "l_linenumber"],
-        256, "tile", n_total=n_total,
-    )
-    timed(
-        "ntile_from_merged_grid",
-        assigned.groupBy("tile").agg(F.count(F.lit(1)).alias("n")),
-    )
+
+    def build_ntile():
+        grid = merge_count_grids(
+            bucket_count_grid(half_a, "l_orderkey DIV 8192"),
+            bucket_count_grid(half_b, "l_orderkey DIV 8192"),
+        )
+        # the grid was just merged from exactly these rows, so the guard
+        # branch is provably redundant — probe the production fast path
+        assigned = ntile_bucket_from_grid(
+            li, grid, "l_orderkey DIV 8192", ["l_orderkey", "l_linenumber"],
+            256, "tile", n_total=n_total, on_missing_bucket="drop",
+        )
+        return assigned.groupBy("tile").agg(F.count(F.lit(1)).alias("n"))
+
+    timed("ntile_from_merged_grid", build_ntile)
 
 
 if __name__ == "__main__":

@@ -415,3 +415,28 @@ def test_partial_frame_whole_buckets_exact(spark):
         if r.b in whole}
     for key, t in got.items():
         assert exp[key] == t, key
+
+
+def test_from_grid_missing_bucket_fails_loudly(spark):
+    """A stale/unmerged grid must not silently drop rows (r12 review):
+    with the default on_missing_bucket='error' the guard branch fails the
+    job naming the offending bucket; 'drop' opts into the covered-grid
+    fast path and returns only covered rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.layout import (
+        bucket_count_grid,
+        ntile_bucket_from_grid,
+    )
+
+    df = spark.createDataFrame([(b, v) for b in range(6) for v in range(10)], "b int, v int")
+    stale = bucket_count_grid(df.where(F.col("b") < 4), "b")  # buckets 4,5 missing
+    with pytest.raises(Exception, match="absent from"):
+        ntile_bucket_from_grid(df, stale, "b", ["v"], 4, "t", n_total=40).collect()
+    dropped = ntile_bucket_from_grid(
+        df, stale, "b", ["v"], 4, "t", n_total=40, on_missing_bucket="drop"
+    )
+    assert dropped.count() == 40
+    with pytest.raises(ValueError, match="on_missing_bucket"):
+        ntile_bucket_from_grid(df, stale, "b", ["v"], 4, "t", on_missing_bucket="warn")

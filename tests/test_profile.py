@@ -85,3 +85,21 @@ def test_profile_tuple_grid_equals_per_column(spark, tables):
     assert a == b
     nulls = _by_col(profile_columns_tuple_grid(li, cols))["flag_or_null"]
     assert nulls["n_null"] > 0 and nulls["is_constant"] is False
+
+
+def test_profile_map_columns_skipped_or_rejected(spark):
+    """Maps are not groupable/orderable: the all-columns default skips
+    them so a publish-gate table profiles as-is; naming one explicitly
+    raises with the column named (r12 review)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x")], "id int, k string").withColumn(
+        "props", F.create_map(F.col("k"), F.col("id"))
+    )
+    got = _by_col(profile_columns(df))
+    assert set(got) == {"id", "k"}
+    with pytest.raises(ValueError, match="props"):
+        profile_columns(df, ["props"])
+    with pytest.raises(ValueError, match="props"):
+        profile_columns_tuple_grid(df, ["id", "props"])
