@@ -239,6 +239,111 @@ def _finish(joined: DataFrame, group_cols: list[str], merged: F.Column, trim: bo
     )
 
 
+def theta_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Many-way union: merge ALL sketch rows within each (possibly
+    coarser) group — the rollup pattern :func:`hll_merge_estimate` gives
+    HLL (daily theta rows → monthly / global estimates, never rescanning
+    base data).  ``sketches`` must carry the :func:`theta_sketch` schema;
+    regroup by adding the coarser column first (e.g. ``date_trunc`` of
+    the day column).
+
+    Semantics match the pairwise fold exactly (tests pin it): the group
+    theta is the min over saturated inputs' thetas (NULL iff every input
+    is exact); retained hashes are the distinct input hashes below it,
+    re-trimmed to k = min(theta_k) when they overflow — by the KMV
+    lossless-merge property this equals the direct sketch of the unioned
+    base data, in any fold order or this one-shot form.
+
+    Plan: per-group scalar agg (theta floor + k), explode the <=k-element
+    arrays, distinct, the same salted two-level k-min prune as
+    construction — bounded windows, grid-sized shuffles."""
+    ga = [f"__ga_{c}" for c in group_cols]
+    floors = sketches.groupBy(
+        *[F.col(c).alias(a) for c, a in zip(group_cols, ga)]
+    ).agg(
+        F.when(F.count("theta") > 0, F.min("theta")).alias("__tmin"),
+        F.min("theta_k").alias("__k"),
+    )
+    ex = sketches.select(
+        *group_cols, F.explode("theta_hashes").alias("__h")
+    )
+    if group_cols:
+        cond = reduce(
+            lambda x, y: x & y,
+            [F.col(c).eqNullSafe(F.col(a)) for c, a in zip(group_cols, ga)],
+        )
+        joined = ex.join(floors, cond).drop(*ga)
+    else:
+        joined = ex.join(floors, F.lit(True))
+    uniq = (
+        joined.where(F.col("__tmin").isNull() | (F.col("__h") < F.col("__tmin")))
+        .dropDuplicates([*group_cols, "__h"])
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("__h"), F.lit(salt_buckets))
+    ).orderBy("__h")
+    w2 = Window.partitionBy(*group_cols).orderBy("__h")
+    pruned = (
+        uniq.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= F.col("__k") + 1)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= F.col("__k") + 1)
+    )
+    agg = pruned.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("__arr")
+    )
+    # join the theta floor / k back per group (NOT first() inside the
+    # agg: the global form's agg row exists even when nothing survived
+    # the explode, and must still carry the floors' theta)
+    if group_cols:
+        condf = reduce(
+            lambda x, y: x & y,
+            [F.col(c).eqNullSafe(F.col(a)) for c, a in zip(group_cols, ga)],
+        )
+        agg = agg.join(floors, condf).drop(*ga)
+    else:
+        agg = agg.crossJoin(floors)
+    sat = F.size(F.col("__arr")) == F.col("__k") + 1
+    merged = agg.select(
+        *group_cols,
+        F.when(sat, F.slice("__arr", F.lit(1), F.col("__k")))
+        .otherwise(F.col("__arr"))
+        .alias("theta_hashes"),
+        # F.get is 0-based: index k == the (k+1)-th smallest
+        F.when(sat, F.get("__arr", F.col("__k")))
+        .otherwise(F.col("__tmin"))
+        .alias("theta"),
+        F.col("__k").alias("theta_k"),
+    )
+    # Groups whose every input sketch is EMPTY (legal: an exact empty
+    # sketch, or an intersection/difference result with retained theta)
+    # have nothing to explode and would silently vanish; complete them
+    # with the empty sketch at the group's theta floor.  Grid-sized
+    # anti-join — no data-scale cost.
+    if group_cols:
+        cond2 = reduce(
+            lambda x, y: x & y,
+            [F.col(a).eqNullSafe(F.col(c)) for c, a in zip(group_cols, ga)],
+        )
+        lost = floors.join(merged.select(*group_cols), cond2, "left_anti")
+    else:
+        lost = floors.join(merged.select(F.lit(1).alias("__one")), F.lit(True), "left_anti")
+    return merged.unionByName(
+        lost.select(
+            *[F.col(a).alias(c) for c, a in zip(group_cols, ga)],
+            F.expr(_EMPTY_HASHES).alias("theta_hashes"),
+            F.col("__tmin").alias("theta"),
+            F.col("__k").alias("theta_k"),
+        )
+    )
+
+
 def theta_union(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
     """Per-group union sketch: merged retained hashes below min(theta),
     re-trimmed to k when the merge overflows (the excluded (k+1)-th value

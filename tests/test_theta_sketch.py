@@ -197,3 +197,76 @@ def test_theta_two_level_prune_invariant_to_salt(spark):
     base = _rows(theta_sketch(df, [], "id", k=128, salt_buckets=64))
     for s in (1, 7, 256):
         assert _rows(theta_sketch(df, [], "id", k=128, salt_buckets=s)) == base
+
+
+# ---------------------------------------------------------------------------
+# many-way rollup merge (theta_merge)
+# ---------------------------------------------------------------------------
+
+def test_theta_merge_rollup_equals_direct(spark, tables):
+    """Daily sketch rows merged to weekly and to global equal the direct
+    sketches of the same populations bit-for-bit (KMV lossless merge),
+    and the one-shot merge equals the pairwise theta_union fold."""
+    from aetherium_trader_datapipeline_spark.operators.sketches import theta_merge
+
+    k = 128  # saturate at events scale
+    ev = tables["events"].withColumn("d", F.to_date("ts"))
+    daily = theta_sketch(ev, ["d"], "user_id", k=k)
+
+    weekly_m = theta_merge(
+        daily.withColumn("wk", F.date_trunc("week", "d")).drop("d"), ["wk"]
+    )
+    weekly_d = theta_sketch(
+        ev.withColumn("wk", F.date_trunc("week", F.to_date("ts"))), ["wk"], "user_id", k=k
+    )
+    assert _rows(weekly_m, "wk") == _rows(weekly_d, "wk")
+
+    global_m = theta_merge(daily.drop("d"), [])
+    global_d = theta_sketch(ev, [], "user_id", k=k)
+    assert _rows(global_m) == _rows(global_d)
+
+    # pairwise fold over the daily rows == the one-shot merge
+    parts = daily.collect()
+    sks = [
+        spark.createDataFrame([r], daily.schema).drop("d") for r in parts[:4]
+    ]
+    folded = sks[0]
+    for nxt in sks[1:]:
+        folded = theta_union(folded, nxt, [])
+    subset = spark.createDataFrame(parts[:4], daily.schema).drop("d")
+    assert _rows(folded) == _rows(theta_merge(subset, []))
+
+
+def test_theta_merge_preserves_empty_sketch_groups(spark):
+    """A group whose every sketch row is empty (legal output of
+    intersect/difference) must survive the merge with its theta floor,
+    not vanish through the explode."""
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType, StringType,
+    )
+
+    from aetherium_trader_datapipeline_spark.operators.sketches import theta_merge
+
+    schema = StructType([
+        StructField("g", StringType()),
+        StructField("theta_hashes", ArrayType(LongType())),
+        StructField("theta", LongType()),
+        StructField("theta_k", IntegerType()),
+    ])
+    df = spark.createDataFrame(
+        [
+            ("empty_exact", [], None, 16),
+            ("empty_thresh", [], -5_000_000_000_000_000_000, 16),
+            ("mixed", [], -4_000_000_000_000_000_000, 16),
+            ("mixed", [-8_000_000_000_000_000_000, -7_000_000_000_000_000_000], None, 16),
+        ],
+        schema,
+    )
+    got = _rows(theta_merge(df, ["g"]), "g")
+    assert got["empty_exact"] == ((), None)
+    assert got["empty_thresh"] == ((), -5_000_000_000_000_000_000)
+    # mixed group: hashes below the saturated row's theta survive
+    assert got["mixed"] == (
+        (-8_000_000_000_000_000_000, -7_000_000_000_000_000_000),
+        -4_000_000_000_000_000_000,
+    )
