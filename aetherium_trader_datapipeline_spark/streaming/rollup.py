@@ -100,3 +100,57 @@ def ohlcv_rollup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def theta_rollup_sink(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    k: int = 4096,
+):
+    """Continuous DISTINCT rollup: maintain one theta/KMV sketch row per
+    day at ``target_dir`` (parquet, partitioned by ``d``), merged
+    incrementally per micro-batch — the set-operation-capable sibling of
+    the OHLCV sink above (daily distinct users, intersect/difference
+    across ranges, all from metadata-sized rows).
+
+    Per batch: sketch the batch per day, read back ONLY the affected
+    date partitions, :func:`theta_merge`, dynamic-partition-overwrite
+    those days.  KMV's lossless merge makes the maintained table
+    BIT-IDENTICAL to a from-scratch daily sketch of all data regardless
+    of batch boundaries (asserted stream == batch in tests) — there is
+    no drift to re-sync, unlike count-ish incremental aggregates."""
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        theta_merge,
+        theta_sketch,
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        part = theta_sketch(
+            batch_df.withColumn("d", F.to_date(ts_col)), ["d"], value_col, k=k
+        )
+        if not part.head(1):
+            return
+        dates = [r.d for r in part.select("d").distinct().collect()]
+        try:
+            existing = spark.read.parquet(target_dir).where(F.col("d").isin(dates))
+            merged = theta_merge(part.unionByName(existing), ["d"])
+        except Exception:  # first batch: table does not exist yet
+            merged = part
+        (
+            merged.repartition("d")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(target_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
