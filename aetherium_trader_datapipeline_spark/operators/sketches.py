@@ -372,6 +372,129 @@ def theta_intersect(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFr
     return _finish(j, group_cols, merged, trim=False)
 
 
+# ---------------------------------------------------------------------------
+# DDSketch-style mergeable quantile sketches
+#
+# Completes the rollup trio: HLL (union distinct), theta (set-operation
+# distinct), and now quantiles.  The DDSketch idea (Masson, Rim, Lee —
+# "DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees", VLDB 2019): log-spaced buckets
+# i = ceil(ln|x| / ln(gamma)) with gamma = (1+alpha)/(1-alpha) make every
+# bucket's midpoint within relative error alpha of any value it holds, so
+# ANY quantile estimate is within alpha of the true value — and the
+# sketch is just per-bucket counts, so merging = summing counts, exactly
+# (no accuracy loss on merge, unlike rank-error sketches).
+#
+# Representation here is the repo's grid idiom, not a binary blob: one
+# row per (group, kind, bucket) with a count, where kind is -1/0/+1 for
+# negative / zero / positive values (negatives mirror into their own
+# log buckets; exact zeros get a dedicated bucket).  Bucket cardinality
+# is ~ln(value range)/ln(gamma) per sign (~2.3k buckets per decade-span
+# of e^1 at alpha=0.01) — metadata-sized, window-safe.
+# ---------------------------------------------------------------------------
+
+
+def dd_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str, alpha: float = 0.01
+) -> DataFrame:
+    """One DDSketch grid per group over numeric ``value_col``: rows
+    ``(group..., dd_kind, dd_bucket, dd_count, dd_alpha)``.  NULLs and
+    NaNs are excluded (quantiles of the present finite values — Spark's
+    percentile functions treat NULL the same way; NaN has no magnitude
+    bucket).  One map-side-partial aggregation; no windows."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    ln_g = math.log(gamma)
+    v = F.col(value_col).cast("double")
+    kind = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    bucket = F.when(
+        v != 0, F.ceil(F.log(F.abs(v)) / F.lit(ln_g)).cast("int")
+    ).otherwise(F.lit(0))
+    return (
+        df.where(v.isNotNull() & ~F.isnan(v))
+        .groupBy(*group_cols, kind.alias("dd_kind"), bucket.alias("dd_bucket"))
+        .agg(F.count(F.lit(1)).alias("dd_count"))
+        .withColumn("dd_alpha", F.lit(float(alpha)))
+    )
+
+
+def dd_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two DDSketch grids EXACTLY (sum per-bucket counts) —
+    associative and commutative, so daily grids fold into monthly into
+    total in any order with zero accuracy loss.  Mixing alphas would
+    silently mis-bucket, so mismatched rows fail the job loudly via a
+    grid-sized check column."""
+    merged = (
+        a.unionByName(b)
+        .groupBy(*[c for c in a.columns if c not in ("dd_count", "dd_alpha")])
+        .agg(
+            F.sum("dd_count").alias("dd_count"),
+            F.min("dd_alpha").alias("__amin"),
+            F.max("dd_alpha").alias("__amax"),
+        )
+    )
+    return merged.withColumn(
+        "dd_alpha",
+        F.when(F.col("__amin") == F.col("__amax"), F.col("__amin")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("dd_merge: mixed alphas "),
+                    F.col("__amin").cast("string"),
+                    F.lit(" vs "),
+                    F.col("__amax").cast("string"),
+                )
+            ).cast("double")
+        ),
+    ).drop("__amin", "__amax")
+
+
+def dd_quantiles(
+    sketch: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Per-group quantile estimates from a DDSketch grid: one row per
+    (group, q) with ``estimate`` within relative error alpha of the true
+    q-quantile of the sketched values.  Rank convention max(1, ceil(q*n))
+    — q=0 is the minimum bucket, q=1 the maximum, matching the DDSketch
+    paper.  Work is grid-sized: a per-group cumsum window over the
+    buckets (bounded by bucket cardinality, not rows), then a small
+    crossJoin with the q list."""
+    from pyspark.sql import Window
+
+    if not qs or any(q < 0 or q > 1 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs!r}")
+    # bucket midpoint value and the total order over (kind, bucket):
+    # negatives ascend with DESCENDING bucket index (bigger |x| is more
+    # negative), zero sits between, positives ascend with the index
+    gamma = (F.lit(1.0) + F.col("dd_alpha")) / (F.lit(1.0) - F.col("dd_alpha"))
+    mag = F.lit(2.0) * F.pow(gamma, F.col("dd_bucket")) / (gamma + F.lit(1.0))
+    val = F.when(F.col("dd_kind") == 1, mag).when(
+        F.col("dd_kind") == -1, -mag
+    ).otherwise(F.lit(0.0))
+    ordi = F.when(
+        F.col("dd_kind") == -1, -F.col("dd_bucket")
+    ).otherwise(F.col("dd_bucket"))
+    w = Window.partitionBy(*group_cols).orderBy("dd_kind", "__ord")
+    cum = (
+        sketch.withColumns({"__v": val, "__ord": ordi})
+        .withColumn("__cum", F.sum("dd_count").over(w))
+        .withColumn(
+            "__n",
+            F.sum("dd_count").over(Window.partitionBy(*group_cols)),
+        )
+    )
+    qdf = sketch.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    rank = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("__n")))
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .where(F.col("__cum") >= rank)
+        .groupBy(*group_cols, "q")
+        .agg(F.expr("min_by(__v, struct(dd_kind, __ord))").alias("estimate"))
+    )
+
+
 def theta_a_not_b(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
     """Per-group difference sketch (in A, not in B): A's retained hashes
     minus B's, below min(theta).  A-side-only groups pass A's sketch
