@@ -43,7 +43,11 @@ def main() -> None:
         profile_columns_tuple_grid,
     )
     from aetherium_trader_datapipeline_spark.operators.sketches import (
+        dd_merge,
+        dd_quantiles,
+        dd_sketch,
         theta_estimate,
+        theta_merge,
         theta_sketch,
         theta_union,
     )
@@ -98,6 +102,29 @@ def main() -> None:
         )
     )
     timed("theta_union_global", lambda: merged.select("estimate"))
+    timed(
+        "theta_merge_daily_to_global",
+        lambda: theta_estimate(
+            theta_merge(
+                theta_sketch(
+                    li.withColumn("d", F.to_date("l_shipdate")),
+                    ["d"], "l_orderkey", k=4096,
+                ).drop("d"),
+                [],
+            )
+        ).select("estimate"),
+    )
+    timed(
+        "dd_sketch_merge_quantiles",
+        lambda: dd_quantiles(
+            dd_merge(
+                dd_sketch(half_a, [], "l_extendedprice"),
+                dd_sketch(half_b, [], "l_extendedprice"),
+            ),
+            [],
+            [0.5, 0.95, 0.99],
+        ),
+    )
 
     timed(
         "profile_columns_4",
