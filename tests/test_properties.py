@@ -572,3 +572,116 @@ def test_ntile_bucket_matches_spark_ntile(spark, rows, k):
         key=nkey,
     )
     assert got == exp
+
+
+@given(
+    ids_a=st.lists(st.integers(min_value=0, max_value=120), max_size=60),
+    ids_b=st.lists(st.integers(min_value=0, max_value=120), max_size=60),
+    k=st.sampled_from([1, 2, 3, 8]),
+)
+@settings(**SETTINGS)
+def test_theta_algebra_matches_python_reference(spark, ids_a, ids_b, k):
+    """Randomized KMV algebra: construction, union, intersection,
+    difference, and the many-way merge all equal the pure-Python
+    reference on the same xxhash64 values — tiny adversarial k, dups,
+    empty and disjoint sides included."""
+    import pyspark.sql.functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        theta_a_not_b,
+        theta_intersect,
+        theta_merge,
+        theta_sketch,
+        theta_union,
+    )
+    from tests.test_theta_sketch import (
+        _py_a_not_b,
+        _py_intersect,
+        _py_sketch,
+        _py_union,
+        _rows,
+    )
+
+    dom = sorted(set(ids_a) | set(ids_b))
+    hmap = (
+        {
+            r.v: r.h
+            for r in spark.createDataFrame([(i,) for i in dom], "v long")
+            .select("v", F.xxhash64("v").alias("h"))
+            .collect()
+        }
+        if dom
+        else {}
+    )
+    pa = _py_sketch([hmap[i] for i in ids_a], k)
+    pb = _py_sketch([hmap[i] for i in ids_b], k)
+
+    def mk(ids):
+        df = spark.createDataFrame([(i,) for i in ids] or [(None,)], "v long")
+        return theta_sketch(df.where("v IS NOT NULL"), [], "v", k=k)
+
+    sa, sb = mk(ids_a), mk(ids_b)
+    # empty input -> empty sketch table; the reference gives ([], None)
+    got_a = _rows(sa).get(None, ((), None))
+    got_b = _rows(sb).get(None, ((), None))
+    assert got_a == (tuple(pa[0]), pa[1])
+    assert got_b == (tuple(pb[0]), pb[1])
+    for op, ref in [
+        (theta_union, _py_union(pa, pb, k)),
+        (theta_intersect, _py_intersect(pa, pb)),
+        (theta_a_not_b, _py_a_not_b(pa, pb)),
+    ]:
+        got = _rows(op(sa, sb, [])).get(None, ((), None))
+        assert got == (tuple(ref[0]), ref[1]), op.__name__
+    # many-way merge of the two sketch tables == pairwise union
+    got_m = _rows(theta_merge(sa.unionByName(sb), [])).get(None, ((), None))
+    ref_u = _py_union(pa, pb, k)
+    assert got_m == (tuple(ref_u[0]), ref_u[1])
+
+
+@given(
+    milli_a=st.lists(
+        st.integers(min_value=-1_000_000, max_value=1_000_000), max_size=50
+    ),
+    milli_b=st.lists(
+        st.integers(min_value=-1_000_000, max_value=1_000_000), max_size=50
+    ),
+    alpha=st.sampled_from([0.01, 0.05, 0.2]),
+)
+@settings(**SETTINGS)
+def test_dd_sketch_properties(spark, milli_a, milli_b, alpha):
+    """Randomized DDSketch: merge of split sketches is row-identical to
+    the direct sketch, and every quantile estimate of the merged grid is
+    within alpha relative error of the exact quantile (zeros exact)."""
+    import math
+
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        dd_merge,
+        dd_quantiles,
+        dd_sketch,
+    )
+
+    vals_a = [m / 1000.0 for m in milli_a]
+    vals_b = [m / 1000.0 for m in milli_b]
+    both = vals_a + vals_b
+    if not both:
+        return
+
+    def mk(vals):
+        df = spark.createDataFrame([(v,) for v in vals] or [(None,)], "v double")
+        return dd_sketch(df.where("v IS NOT NULL"), [], "v", alpha=alpha)
+
+    direct = mk(both)
+    merged = dd_merge(mk(vals_a), mk(vals_b))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    qs = [0.0, 0.5, 1.0]
+    got = {r.q: r.estimate for r in dd_quantiles(direct, [], qs).collect()}
+    s = sorted(both)
+    for q in qs:
+        true = s[max(1, math.ceil(q * len(s))) - 1]
+        if true == 0:
+            assert got[q] == 0.0
+        else:
+            assert abs(got[q] - true) / abs(true) <= alpha * 1.01, (q, got[q], true)
