@@ -133,3 +133,80 @@ def profile_columns_tuple_grid(
         )
         parts.append(_profile_grid(grid, c, types[c]))
     return reduce(DataFrame.unionByName, parts)
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    null_rate_jump: float = 0.05,
+    ndv_ratio_drop: float = 0.5,
+) -> DataFrame:
+    """Diff two profile outputs (same schema as :func:`profile_columns`)
+    into a drift report — the publish gate between yesterday's snapshot
+    profile and today's: one row per (column, issue).
+
+    Issues:
+      - ``column_added`` / ``column_removed``  — schema drift.
+      - ``type_changed``                       — value_type differs.
+      - ``null_rate_jump``  — NULL fraction rose by more than
+        ``null_rate_jump`` (absolute).
+      - ``ndv_collapse``    — distinct count fell below
+        ``ndv_ratio_drop`` x the old NDV, compared RAW, not scaled by
+        row count: for the intended snapshot-over-time use NDV never
+        legitimately shrinks much, while row-scaling would false-fire
+        on every bounded-domain column (a 3-value flag keeps 3 distinct
+        values at any size — measured against the sf0.001 vs sf0.01
+        fixtures).  Comparing a small sample against a full table is
+        the caller's ratio to loosen.
+      - ``became_constant`` — was varying, now constant.
+
+    Profile rows are metadata-sized, so the whole diff is a grid join —
+    run it on STORED profiles, never by rescanning the data."""
+    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
+    j = o.join(n, F.col("o_column") == F.col("n_column"), "full_outer")
+    null_rate = lambda p: F.col(f"{p}_n_null") / F.greatest(  # noqa: E731
+        F.col(f"{p}_n_rows"), F.lit(1)
+    )
+    issues = F.array_compact(
+        F.array(
+            F.when(F.col("o_column").isNull(), F.lit("column_added")),
+            F.when(F.col("n_column").isNull(), F.lit("column_removed")),
+            F.when(
+                F.col("o_column").isNotNull()
+                & F.col("n_column").isNotNull()
+                & (F.col("o_value_type") != F.col("n_value_type")),
+                F.lit("type_changed"),
+            ),
+            F.when(
+                null_rate("n") - null_rate("o") > null_rate_jump,
+                F.lit("null_rate_jump"),
+            ),
+            F.when(
+                (F.col("o_n_distinct") > 0)
+                & (
+                    F.col("n_n_distinct")
+                    < F.col("o_n_distinct") * F.lit(ndv_ratio_drop)
+                ),
+                F.lit("ndv_collapse"),
+            ),
+            F.when(
+                (~F.col("o_is_constant")) & F.col("n_is_constant"),
+                F.lit("became_constant"),
+            ),
+        )
+    )
+    return (
+        j.withColumn("issue", F.explode(issues))
+        .select(
+            F.coalesce(F.col("o_column"), F.col("n_column")).alias("column"),
+            "issue",
+            F.col("o_value_type").alias("old_type"),
+            F.col("n_value_type").alias("new_type"),
+            null_rate("o").alias("old_null_rate"),
+            null_rate("n").alias("new_null_rate"),
+            F.col("o_n_distinct").alias("old_n_distinct"),
+            F.col("n_n_distinct").alias("new_n_distinct"),
+        )
+        .orderBy("column", "issue")
+    )

@@ -103,3 +103,36 @@ def test_profile_map_columns_skipped_or_rejected(spark):
         profile_columns(df, ["props"])
     with pytest.raises(ValueError, match="props"):
         profile_columns_tuple_grid(df, ["id", "props"])
+
+
+def test_profile_drift_report(spark):
+    """Each drift class fires once on a constructed old/new pair, and an
+    identical pair reports nothing."""
+    from aetherium_trader_datapipeline_spark.operators.profile import (
+        profile_drift,
+    )
+
+    old_df = spark.createDataFrame(
+        [(i, "x", float(i % 50), str(i)) for i in range(100)],
+        "gone int, konst string, metric double, key string",
+    )
+    new_df = spark.createDataFrame(
+        # 'gone' removed, 'fresh' added, metric now 80% NULL and int,
+        # key collapsed to 2 distinct values, konst still constant
+        [(("x"), (None if i % 5 else 7), str(i % 2), i) for i in range(100)],
+        "konst string, metric int, key string, fresh int",
+    )
+    rep = profile_drift(profile_columns(old_df), profile_columns(new_df))
+    got = {(r.column, r.issue) for r in rep.collect()}
+    # the 2-distinct key is NOT constant, so became_constant must not fire
+    assert ("gone", "column_removed") in got
+    assert ("fresh", "column_added") in got
+    assert ("metric", "type_changed") in got
+    assert ("metric", "null_rate_jump") in got
+    assert ("metric", "ndv_collapse") in got
+    assert ("key", "ndv_collapse") in got
+    assert ("key", "became_constant") not in got
+    assert not any(c == "konst" for c, _ in got)
+
+    same = profile_columns(old_df)
+    assert profile_drift(same, same).count() == 0
