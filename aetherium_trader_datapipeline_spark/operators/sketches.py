@@ -373,6 +373,71 @@ def theta_intersect(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# k-min hash sample — a DETERMINISTIC, MERGEABLE uniform row sample
+#
+# TABLESAMPLE is neither (a new scan draws a new sample; two samples
+# can't combine).  Keeping the rows whose xxhash64(key) values are the k
+# smallest per group IS a uniform sample over distinct keys (the hash
+# order is uniform and data-independent), and it is mergeable exactly
+# like KMV: the k smallest of a union are among the union of each side's
+# k smallest.  Store the per-batch sample next to the data; debugging a
+# 100 TB table then reads k rows per group, re-drawable bit-identically.
+# ---------------------------------------------------------------------------
+
+
+def kmin_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Uniform sample of ``k`` rows per group, deterministic in the
+    distinct values of ``key_col`` (rows with a NULL key are excluded;
+    among duplicate keys one arbitrary representative row survives —
+    pass a unique key for fully deterministic payloads).  Output = the
+    input columns plus ``sample_hash``, kept for :func:`kmin_sample_merge`.
+    Same bounded two-level prune as :func:`theta_sketch`."""
+    from pyspark.sql import Window
+
+    uniq = (
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("sample_hash", F.xxhash64(F.col(key_col)))
+        .dropDuplicates([*group_cols, "sample_hash"])
+    )
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("sample_hash"), F.lit(salt_buckets))
+    ).orderBy("sample_hash")
+    w2 = Window.partitionBy(*group_cols).orderBy("sample_hash")
+    return (
+        uniq.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= k)
+        .drop("__r1", "__r2")
+    )
+
+
+def kmin_sample_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge two stored k-min samples into the k-min sample of the
+    combined data (exact, any fold order): union, de-duplicate per
+    (group, hash), re-prune to the k smallest.  Work is sample-sized
+    (<= 2k rows per group), never data-sized."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("sample_hash")
+    return (
+        a.unionByName(b)
+        .dropDuplicates([*group_cols, "sample_hash"])
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DDSketch-style mergeable quantile sketches
 #
 # Completes the rollup trio: HLL (union distinct), theta (set-operation

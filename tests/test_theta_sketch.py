@@ -270,3 +270,66 @@ def test_theta_merge_preserves_empty_sketch_groups(spark):
         (-8_000_000_000_000_000_000, -7_000_000_000_000_000_000),
         -4_000_000_000_000_000_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# k-min hash sample (deterministic mergeable uniform sample)
+# ---------------------------------------------------------------------------
+
+def test_kmin_sample_merge_equals_direct(spark, tables):
+    """On a unique key, merge of split-half samples == the direct sample
+    of the union, row-identical; sample size == min(k, group size);
+    salt choice is invisible."""
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        kmin_sample,
+        kmin_sample_merge,
+    )
+
+    ev = tables["events"].select("event_id", "user_id", "ts", "value")
+    k = 50
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    a = ev.where(F.col("event_id") <= mid)
+    b = ev.where(F.col("event_id") > mid)
+    direct = sorted(
+        map(tuple, kmin_sample(ev, [], "event_id", k).collect())
+    )
+    merged = sorted(
+        map(
+            tuple,
+            kmin_sample_merge(
+                kmin_sample(a, [], "event_id", k),
+                kmin_sample(b, [], "event_id", k),
+                [],
+                k,
+            ).collect(),
+        )
+    )
+    assert merged == direct and len(direct) == k
+    for s in (1, 7):
+        assert (
+            sorted(map(tuple, kmin_sample(ev, [], "event_id", k, salt_buckets=s).collect()))
+            == direct
+        )
+
+
+def test_kmin_sample_stratified_and_small_groups(spark, tables):
+    """Per-group sampling: every group contributes min(k, its distinct
+    keys) rows, and each sampled row belongs to its group."""
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        kmin_sample,
+    )
+
+    ev = tables["events"].withColumn("d", F.to_date("ts"))
+    k = 11
+    got = kmin_sample(ev, ["d"], "event_id", k)
+    sizes = {r.d: r.n for r in got.groupBy("d").count().withColumnRenamed("count", "n").collect()}
+    per_day = {
+        r.d: r.n
+        for r in ev.groupBy("d").agg(F.count_distinct("event_id").alias("n")).collect()
+    }
+    assert set(sizes) == set(per_day)
+    for d, n in per_day.items():
+        assert sizes[d] == min(k, n), d
+    # sampled rows really come from their day
+    bad = got.where(F.to_date("ts") != F.col("d")).count()
+    assert bad == 0
