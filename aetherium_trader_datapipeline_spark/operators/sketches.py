@@ -102,18 +102,7 @@ def theta_sketch(
         .select(*group_cols, h)
         .dropDuplicates([*group_cols, "__h"])
     )
-    from pyspark.sql import Window
-
-    w1 = Window.partitionBy(
-        *group_cols, F.pmod(F.col("__h"), F.lit(salt_buckets))
-    ).orderBy("__h")
-    w2 = Window.partitionBy(*group_cols).orderBy("__h")
-    pruned = (
-        uniq.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= k + 1)
-        .withColumn("__r2", F.row_number().over(w2))
-        .where(F.col("__r2") <= k + 1)
-    )
+    pruned = _two_level_kmin_prune(uniq, group_cols, "__h", k + 1, salt_buckets)
     arr = F.sort_array(F.collect_list("__h"))
     agg = pruned.groupBy(*group_cols).agg(arr.alias("__arr"))
     sat = F.size(F.col("__arr")) == k + 1
@@ -126,6 +115,36 @@ def theta_sketch(
         .otherwise(F.lit(None).cast("bigint"))
         .alias("theta"),
         F.lit(k).alias("theta_k"),
+    )
+
+
+def _two_level_kmin_prune(
+    uniq: DataFrame,
+    group_cols: list[str],
+    hash_col: str,
+    limit,
+    salt_buckets: int,
+) -> DataFrame:
+    """The salted two-level k-min prune shared by :func:`theta_sketch`,
+    :func:`theta_merge`, and :func:`kmin_sample` (one implementation so
+    the invariant — level 1 keeps each (group, salt) partition's
+    ``limit`` smallest, a superset of the group's ``limit`` smallest;
+    level 2 ranks the surviving <= limit*salt_buckets rows — is encoded
+    once).  ``limit`` may be an int or a per-row Column (theta_merge's
+    per-group k)."""
+    from pyspark.sql import Window
+
+    lim = F.lit(limit) if isinstance(limit, int) else limit
+    w1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col(hash_col), F.lit(salt_buckets))
+    ).orderBy(hash_col)
+    w2 = Window.partitionBy(*group_cols).orderBy(hash_col)
+    return (
+        uniq.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= lim)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= lim)
+        .drop("__r1", "__r2")
     )
 
 
@@ -265,7 +284,10 @@ def theta_merge(
     floors = sketches.groupBy(
         *[F.col(c).alias(a) for c, a in zip(group_cols, ga)]
     ).agg(
-        F.when(F.count("theta") > 0, F.min("theta")).alias("__tmin"),
+        # min() already ignores NULLs and is NULL when all inputs are —
+        # exactly the "min over saturated inputs, NULL iff all exact"
+        # semantics needed
+        F.min("theta").alias("__tmin"),
         F.min("theta_k").alias("__k"),
     )
     ex = sketches.select(
@@ -283,17 +305,8 @@ def theta_merge(
         joined.where(F.col("__tmin").isNull() | (F.col("__h") < F.col("__tmin")))
         .dropDuplicates([*group_cols, "__h"])
     )
-    from pyspark.sql import Window
-
-    w1 = Window.partitionBy(
-        *group_cols, F.pmod(F.col("__h"), F.lit(salt_buckets))
-    ).orderBy("__h")
-    w2 = Window.partitionBy(*group_cols).orderBy("__h")
-    pruned = (
-        uniq.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= F.col("__k") + 1)
-        .withColumn("__r2", F.row_number().over(w2))
-        .where(F.col("__r2") <= F.col("__k") + 1)
+    pruned = _two_level_kmin_prune(
+        uniq, group_cols, "__h", F.col("__k") + 1, salt_buckets
     )
     agg = pruned.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("__h")).alias("__arr")
@@ -398,24 +411,12 @@ def kmin_sample(
     pass a unique key for fully deterministic payloads).  Output = the
     input columns plus ``sample_hash``, kept for :func:`kmin_sample_merge`.
     Same bounded two-level prune as :func:`theta_sketch`."""
-    from pyspark.sql import Window
-
     uniq = (
         df.where(F.col(key_col).isNotNull())
         .withColumn("sample_hash", F.xxhash64(F.col(key_col)))
         .dropDuplicates([*group_cols, "sample_hash"])
     )
-    w1 = Window.partitionBy(
-        *group_cols, F.pmod(F.col("sample_hash"), F.lit(salt_buckets))
-    ).orderBy("sample_hash")
-    w2 = Window.partitionBy(*group_cols).orderBy("sample_hash")
-    return (
-        uniq.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= k)
-        .withColumn("__r2", F.row_number().over(w2))
-        .where(F.col("__r2") <= k)
-        .drop("__r1", "__r2")
-    )
+    return _two_level_kmin_prune(uniq, group_cols, "sample_hash", k, salt_buckets)
 
 
 def kmin_sample_merge(
@@ -490,18 +491,23 @@ def dd_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     total in any order with zero accuracy loss.  Mixing alphas would
     silently mis-bucket, so mismatched rows fail the job loudly via a
     grid-sized check column."""
-    merged = (
-        a.unionByName(b)
-        .groupBy(*[c for c in a.columns if c not in ("dd_count", "dd_alpha")])
-        .agg(
-            F.sum("dd_count").alias("dd_count"),
-            F.min("dd_alpha").alias("__amin"),
-            F.max("dd_alpha").alias("__amax"),
-        )
+    u = a.unionByName(b)
+    merged = u.groupBy(
+        *[c for c in a.columns if c not in ("dd_count", "dd_alpha")]
+    ).agg(F.sum("dd_count").alias("dd_count"))
+    # GLOBAL alpha check, not per-bucket: grids over disjoint value
+    # ranges share no (kind, bucket) key, so a per-key min/max compare
+    # silently passes mixed alphas whose bucket indices are then not
+    # value-ordered — exactly the wrong-quantiles case (r12 review).
+    # One scalar agg over the union, broadcast onto the grid rows.
+    alphas = u.agg(
+        F.count_distinct("dd_alpha").alias("__na"),
+        F.min("dd_alpha").alias("__amin"),
+        F.max("dd_alpha").alias("__amax"),
     )
-    return merged.withColumn(
+    return merged.crossJoin(F.broadcast(alphas)).withColumn(
         "dd_alpha",
-        F.when(F.col("__amin") == F.col("__amax"), F.col("__amin")).otherwise(
+        F.when(F.col("__na") <= 1, F.col("__amin")).otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("dd_merge: mixed alphas "),
@@ -511,7 +517,7 @@ def dd_merge(a: DataFrame, b: DataFrame) -> DataFrame:
                 )
             ).cast("double")
         ),
-    ).drop("__amin", "__amax")
+    ).drop("__na", "__amin", "__amax")
 
 
 def dd_quantiles(

@@ -62,32 +62,57 @@ def merge_partials(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def ohlcv_rollup_sink(
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check for the rollup target.  Used INSTEAD of
+    a broad try/except around the read-back: swallowing a transient read
+    or schema failure as 'first batch' would dynamic-overwrite the
+    affected partitions with batch-only partials, silently losing the
+    previously merged state (r12 review) — a real failure must fail the
+    batch so the checkpoint retries it."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _affected_dates_filter(dates):
+    """Partition filter for the read-back.  NULL event times produce a
+    d=NULL partition, and ``isin`` can never match NULL (NULL IN (...)
+    is NULL) — without the explicit isNull arm each batch would replace
+    the NULL-date partition with only its own data (r12 review)."""
+    cond = F.col("d").isin([d for d in dates if d is not None])
+    if any(d is None for d in dates):
+        cond = cond | F.col("d").isNull()
+    return cond
+
+
+def _incremental_rollup_sink(
     stream: DataFrame,
     target_dir: str,
     checkpoint_dir: str,
-    ts_col: str = "ts",
-    key_col: str = "user_id",
-    value_col: str = "value",
-    bucket: str = "1 hour",
+    partials_fn,
+    merge_fn,
 ):
-    """Start a foreachBatch query maintaining the rollup table at
-    ``target_dir`` (parquet, partitioned by date)."""
+    """Shared foreachBatch scaffolding for incrementally maintained,
+    date-partitioned rollup tables: per batch compute partials (must
+    carry a ``d`` date column), read back ONLY the affected date
+    partitions, merge, dynamic-partition-overwrite those days."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark: SparkSession = batch_df.sparkSession
-        part = ohlcv_partials(batch_df, ts_col, key_col, value_col, bucket)
+        part = partials_fn(batch_df)
         if not part.head(1):
             return
         dates = [r.d for r in part.select("d").distinct().collect()]
-        try:
-            existing = spark.read.parquet(target_dir).where(F.col("d").isin(dates))
-            merged = merge_partials(part.unionByName(existing), key_col)
-        except Exception:  # first batch: table does not exist yet
-            merged = merge_partials(part, key_col)
+        if _table_exists(spark, target_dir):
+            existing = spark.read.parquet(target_dir).where(
+                _affected_dates_filter(dates)
+            )
+            merged = merge_fn(part.unionByName(existing))
+        else:
+            merged = merge_fn(part)
         (
-            merged.withColumn("d", F.col("d"))  # keep partition column last-stable
-            .repartition("d")
+            merged.repartition("d")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("d")
@@ -99,6 +124,26 @@ def ohlcv_rollup_sink(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def ohlcv_rollup_sink(
+    stream: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+):
+    """Start a foreachBatch query maintaining the rollup table at
+    ``target_dir`` (parquet, partitioned by date)."""
+    return _incremental_rollup_sink(
+        stream,
+        target_dir,
+        checkpoint_dir,
+        partials_fn=lambda b: ohlcv_partials(b, ts_col, key_col, value_col, bucket),
+        merge_fn=lambda all_parts: merge_partials(all_parts, key_col),
     )
 
 
@@ -127,30 +172,12 @@ def theta_rollup_sink(
         theta_sketch,
     )
 
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark: SparkSession = batch_df.sparkSession
-        part = theta_sketch(
-            batch_df.withColumn("d", F.to_date(ts_col)), ["d"], value_col, k=k
-        )
-        if not part.head(1):
-            return
-        dates = [r.d for r in part.select("d").distinct().collect()]
-        try:
-            existing = spark.read.parquet(target_dir).where(F.col("d").isin(dates))
-            merged = theta_merge(part.unionByName(existing), ["d"])
-        except Exception:  # first batch: table does not exist yet
-            merged = part
-        (
-            merged.repartition("d")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("d")
-            .parquet(target_dir)
-        )
-
-    return (
-        stream.writeStream.foreachBatch(upsert)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _incremental_rollup_sink(
+        stream,
+        target_dir,
+        checkpoint_dir,
+        partials_fn=lambda b: theta_sketch(
+            b.withColumn("d", F.to_date(ts_col)), ["d"], value_col, k=k
+        ),
+        merge_fn=lambda all_parts: theta_merge(all_parts, ["d"]),
     )

@@ -118,3 +118,19 @@ def test_dd_quantiles_match_duckdb_disc(spark, tables):
 
     with pytest.raises(ValueError, match="quantiles"):
         dd_quantiles(sk, ["l_linestatus"], [1.5])
+
+
+def test_dd_merge_rejects_mixed_alpha_disjoint_buckets(spark):
+    """The alpha guard must be GLOBAL: grids over disjoint value ranges
+    share no (kind, bucket) key, so a per-key min/max compare would
+    silently pass mixed alphas (r12 review)."""
+    big = spark.createDataFrame([(1_000_000.0,), (2_000_000.0,)], "v double")
+    small = spark.createDataFrame([(100.0,), (101.0,)], "v double")
+    a = dd_sketch(big, [], "v", alpha=0.01)
+    b = dd_sketch(small, [], "v", alpha=0.2)
+    # sanity: truly disjoint bucket keys
+    ka = {(r.dd_kind, r.dd_bucket) for r in a.collect()}
+    kb = {(r.dd_kind, r.dd_bucket) for r in b.collect()}
+    assert not ka & kb
+    with pytest.raises(Exception, match="mixed alphas"):
+        dd_merge(a, b).collect()

@@ -416,7 +416,7 @@ def test_collect_sites_are_allowlisted():
     allow = {
         "plans/bootstrap.py": (1, "per-date max-ts: O(existing dates)"),
         "plans/backfill_service.py": (1, "backfill day list (write metrics now come from observe() on the write itself)"),
-        "streaming/rollup.py": (2, "distinct dates in one micro-batch (ohlcv + theta sinks)"),
+        "streaming/rollup.py": (1, "distinct dates in one micro-batch (shared sink scaffolding)"),
         "operators/replay.py": (1, "single min/max bounds row"),
         "operators/inspect.py": (1, "per-file row-count audit: O(files)"),
         "operators/merge.py": (2, "touched/surviving partition lists (compaction sizes from an FS listing, no collect)"),

@@ -153,3 +153,48 @@ def test_theta_rollup_sink_stream_equals_batch(spark, tables, tmp_path):
     assert any(t is not None for _, t in got.values())
     # layout: partitioned by date for partition-pruned reads
     assert any(p.name.startswith("d=") for p in (tmp_path / "theta").iterdir())
+
+
+def test_theta_rollup_sink_null_ts_partition_survives_batches(spark, tables, tmp_path):
+    """Rows with NULL event time land in the d=NULL partition; the
+    read-back filter must match it (NULL IN (...) is NULL — r12 review)
+    so the NULL-day sketch accumulates across batches instead of being
+    replaced by the last batch's."""
+    import pyspark.sql.functions as F
+
+    from aetherium_trader_datapipeline_spark.operators.sketches import (
+        theta_sketch,
+    )
+    from aetherium_trader_datapipeline_spark.streaming.rollup import (
+        theta_rollup_sink,
+    )
+
+    ev = tables["events"].select("event_id", "user_id", "ts").limit(200)
+    # null the ts of half the rows, split so NULL-ts rows are in BOTH chunks
+    nulled = ev.withColumn(
+        "ts", F.when(F.col("event_id") % 3 == 0, F.col("ts"))
+    )
+    expected = {
+        str(r.d): (tuple(r.theta_hashes), r.theta)
+        for r in theta_sketch(
+            nulled.withColumn("d", F.to_date("ts")), ["d"], "user_id", k=8
+        ).collect()
+    }
+    assert "None" in expected  # the NULL-day group exists and is non-trivial
+
+    src = str(tmp_path / "src")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    nulled.where(F.col("event_id") <= mid).coalesce(1).write.parquet(f"{src}/c0")
+    nulled.where(F.col("event_id") > mid).coalesce(1).write.parquet(f"{src}/c1")
+    stream = (
+        spark.readStream.schema(nulled.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/c*")
+    )
+    q = theta_rollup_sink(stream, str(tmp_path / "t"), str(tmp_path / "ck"), k=8)
+    q.awaitTermination(180)
+    got = {
+        str(r.d): (tuple(r.theta_hashes), r.theta)
+        for r in spark.read.parquet(str(tmp_path / "t")).collect()
+    }
+    assert got == expected
