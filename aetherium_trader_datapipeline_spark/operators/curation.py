@@ -185,23 +185,32 @@ def kmeans_assign(
     Distances are sequential left-folds over the array (same accumulation
     order as a scalar SQL engine), ties broken by smallest centroid id.
     """
+    # r13: the expression is built as ONE SQL string per column instead of
+    # k×dim py4j-constructed Column objects — semantically identical
+    # (repr() of a Python float is the shortest round-tripping decimal, and
+    # Spark parses double literals with the same round-to-nearest rule, so
+    # every literal is bit-identical), but plan construction drops from
+    # ~0.28 s to ~0.01 s per Lloyd iteration (measured sf0.1; the py4j
+    # round-trips per literal were the cost, guide §1.2 "per-task work"
+    # applied to the driver). Fold shape is unchanged: sequential left-fold
+    # per centroid, ties broken by smallest centroid id via array_position.
+    def _lit(x: float) -> str:
+        v = float(x)
+        return f"CAST('{v!r}' AS DOUBLE)" if v != v else f"{v!r}D"
+
     dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in c]),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        f"aggregate(zip_with({vec_col}, array({', '.join(_lit(x) for x in c)}), "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
         for _, c in centroids
     ]
-    darr = F.array(*dists)
-    cids = F.array(*[F.lit(int(cid)) for cid, _ in centroids])
-    pos = F.array_position(darr, F.array_min(darr))
-    return df.withColumn("dist", F.array_min(darr)).withColumn(
-        "cluster", F.element_at(cids, pos.cast("int"))
+    darr = f"array({', '.join(dists)})"
+    # bare int literals: IntegerType, matching the previous F.lit(int(cid))
+    cids = f"array({', '.join(str(int(cid)) for cid, _ in centroids)})"
+    return df.withColumn("dist", F.expr(f"array_min({darr})")).withColumn(
+        "cluster",
+        F.expr(
+            f"element_at({cids}, cast(array_position({darr}, array_min({darr})) as int))"
+        ),
     )
 
 
@@ -224,7 +233,11 @@ def kmeans_embeddings(
     e = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).localCheckpoint()  # cast once; iterations re-read columnar cache, not parquet
+    ).localCheckpoint(eager=False)
+    # cast once; iterations re-read the materialized RDD, not parquet.
+    # Lazy checkpoint (r13): the init collect below is the first action, so
+    # materialization piggybacks on it — one driver job instead of two
+    # (guide §1.2: fewer sequential jobs is the lever for iterative loops).
     init = e.orderBy("id").limit(k).collect()
     cents = [(i, list(r["v"])) for i, r in enumerate(init)]
     for _ in range(iters):

@@ -249,6 +249,82 @@ def avg_cost_pnl(
     return parts.mapInPandas(fold_partition, schema=out_schema)
 
 
+def avg_cost_pnl_grouped(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    side_col: str = "side",
+    qty_col: str = "qty",
+    price_col: str = "p",
+) -> DataFrame:
+    """Average-cost book state per key via a JVM array fold (r13).
+
+    Same recurrence and output as :func:`avg_cost_pnl` (one row per key:
+    n_trades, pos, cost, realized), but the fold runs as collect_list →
+    array_sort → ``aggregate()`` entirely inside the JVM: no Python
+    workers, no Arrow boundary (optimization guide §4.1 — prefer
+    built-ins over any Python path).  The lambda mirrors :func:`pnl_step`
+    term for term (``q*p``; ``avg = cost/pos``; ``qe*(p - avg)``;
+    ``cost - qe*avg``) and double arithmetic is IEEE-754 binary64 in both
+    runtimes, so results are bit-identical to the mapInPandas fold and to
+    the x213 recursive-CTE oracle (equality regression-pinned in
+    tests/test_operators.py).
+
+    Trade-off vs the streaming fold: one key's full history materializes
+    as a single in-memory array inside the aggregation, where the fold
+    streams it in O(1) state.  Both shapes pin a key to one task; use
+    THIS form when per-key histories are task-memory-bounded (trades per
+    instrument), the fold when a single key's history is not.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    hist = F.array_sort(
+        F.collect_list(F.struct(*order, side_col, qty_col, price_col))
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(0).cast("bigint").alias("pos"),
+        F.lit(0.0).alias("cost"),
+        F.lit(0.0).alias("realized"),
+    )
+
+    def step(acc, t):
+        buy = t[side_col] > 0
+        open_pos = acc["pos"] > 0
+        qe = F.least(t[qty_col], acc["pos"])
+        avg = acc["cost"] / acc["pos"]
+        return F.struct(
+            (acc["n"] + F.lit(1).cast("bigint")).alias("n"),
+            F.when(buy, acc["pos"] + t[qty_col])
+            .when(open_pos, acc["pos"] - qe)
+            .otherwise(acc["pos"])
+            .alias("pos"),
+            F.when(buy, acc["cost"] + t[qty_col] * t[price_col])
+            .when(open_pos, acc["cost"] - qe * avg)
+            .otherwise(acc["cost"])
+            .alias("cost"),
+            F.when((~buy) & open_pos, acc["realized"] + qe * (t[price_col] - avg))
+            .otherwise(acc["realized"])
+            .alias("realized"),
+        )
+
+    st = F.aggregate(hist, init, step)
+    return (
+        df.groupBy(*keys)
+        .agg(st.alias("__st"))
+        .select(
+            *keys,
+            F.col("__st.n").alias("n_trades"),
+            F.col("__st.pos").alias("pos"),
+            F.col("__st.cost").alias("cost"),
+            F.col("__st.realized").alias("realized"),
+        )
+    )
+
+
 def holt_linear(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -44,16 +44,35 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 register_sql(
     "x156_bigram_lm_score",
     headline=True,
+    # r13: the Spark side builds bigram occurrences by exploding adjacent
+    # (ws[i], ws[i+1]) pairs straight off the split array instead of the
+    # positional self-join `toks a JOIN toks b ON a.doc_id = b.doc_id AND
+    # b.idx = a.idx + 1` (kept as the DuckDB oracle): CTE inlining ran the
+    # explode subtree once per reference and the self-join added a
+    # doc_id-keyed exchange pair — the plan showed 6 parquet scans and 10
+    # exchanges (guide §2.3 "shuffle fewer bytes" / §2.4). vocab also
+    # derives from uni (COUNT of its rows == COUNT(DISTINCT w)) instead of
+    # a third distinct-aggregate over the token stream. After: 4 scans
+    # (occ ×2, uni ×2 — the two remaining multi-reference CTEs), 7
+    # exchanges, no self-join. Same multiset of (doc_id, w1, w2): split
+    # yields at least one element, the size(ws) >= 2 guard excludes
+    # bigram-less docs (and keeps sequence() ascending), and element_at is
+    # 1-based over the same array posexplode indexed 0-based.
     spark_sql="""
     WITH toks AS (
-      SELECT doc_id, idx, w FROM documents
-      LATERAL VIEW posexplode(split(lower(text), ' ')) t AS idx, w),
+      SELECT doc_id, w FROM documents
+      LATERAL VIEW explode(split(lower(text), ' ')) t AS w),
     occ AS (
-      SELECT a.doc_id, a.w AS w1, b.w AS w2
-      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1),
-    bc AS (SELECT w1, w2, COUNT(*) AS c FROM occ GROUP BY w1, w2),
+      SELECT doc_id, b.w1, b.w2 FROM (
+        SELECT doc_id, split(lower(text), ' ') AS ws
+        FROM documents WHERE size(split(lower(text), ' ')) >= 2) d
+      LATERAL VIEW explode(
+        transform(sequence(1, size(ws) - 1),
+                  i -> named_struct('w1', element_at(ws, i),
+                                    'w2', element_at(ws, i + 1)))) t AS b),
     uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
-    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM toks),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM occ GROUP BY w1, w2),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
     scored AS (
       SELECT occ.doc_id,
              CAST(log2(CAST(bc.c + 1 AS DOUBLE) / (uni.c + vocab.v))
@@ -105,26 +124,31 @@ register_sql(
 register_sql(
     "x157_dup_span_fraction",
     headline=True,
+    # r13: the Spark side replaces oc's GROUP BY h re-aggregation + join
+    # (kept as the DuckDB oracle shape) with COUNT(*) OVER (PARTITION BY h)
+    # on the oc grid itself: CTE inlining computed the whole
+    # scan→explode→groupBy(doc,h) subtree twice (plan: 2 parquet scans, 5
+    # exchanges; guide §2.4). The window input is the (doc, shingle-hash)
+    # grid — one row per doc per distinct shingle — so a partition is
+    # exactly the doc-frequency of one shingle, the same cardinality the
+    # GROUP BY h aggregate and its join key carried. After: 1 scan, 3
+    # exchanges. The 8-word join string is still built once and never
+    # shuffled (64-bit key only; collision odds ~1e-8 at 1M spans).
     spark_sql="""
     WITH sh AS (
       SELECT doc_id, xxhash64(array_join(slice(ws, i, 8), ' ')) AS h
       FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents)
       LATERAL VIEW explode(sequence(1, size(ws) - 7)) t AS i
       WHERE size(ws) >= 8),
-    -- per-(doc, shingle-hash) occurrence counts first: cnt then derives
-    -- from oc under the SAME hash partitioning, so the oc⨝cnt join is
-    -- co-partitioned (zero extra exchange, exchange reuse for oc), and the
-    -- 8-word join string is built once and never shuffled (64-bit key
-    -- only; collision odds ~1e-8 at 1M spans)
     oc AS (SELECT doc_id, h, COUNT(*) AS n_occ FROM sh GROUP BY doc_id, h),
-    cnt AS (SELECT h, COUNT(*) AS nd FROM oc GROUP BY h)
-    SELECT oc.doc_id,
+    wc AS (SELECT doc_id, n_occ, COUNT(*) OVER (PARTITION BY h) AS nd FROM oc)
+    SELECT doc_id,
            SUM(n_occ) AS n_spans,
-           SUM(CASE WHEN cnt.nd > 1 THEN n_occ ELSE 0 END) AS n_dup_spans,
-           ROUND(SUM(CASE WHEN cnt.nd > 1 THEN n_occ ELSE 0 END)
+           SUM(CASE WHEN nd > 1 THEN n_occ ELSE 0 END) AS n_dup_spans,
+           ROUND(SUM(CASE WHEN nd > 1 THEN n_occ ELSE 0 END)
                  / CAST(SUM(n_occ) AS DOUBLE), 4) AS dup_frac
-    FROM oc JOIN cnt ON oc.h = cnt.h
-    GROUP BY oc.doc_id ORDER BY dup_frac DESC, doc_id LIMIT 300
+    FROM wc
+    GROUP BY doc_id ORDER BY dup_frac DESC, doc_id LIMIT 300
     """,
     duckdb_sql="""
     WITH sh AS (

@@ -61,32 +61,49 @@ register_sql(
 # -- x163: ordered conversion funnel ----------------------------------------
 #
 # Stage k is "first event of type k strictly after the user's stage-k−1
-# time" — three groupBys on user_id (same shuffle key, so AQE coalesces
-# into one exchange chain) and two broadcast-sized joins. Rates are
-# per-row doubles over exact counts.
+# time". r13: the Spark side computes all three stage times in ONE pass —
+# one scan with the 3-type IN filter pushed down, one exchange on user_id,
+# three chained MIN-over-user-partition windows (t1's CASE reads t0, t2's
+# reads t1; `ts > NULL` is NULL so a missing earlier stage nulls the later
+# ones exactly like the inner joins did), then a per-user collapse and one
+# scalar aggregate. The original CTE-chained join form (kept as the DuckDB
+# oracle) re-ran the events scan + v/c subtrees per reference — the plan
+# showed 6 parquet scans and 11 exchanges (guide §2.4); after: 1 scan,
+# 2 exchanges. COUNT(t_k) counts exactly the v/c/p user sets: t0 non-null
+# iff the user has a view; t1 non-null iff some click lands strictly after
+# t0; t2 likewise after t1.
 
 register_sql(
     "x163_event_funnel",
     headline=True,
     spark_sql="""
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS t0 FROM events
-      WHERE event_type = 'view' GROUP BY user_id),
-    c AS (
-      SELECT e.user_id, MIN(e.ts) AS t1
-      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
-      WHERE e.event_type = 'click' GROUP BY e.user_id),
-    p AS (
-      SELECT e.user_id, MIN(e.ts) AS t2
-      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-    SELECT COUNT(v.user_id) AS n_view,
-           COUNT(c.user_id) AS n_click,
-           COUNT(p.user_id) AS n_purchase,
-           ROUND(COUNT(c.user_id) / CAST(COUNT(v.user_id) AS DOUBLE), 4) AS view_to_click,
-           ROUND(COUNT(p.user_id) / CAST(COUNT(v.user_id) AS DOUBLE), 4) AS view_to_purchase
-    FROM v LEFT JOIN c ON v.user_id = c.user_id
-           LEFT JOIN p ON v.user_id = p.user_id
+    WITH e AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    s0 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t0
+      FROM e),
+    s1 AS (
+      SELECT user_id, event_type, ts, t0,
+             MIN(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM s0),
+    s2 AS (
+      SELECT user_id, t0, t1,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM s1),
+    u AS (
+      SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(t2) AS t2
+      FROM s2 GROUP BY user_id)
+    SELECT COUNT(t0) AS n_view,
+           COUNT(t1) AS n_click,
+           COUNT(t2) AS n_purchase,
+           ROUND(COUNT(t1) / CAST(COUNT(t0) AS DOUBLE), 4) AS view_to_click,
+           ROUND(COUNT(t2) / CAST(COUNT(t0) AS DOUBLE), 4) AS view_to_purchase
+    FROM u
     """,
     duckdb_sql="""
     WITH v AS (

@@ -116,16 +116,31 @@ def x172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aetherium_trader_datapipeline_spark.operators.graph import pagerank_fixed
 
     t = load_tables(spark, sf_dir)
-    e1 = (
+    # r13: symmetrize BEFORE the one distinct instead of
+    # distinct → union(reversed) — the union form re-ran the
+    # orders⋈lineitem join per branch and paid three dedup shuffles
+    # (e1.distinct twice via CTE-style duplication + pagerank's own
+    # .distinct); exploding both directions off one join pass and letting
+    # pagerank_fixed's single .distinct() dedup yields the identical edge
+    # SET (dedup after symmetrize ≡ symmetrize after dedup) with one join
+    # and one shuffle (guide §2.4). Plan: 2 joins + 3 exchanges → 1 join +
+    # 1 exchange before the checkpoint.
+    pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
-        .distinct()
     )
-    edges = e1.union(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     pr = pagerank_fixed(edges, iterations=_PR_ITERS, scale=_PR_SCALE, symmetric=True)
     return (
         pr.select("node", F.col("p").alias("pr"))

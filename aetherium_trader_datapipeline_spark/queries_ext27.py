@@ -88,9 +88,18 @@ register_sql(
 # Hour key is integer epoch//3600 (dialects differ only in the epoch
 # accessor). Per-hour last price picks MAX_BY(value, event_id) — a total
 # order, so deterministic. The market return is the cross-sectional mean,
-# re-quantized to DECIMAL(18,7) so the covariance sums stay exact. Scale:
-# mkt is |hours| rows → broadcast side of the join; everything else is one
-# hash partition by instrument.
+# re-quantized to DECIMAL(18,7) so the covariance sums stay exact.
+#
+# r13: the Spark side attaches the market mean with a window PARTITION BY h
+# over the non-null returns instead of the original GROUP BY h + self-join
+# (kept as the DuckDB oracle): CTE inlining re-ran the whole
+# scan→groupBy(user,h)→LAG subtree for the mkt branch (plan showed 2 parquet
+# scans + 2 Window passes; guide §2.4 "remove shuffles outright"). SUM(r)
+# and COUNT(*) over the hour partition equal mkt's aggregates exactly (both
+# run over the same non-null row set, DECIMAL sums are order-free), and the
+# inner join on h matched every non-null row, so the row set is unchanged.
+# Partition size = instruments per hour — the same bound the old GROUP BY h
+# had. Plan after: 1 scan, 4 exchanges (was 2 scans, 6 exchanges).
 
 _X184_FMT = """
     WITH hp AS (
@@ -122,9 +131,38 @@ _X184_FMT = """
     ORDER BY user_id LIMIT 200
 """
 
+_X184_SPARK = """
+    WITH hp AS (
+      SELECT user_id, {hourkey} AS h, MAX_BY(value, event_id) AS px
+      FROM events WHERE value > 0 GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, h,
+             CAST(ROUND(px / NULLIF(LAG(px) OVER (PARTITION BY user_id ORDER BY h), 0) - 1, 7)
+                  AS DECIMAL(19,7)) AS r
+      FROM hp
+    ),
+    j AS (
+      SELECT user_id, r,
+             CAST(ROUND(CAST(SUM(r) OVER (PARTITION BY h) AS DOUBLE)
+                        / COUNT(*) OVER (PARTITION BY h), 7) AS DECIMAL(19,7)) AS mr
+      FROM r WHERE r IS NOT NULL
+    ),
+    a AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r * mr) AS DOUBLE) AS sxy,
+             CAST(SUM(r) AS DOUBLE) AS sx, CAST(SUM(mr) AS DOUBLE) AS sy,
+             CAST(SUM(mr * mr) AS DOUBLE) AS syy
+      FROM j GROUP BY user_id
+    )
+    SELECT user_id, n, ROUND((n * sxy - sx * sy) / (n * syy - sy * sy), 6) AS beta
+    FROM a WHERE n > 10
+    ORDER BY user_id LIMIT 200
+"""
+
 register_sql(
     "x184_beta",
-    spark_sql=_X184_FMT.format(hourkey="CAST(FLOOR(unix_seconds(ts) / 3600) AS BIGINT)"),
+    spark_sql=_X184_SPARK.format(hourkey="CAST(FLOOR(unix_seconds(ts) / 3600) AS BIGINT)"),
     duckdb_sql=_X184_FMT.format(hourkey="CAST(FLOOR(epoch(ts) / 3600) AS BIGINT)"),
     headline=True,
     tags=("finance", "join"),

@@ -74,7 +74,12 @@ _X213_ORACLE = """
     tags=("finance", "pandas", "stateful"),
 )
 def x213_avg_cost_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from aetherium_trader_datapipeline_spark.operators.timeseries import avg_cost_pnl
+    # r13: JVM array-fold form — same recurrence, no Python boundary
+    # (guide §4.1); bit-equality vs the mapInPandas fold is pinned in
+    # tests/test_operators.py::test_avg_cost_pnl_grouped_matches_fold.
+    from aetherium_trader_datapipeline_spark.operators.timeseries import (
+        avg_cost_pnl_grouped,
+    )
 
     t = load_tables(spark, sf_dir)
     trades = (
@@ -93,7 +98,7 @@ def x213_avg_cost_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("p"),
         )
     )
-    out = avg_cost_pnl(trades, ["user_id"], ["ts", "event_id"])
+    out = avg_cost_pnl_grouped(trades, ["user_id"], ["ts", "event_id"])
     bp = lambda c: F.floor(F.lit(1e4) * F.col(c)).cast("bigint")  # noqa: E731
     return out.select(
         "user_id",

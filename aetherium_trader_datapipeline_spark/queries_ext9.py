@@ -163,4 +163,42 @@ WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
       AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
 GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
 """
-register_sql("x110_tpch_q21", spark_sql=_Q21, duckdb_sql=_Q21, headline=True, tags=("tpch", "subquery", "exists"))
+# r13: the Spark side runs the classic decorrelated Q21 — ONE lineitem scan
+# grouped by order instead of l1 + a semi-join (EXISTS l2) + an anti-join
+# (NOT EXISTS l3), each of which re-scanned and re-shuffled lineitem (the
+# plan showed 3 lineitem scans; guide §3.3 / §2.4). Equivalence: an l1 row
+# qualifies iff it is late, its order is 'F' and multi-supplier
+# (n_supp > 1 ⟺ EXISTS l2), and every late row of the order shares l1's
+# supplier (n_late_supp = 1, which given late(l1) forces
+# late_supp = l1.l_suppkey ⟺ NOT EXISTS l3). The qualifying rows of an
+# order are then exactly its n_late late rows, all owned by late_supp, so
+# COUNT(*) per supplier == SUM(n_late). collect_set sizes replace
+# COUNT(DISTINCT) to keep the aggregate EXPAND-free; the nation filter
+# applies only to the outer supplier, as in the original. The DuckDB oracle
+# keeps the textbook EXISTS form.
+_Q21_SPARK = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+g AS (
+  SELECT l_orderkey,
+         size(collect_set(l_suppkey)) AS n_supp,
+         size(collect_set(CASE WHEN late = 1 THEN l_suppkey END)) AS n_late_supp,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp,
+         SUM(late) AS n_late
+  FROM lo GROUP BY l_orderkey
+),
+q AS (
+  SELECT late_supp, n_late FROM g WHERE n_supp > 1 AND n_late_supp = 1
+)
+SELECT s_name, CAST(SUM(n_late) AS BIGINT) AS numwait
+FROM supplier
+JOIN q ON s_suppkey = q.late_supp
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+register_sql("x110_tpch_q21", spark_sql=_Q21_SPARK, duckdb_sql=_Q21, headline=True, tags=("tpch", "subquery", "exists"))

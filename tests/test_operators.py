@@ -521,6 +521,37 @@ def test_avg_cost_pnl_exact_across_tiny_arrow_batches(spark):
         assert r["cost"] == cost and r["realized"] == realized
 
 
+def test_avg_cost_pnl_grouped_matches_fold(spark):
+    """The r13 JVM array-fold form must be BIT-identical to the
+    mapInPandas fold (same recurrence, same IEEE op order) — the x213
+    hash contract. Includes sells against a flat book and qty > pos."""
+    from aetherium_trader_datapipeline_spark.operators.timeseries import (
+        avg_cost_pnl,
+        avg_cost_pnl_grouped,
+    )
+
+    rows = []
+    for k in range(5):
+        for i in range(80):
+            side = 1 if (k * 13 + i * 5) % 4 else -1
+            rows.append(
+                (k, i, side, 1 + (i * 11) % 5, float((k * 37 + i * 17) % 97 + 1) / 7.0)
+            )
+    # key 9: opens with sells (flat-book no-ops)
+    rows += [(9, 0, -1, 3, 5.0), (9, 1, -1, 1, 4.0), (9, 2, 1, 2, 3.0), (9, 3, -1, 5, 6.0)]
+    df = spark.createDataFrame(rows, "k int, seq int, side int, qty bigint, p double")
+
+    a = {
+        r["k"]: (r["n_trades"], r["pos"], r["cost"], r["realized"])
+        for r in avg_cost_pnl(df, ["k"], ["seq"]).collect()
+    }
+    b = {
+        r["k"]: (r["n_trades"], r["pos"], r["cost"], r["realized"])
+        for r in avg_cost_pnl_grouped(df, ["k"], ["seq"]).collect()
+    }
+    assert a == b  # exact float equality — no tolerance
+
+
 def test_cusum_flags_exact_across_tiny_arrow_batches(spark):
     """CUSUM target latch + side states must span Arrow batch boundaries;
     alarms equal a plain Python replay of cusum_step."""
