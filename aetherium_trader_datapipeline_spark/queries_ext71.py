@@ -127,58 +127,64 @@ def x307_exact_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     load_tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents")
-    # Tokenize ONCE and checkpoint: CTE inlining would re-run the
-    # tokenize + DISTINCT shuffle for every downstream reference
-    # (setsig, toks, vocab — measured 3.45 s of a 4 s total before this
-    # split).  The bigram generator indexes the split array with
-    # element_at (O(1)) instead of slicing per position (the per-i slice
-    # is O(len) each → O(len²) per doc).
-    toks0 = spark.sql(
+    # r13 restructure (guide §2.4 — remove shuffles outright): the old
+    # pipeline materialized a DISTINCT (doc_id, w) token table, derived
+    # per-doc signatures in a SECOND doc_id-keyed grouping, and joined the
+    # token stream back to the reps on doc_id — three full passes of the
+    # token stream through exchanges plus a dedicated toks0 checkpoint.
+    # collect_set dedups while it groups, so ONE doc_id grouping now yields
+    # each doc's sorted token-set array directly; the signature groupBy
+    # carries the (deduped) arrays and keeps one representative set via
+    # min_by (all sets in a sig group are identical, min_by just makes the
+    # pick total); and only the REPS' tokens are re-exploded for the
+    # dictionary encode. The toks0 checkpoint and the doc_id join are gone
+    # (plan: 2 checkpoints + 6 token-stream exchanges → 1 checkpoint + 2
+    # token-stream + 3 rep-sized exchanges); wids are unchanged
+    # (ROW_NUMBER ORDER BY w over the same distinct rep-token set), so the
+    # kernel sees byte-identical input. The bigram generator indexes the
+    # split array with element_at (O(1) per position, not O(len) slices).
+    reps = spark.sql(
         """
-        SELECT DISTINCT doc_id, w
-        FROM (
-          SELECT doc_id, split(lower(text), ' ') AS ws
-          FROM documents WHERE size(split(lower(text), ' ')) >= 2
-        ) d
-        LATERAL VIEW explode(
-          transform(sequence(1, size(ws) - 1),
-                    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
-        ) t AS w
-        WHERE w <> ''
+        WITH d AS (
+          SELECT doc_id, array_sort(collect_set(w)) AS tw
+          FROM (
+            SELECT doc_id, split(lower(text), ' ') AS ws
+            FROM documents WHERE size(split(lower(text), ' ')) >= 2
+          ) s
+          LATERAL VIEW explode(
+            transform(sequence(1, size(ws) - 1),
+                      i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+          ) t AS w
+          WHERE w <> ''
+          GROUP BY doc_id
+        )
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS members,
+               min_by(tw, doc_id) AS tw
+        FROM d GROUP BY md5(array_join(tw, ' '))
         """
-    ).localCheckpoint()
-    toks0.createOrReplaceTempView("x307_toks0")
-    # Dedup-collapse to reps, dictionary-encode bigrams, pack each rep's
-    # token-id set into an array. localCheckpoint because the frame is
-    # read 4x downstream (the kernel's triangle union reads it twice,
-    # the two members joins once each).
+    ).localCheckpoint()  # read 3x: rep_toks below + the two members joins
+    reps.createOrReplaceTempView("x307_reps")
+    # Dictionary-encode the reps' bigrams, pack each rep's token-id set
+    # into an array. localCheckpoint because the kernel's triangle union
+    # reads the frame twice.
     rep_toks = spark.sql(
         """
-        WITH toks0 AS (SELECT doc_id, w FROM x307_toks0),
-        setsig AS (
-          SELECT doc_id, md5(array_join(array_sort(collect_set(w)), ' ')) AS sig
-          FROM toks0 GROUP BY doc_id
-        ),
-        reps AS (
-          SELECT MIN(doc_id) AS doc_id, COUNT(*) AS members
-          FROM setsig GROUP BY sig
-        ),
-        toks AS (
-          -- SHUFFLE_HASH pinned: toks0 is checkpointed (no stats), and
-          -- reps is data-proportional (one row per distinct token SET),
-          -- so letting the planner broadcast it OOMs the driver at the
-          -- 100x replica — same failure mode x331 hit (commit fb061da).
-          SELECT /*+ SHUFFLE_HASH(r) */ t.doc_id, r.members, t.w
-          FROM toks0 t JOIN reps r ON t.doc_id = r.doc_id
+        WITH rt AS (
+          SELECT doc_id, members, w FROM x307_reps
+          LATERAL VIEW explode(tw) t AS w
         ),
         vocab AS (
           SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS wid
-          FROM (SELECT DISTINCT w FROM toks)
+          FROM (SELECT DISTINCT w FROM rt)
         )
+        -- SHUFFLE_HASH pinned: rt is checkpoint-derived (no stats) and
+        -- vocab is data-proportional (one row per distinct rep bigram),
+        -- so letting the planner broadcast it OOMs the driver at the
+        -- 100x replica — same failure mode x331 hit (commit fb061da).
         SELECT /*+ SHUFFLE_HASH(v) */
-               t.doc_id, t.members, collect_list(v.wid) AS toks
-        FROM toks t JOIN vocab v ON t.w = v.w
-        GROUP BY t.doc_id, t.members
+               rt.doc_id, rt.members, collect_list(v.wid) AS toks
+        FROM rt JOIN vocab v ON rt.w = v.w
+        GROUP BY rt.doc_id, rt.members
         """
     ).localCheckpoint()
     pairs = exact_jaccard_pairs(
@@ -187,14 +193,15 @@ def x307_exact_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Members joins: no forced broadcast — reps is data-proportional and
     # pairs is the thresholded survivor set; both are stats-less here
     # (checkpoint / UDF outputs), so AQE's runtime sizes pick the
-    # broadcast side correctly at every SF.
-    reps = rep_toks.select("doc_id", "members")
+    # broadcast side correctly at every SF. They read the checkpointed
+    # reps frame (not rep_toks), so no token-id arrays flow through them.
+    memb = reps.select("doc_id", "members")
     return (
         pairs.join(
-            reps.select(F.col("doc_id").alias("a"),
+            memb.select(F.col("doc_id").alias("a"),
                         F.col("members").alias("m1")), "a")
         .join(
-            reps.select(F.col("doc_id").alias("b"),
+            memb.select(F.col("doc_id").alias("b"),
                         F.col("members").alias("m2")), "b")
         .selectExpr(
             "a AS d1",
