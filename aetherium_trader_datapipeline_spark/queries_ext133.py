@@ -126,26 +126,31 @@ def x471_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cp").cast("long").alias("cp")
     )
     cells.createOrReplaceTempView("x471_cells")
+    # r13: the old c1_counts/totals CTEs referenced x471_cells three times
+    # (p, c1_counts, totals) and CTE inlining re-ran the whole
+    # scan -> mapInPandas -> groupBy subtree per reference — the plan
+    # showed 3 MapInPandas nodes and 9 exchanges (guide §2.4, §4).  The
+    # denominators are now windows over the tiny cells grid (one row per
+    # distinct (source, pair)): SUM(cp) OVER (source, c1) and SUM(cp)
+    # OVER (source) are the SAME bigint sums the grouped CTEs produced
+    # (integer sums are order-free), so every h_fp term sees identical
+    # cp/n/c1n and the 1e12-quantized result is unchanged.  After: 1
+    # MapInPandas, 4 exchanges — all downstream traffic is the cells grid.
     return spark.sql(
         """
-        WITH c1_counts AS (
-          SELECT source, pair_code DIV 1114112 AS c1,
-                 CAST(SUM(cp) AS BIGINT) AS c1n
-          FROM x471_cells GROUP BY source, pair_code DIV 1114112
-        ),
-        totals AS (
-          SELECT source, CAST(SUM(cp) AS BIGINT) AS n
-          FROM x471_cells GROUP BY source
+        WITH w AS (
+          SELECT source, cp,
+                 CAST(SUM(cp) OVER (PARTITION BY source, pair_code DIV 1114112)
+                      AS BIGINT) AS c1n,
+                 CAST(SUM(cp) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM x471_cells
         ),
         terms AS (
-          SELECT p.source,
-                 CAST(FLOOR(-(CAST(p.cp AS DOUBLE) / t.n)
-                            * LN(CAST(p.cp AS DOUBLE) / c.c1n) * 1e12)
+          SELECT source,
+                 CAST(FLOOR(-(CAST(cp AS DOUBLE) / n)
+                            * LN(CAST(cp AS DOUBLE) / c1n) * 1e12)
                       AS BIGINT) AS h_fp
-          FROM x471_cells p
-          JOIN c1_counts c
-            ON p.source = c.source AND p.pair_code DIV 1114112 = c.c1
-          JOIN totals t ON p.source = t.source
+          FROM w
         )
         SELECT source,
                ROUND(CAST(SUM(h_fp) AS DOUBLE) / 1e12, 6)

@@ -47,10 +47,51 @@ _DUCK = {
 # no matter the accumulation order — the whole estimate is deterministic.
 
 
-def _x187(d: dict) -> str:
+def _x187(d: dict, fused: bool = False) -> str:
     hv = d["hex8"].format(x="w")
     pat = d["idiv"].format(a="hv", b="64")
     shl = d["shl1"].format(n="m")
+    if fused:
+        # r13 Spark-side shape (oracle keeps the textbook two-pass form):
+        # `words` was referenced twice — once through h→reg→z and once by
+        # `exact` — and CTE inlining re-ran the explode+DISTINCT subtree
+        # per reference (plan: 2 parquet scans, 7 exchanges; guide §2.4).
+        # Every distinct word lands in exactly ONE register (hv % 64), so
+        # exact_distinct ≡ SUM of per-register word counts — the exact
+        # count rides the same aggregation chain and the join disappears.
+        # Integer sums are order-free, z terms are untouched, so the
+        # result is bit-identical. After: 1 scan, 4 exchanges.
+        return f"""
+    WITH words AS (
+      SELECT lang, w FROM ({d['tok']}) t
+      WHERE w IS NOT NULL AND w <> '' GROUP BY lang, w
+    ),
+    h AS (SELECT lang, {hv} AS hv FROM words),
+    reg AS (
+      SELECT lang, hv % 64 AS idx,
+             MAX(CASE WHEN {pat} = 0 THEN 27
+                      ELSE 26 - CAST(FLOOR(LOG2(CAST({pat} AS DOUBLE))) AS INT)
+                 END) AS m,
+             CAST(COUNT(*) AS BIGINT) AS nw
+      FROM h GROUP BY lang, hv % 64
+    ),
+    est AS (
+      SELECT lang,
+             CAST(SUM(nw) AS BIGINT) AS exact_distinct,
+             SUM(1.0 / {shl}) + (64 - COUNT(*)) AS zsum,
+             64 - CAST(COUNT(*) AS BIGINT) AS zeros
+      FROM reg GROUP BY lang
+    )
+    SELECT lang, exact_distinct,
+           ROUND(CASE WHEN (0.709 * 64 * 64 / zsum) <= 160 AND zeros > 0
+                      THEN 64 * LN(64.0 / zeros)
+                      ELSE 0.709 * 64 * 64 / zsum END, 2) AS hll_estimate,
+           ROUND(ABS((CASE WHEN (0.709 * 64 * 64 / zsum) <= 160 AND zeros > 0
+                           THEN 64 * LN(64.0 / zeros)
+                           ELSE 0.709 * 64 * 64 / zsum END) - exact_distinct)
+                 / exact_distinct, 4) AS rel_err
+    FROM est ORDER BY lang
+"""
     return f"""
     WITH words AS (
       SELECT DISTINCT lang, w FROM ({d['tok']}) t WHERE w IS NOT NULL AND w <> ''
@@ -90,7 +131,7 @@ def _x187(d: dict) -> str:
 
 register_sql(
     "x187_hll_portable",
-    spark_sql=_x187(_SPARK),
+    spark_sql=_x187(_SPARK, fused=True),
     duckdb_sql=_x187(_DUCK),
     headline=True,
     tags=("sketch", "llm"),
