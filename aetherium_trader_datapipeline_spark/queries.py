@@ -1121,6 +1121,31 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x434_sortino_calmar", "x435_obv_adl",
         "x436_tokenizer_fertility", "x437_shuffle_cost_model",
         "x438_bloom_size_plan", "x439_mcv_stats",
+        "x440_functional_dependency", "x441_ab_power_plan",
+        "x442_vocab_coverage_curve", "x443_pairs_backtest",
+        "x444_embedding_isotropy", "x445_png_palette_stats",
+        "x446_png_interlaced_stats", "x447_rrf_fusion",
+        "x448_simpson_paradox", "x449_james_stein",
+        "x450_blocking_quality", "x451_bcubed_eval",
+        "x452_dp_noisy_counts", "x453_bh_fdr",
+        "x454_tost_equivalence", "x455_dirichlet_qlm",
+        "x456_stratified_att", "x457_propagator_decay",
+        "x458_purged_walkforward", "x459_hawkes_branching",
+        "x460_epps_effect", "x461_signature_plot",
+        "x462_almgren_chriss", "x463_kelly_fraction",
+        "x464_risk_parity", "x465_langid_confusion",
+        "x466_watermark_plan", "x467_backfill_eta",
+        "x468_black_scholes_greeks", "x469_harmonic_profile",
+        "x470_selectivity_error", "x471_char_bigram_entropy",
+        "x472_pca2d_closed_form", "x473_error_budget_burn",
+        "x474_mcnemar_paired", "x475_forecast_combination",
+        "x476_littles_law", "x477_granger_causality",
+        "x478_changepoint_binseg", "x479_pacf",
+        "x480_markov_attribution", "x481_holt_winters",
+        "x482_join_order_plan", "x483_audience_overlap",
+        "x484_croston", "x485_wilson_ci",
+        "x486_capture_recapture", "x487_ratio_metric_delta",
+        "x488_partition_granularity", "x489_topk_stability",
     }
 )
 
@@ -1133,26 +1158,24 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Round-11 window: CORRECTNESS_r10.json came back 50/50 green (x390–x439,
-    # exactly the keys the r10 full-tail pre-check replica predicted).  All
-    # 50 are absorbed into _DRIVER_VERIFIED above (derived from the actual
-    # row keys) — cumulative driver-green is now 439/575 (76.3%).  No reds,
-    # so no `front` re-run list this round: the r11 window is simply the next
-    # 50 never-verified keys in registration order (x440–x489).
+    # Round-13 absorption (the r12 TODO, executed late): the r11 AND r12
+    # driver windows both came back 50/50 green on the SAME key set
+    # (x440–x489 — the r12 round-open absorption was skipped, so the driver
+    # re-verified r11's keys; VERDICT r12 "What's wrong" #1).  All 50 are
+    # now in _DRIVER_VERIFIED above, derived from CORRECTNESS_r12.json's
+    # actual row keys (asserted identical to r11's) — cumulative
+    # driver-green is 489/575.  No reds, so no `front` list: the r13
+    # window is the next 50 never-verified oracle keys in registration
+    # order (x490–x539), leaving x540–x575 for r14.
     #
-    # ROUND-12 TODO (absorb after CORRECTNESS_r11.json lands): move the r11
-    # window's green keys into _DRIVER_VERIFIED.  Re-derive the list from
-    # CORRECTNESS_r11.json's actual row keys; any red row stays unverified
-    # and leads the r12 window via a `front` list.  136 keys remain
-    # never-verified after r10 — at 50/round the rotation closes at r13,
-    # with the local type-strict oracle gate (tests/test_queries_oracle.py,
-    # all keys every session), the r10 full-tail replica pre-check
-    # (.data/precheck_r10_full_tail.jsonl, 186/186 green at sf0.01) and the
-    # sf1 full-registry sweep (SCALE.md) as the compensating controls.
-    # Registry growth stays FROZEN at 575 (VERDICT r6 ask #4, reaffirmed
-    # every round since) — coverage crosses the 80% unfreeze bar at r11
-    # close (489/575 = 85%) if this window is clean.  Keep absorbing at
-    # round-open, every round.
+    # ROUND-14 TODO (absorb after CORRECTNESS_r13.json lands): move the
+    # r13 window's green keys into _DRIVER_VERIFIED, re-derived from the
+    # artifact's actual row keys; any red row stays unverified and leads
+    # the r14 window via a `front` list.  Compensating controls unchanged:
+    # the type-strict oracle gate (tests/test_queries_oracle.py, all keys
+    # every session), the full-tail replica prechecks (.data/), and the
+    # full-registry sweeps (SCALE.md).  KEEP ABSORBING AT ROUND-OPEN,
+    # EVERY ROUND — the r12 skip cost a full rotation round.
 
     def tier(k: str) -> int:
         if k in _DRIVER_VERIFIED:
