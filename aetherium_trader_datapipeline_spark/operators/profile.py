@@ -82,15 +82,24 @@ def _resolve_cols(df: DataFrame, cols: list[str] | None) -> list[str]:
     instead of an AnalysisException from deep inside the grid plan."""
     types = dict(df.dtypes)
     if cols is None:
-        return [c for c in df.columns if not types[c].startswith("map")]
-    for c in cols:
-        if types.get(c, "").startswith("map"):
-            raise ValueError(
-                f"column {c!r} has map type {types[c]!r} — maps are not "
-                "groupable/orderable; profile its keys or values instead "
-                "(e.g. map_keys/map_values into an array column)"
-            )
-    return list(cols)
+        resolved = [c for c in df.columns if not types[c].startswith("map")]
+    else:
+        for c in cols:
+            if types.get(c, "").startswith("map"):
+                raise ValueError(
+                    f"column {c!r} has map type {types[c]!r} — maps are not "
+                    "groupable/orderable; profile its keys or values instead "
+                    "(e.g. map_keys/map_values into an array column)"
+                )
+        resolved = list(cols)
+    if not resolved:
+        # cols=[] or an all-map frame would otherwise surface as an
+        # opaque "reduce() of empty iterable" TypeError (ADVICE r12)
+        raise ValueError(
+            "no profilable columns: the resolved column list is empty "
+            "(cols=[] or every column is map-typed)"
+        )
+    return resolved
 
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -477,8 +477,14 @@ def dd_sketch(
     bucket = F.when(
         v != 0, F.ceil(F.log(F.abs(v)) / F.lit(ln_g)).cast("int")
     ).otherwise(F.lit(0))
+    # finite values only: log(inf) saturates and the cast('int') fails
+    # the whole job under ANSI (the repo default) on a single infinite
+    # value — with ANSI off it would silently land in one overflow
+    # bucket (ADVICE r12).  Same "present finite values" contract as the
+    # NULL/NaN exclusions above.
+    inf = float("inf")
     return (
-        df.where(v.isNotNull() & ~F.isnan(v))
+        df.where(v.isNotNull() & ~F.isnan(v) & (v != inf) & (v != -inf))
         .groupBy(*group_cols, kind.alias("dd_kind"), bucket.alias("dd_bucket"))
         .agg(F.count(F.lit(1)).alias("dd_count"))
         .withColumn("dd_alpha", F.lit(float(alpha)))
@@ -505,19 +511,30 @@ def dd_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         F.min("dd_alpha").alias("__amin"),
         F.max("dd_alpha").alias("__amax"),
     )
-    return merged.crossJoin(F.broadcast(alphas)).withColumn(
-        "dd_alpha",
-        F.when(F.col("__na") <= 1, F.col("__amin")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("dd_merge: mixed alphas "),
-                    F.col("__amin").cast("string"),
-                    F.lit(" vs "),
-                    F.col("__amax").cast("string"),
-                )
-            ).cast("double")
-        ),
-    ).drop("__na", "__amin", "__amax")
+    # The guard rides dd_count, not dd_alpha: a consumer that only sums
+    # counts would let Catalyst column-prune a dd_alpha-only raise_error
+    # away and merge mixed-alpha grids silently (ADVICE r12).  Any use
+    # of the merged grid evaluates dd_count, so the mismatch always
+    # trips; dd_alpha carries the (single) surviving alpha.
+    err = F.raise_error(
+        F.concat(
+            F.lit("dd_merge: mixed alphas "),
+            F.col("__amin").cast("string"),
+            F.lit(" vs "),
+            F.col("__amax").cast("string"),
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(alphas))
+        .withColumn(
+            "dd_count",
+            F.when(F.col("__na") <= 1, F.col("dd_count")).otherwise(
+                err.cast("bigint")
+            ),
+        )
+        .withColumn("dd_alpha", F.col("__amin"))
+        .drop("__na", "__amin", "__amax")
+    )
 
 
 def dd_quantiles(

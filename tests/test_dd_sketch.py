@@ -120,6 +120,33 @@ def test_dd_quantiles_match_duckdb_disc(spark, tables):
         dd_quantiles(sk, ["l_linestatus"], [1.5])
 
 
+def test_dd_merge_rejects_mixed_alpha_when_only_counts_consumed(spark):
+    """The guard must ride dd_count: a consumer that never evaluates
+    dd_alpha (sums counts only) would otherwise let Catalyst prune the
+    raise_error away and merge mixed-alpha grids silently (ADVICE r12)."""
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    a = dd_sketch(df, [], "v", alpha=0.01)
+    b = dd_sketch(df, [], "v", alpha=0.02)
+    with pytest.raises(Exception, match="mixed alphas"):
+        dd_merge(a, b).agg(F.sum("dd_count")).collect()
+
+
+def test_dd_sketch_excludes_infinities(spark):
+    """±inf has no finite bucket: log(inf) would saturate and fail the
+    int cast under ANSI. The filter keeps the finite-values contract
+    (same treatment as NULL/NaN) instead of failing the job (ADVICE
+    r12)."""
+    inf = float("inf")
+    df = spark.createDataFrame(
+        [(1.0,), (inf,), (-inf,), (float("nan"),), (None,), (2.0,)],
+        "v double",
+    )
+    fin = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    got = sorted(map(tuple, dd_sketch(df, [], "v").collect()))
+    assert got == sorted(map(tuple, dd_sketch(fin, [], "v").collect()))
+    assert sum(r[2] for r in got) == 2
+
+
 def test_dd_merge_rejects_mixed_alpha_disjoint_buckets(spark):
     """The alpha guard must be GLOBAL: grids over disjoint value ranges
     share no (kind, bucket) key, so a per-key min/max compare would

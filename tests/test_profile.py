@@ -105,6 +105,22 @@ def test_profile_map_columns_skipped_or_rejected(spark):
         profile_columns_tuple_grid(df, ["id", "props"])
 
 
+def test_profile_empty_column_list_raises_clearly(spark):
+    """cols=[] or an all-map frame must raise a named ValueError, not
+    an opaque 'reduce() of empty iterable' TypeError (ADVICE r12)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x")], "id int, k string")
+    with pytest.raises(ValueError, match="no profilable columns"):
+        profile_columns(df, [])
+    with pytest.raises(ValueError, match="no profilable columns"):
+        profile_columns_tuple_grid(df, [])
+    all_maps = df.select(F.create_map(F.col("k"), F.col("id")).alias("m"))
+    with pytest.raises(ValueError, match="no profilable columns"):
+        profile_columns(all_maps)
+
+
 def test_profile_drift_report(spark):
     """Each drift class fires once on a constructed old/new pair, and an
     identical pair reports nothing."""
