@@ -217,6 +217,7 @@ def pagerank_fixed(
     scale: int = 10**12,
     n_nodes: int | None = None,
     symmetric: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-point integer PageRank (damping 0.85), ``iterations`` rounds.
 
@@ -244,12 +245,16 @@ def pagerank_fixed(
     """
     # materialize the (possibly join-derived) edge list ONCE — every frame
     # below re-reads it, and three BSP rounds would otherwise recompute the
-    # upstream join per reference (measured 8.8 s → 2.9 s at sf0.1)
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # upstream join per reference (measured 8.8 s → 2.9 s at sf0.1).
+    # ``assume_distinct=True`` is a caller-asserted contract that the edge
+    # rows are already unique (e.g. dedup ran upstream on a pre-explode
+    # form half the size — the r13 x172 shape); the fixed-point iteration
+    # itself REQUIRES uniqueness (duplicate edges double-count
+    # contributions), so only pass it when dedup really happened.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.localCheckpoint()
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     if symmetric:
         # symmetrized graph: every node appears as a src, so the node set

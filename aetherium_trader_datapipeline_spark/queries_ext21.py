@@ -120,11 +120,17 @@ def x172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct → union(reversed) — the union form re-ran the
     # orders⋈lineitem join per branch and paid three dedup shuffles
     # (e1.distinct twice via CTE-style duplication + pagerank's own
-    # .distinct); exploding both directions off one join pass and letting
-    # pagerank_fixed's single .distinct() dedup yields the identical edge
-    # SET (dedup after symmetrize ≡ symmetrize after dedup) with one join
-    # and one shuffle (guide §2.4). Plan: 2 joins + 3 exchanges → 1 join +
-    # 1 exchange before the checkpoint.
+    # .distinct); exploding both directions off one join pass yields the
+    # identical edge SET (dedup after symmetrize ≡ symmetrize after
+    # dedup) with one join and one shuffle (guide §2.4). Second r13 step:
+    # run the distinct on the PAIRS, before the 2× explode, so the dedup
+    # exchange moves half the rows (guide §2.3 "shuffle fewer bytes";
+    # §3.3 "explode before a join multiplies the shuffle"). Distinct
+    # pairs ⇒ distinct edges: node ids are parity-disjoint (cust even,
+    # supp odd), so the (a,b) and (b,a) branches can never collide and
+    # each branch is injective in the pair — pagerank_fixed is told so
+    # via assume_distinct. Plan: 2 joins + 3 exchanges → 1 join +
+    # 1 half-width exchange before the checkpoint.
     pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -132,6 +138,7 @@ def x172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("a"),
             (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
+        .distinct()
     )
     edges = pairs.select(
         F.explode(
@@ -141,7 +148,13 @@ def x172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    pr = pagerank_fixed(edges, iterations=_PR_ITERS, scale=_PR_SCALE, symmetric=True)
+    pr = pagerank_fixed(
+        edges,
+        iterations=_PR_ITERS,
+        scale=_PR_SCALE,
+        symmetric=True,
+        assume_distinct=True,
+    )
     return (
         pr.select("node", F.col("p").alias("pr"))
         .orderBy(F.desc("pr"), "node")

@@ -625,6 +625,27 @@ def test_label_propagation_two_cliques_bridge(spark):
     assert len({cc[n] for n in c1 + c2}) == 1  # ...where CC merges them
 
 
+def test_pagerank_assume_distinct_matches_default(spark):
+    # assume_distinct=True is a caller contract (edges already unique);
+    # on a genuinely distinct edge list it must be a pure plan
+    # optimization — identical ranks to the default path. And the
+    # default path must still dedup: feeding duplicated edges with the
+    # flag OFF matches the distinct list's result.
+    from aetherium_trader_datapipeline_spark.operators.graph import pagerank_fixed
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (2, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    e_dup = spark.createDataFrame(edges * 3, "src long, dst long")
+    base = sorted(tuple(r) for r in pagerank_fixed(e, iterations=3).collect())
+    fast = sorted(
+        tuple(r)
+        for r in pagerank_fixed(e, iterations=3, assume_distinct=True).collect()
+    )
+    dedup = sorted(tuple(r) for r in pagerank_fixed(e_dup, iterations=3).collect())
+    assert fast == base
+    assert dedup == base
+
+
 def test_minhash_incremental_matches_full_assignment_semantics(spark):
     # A new doc identical to an old one must match it; a novel new doc
     # must be absent from the assignment output.
