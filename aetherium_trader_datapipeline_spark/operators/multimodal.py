@@ -2984,3 +2984,94 @@ def audio_waveform_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             yield out
 
     return df.mapInPandas(fn, schema=out_schema)
+
+
+def image_pixel_stats_synth(
+    ids: DataFrame, make_blob, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused synthesize→encode→decode→stats in ONE Python pass.
+
+    Equivalent to ``ids.mapInPandas(make_blobs) |> image_pixel_stats`` but
+    the blob never crosses the JVM↔Python boundary: one MapInPandas node
+    instead of two, and the only bytes that move are ``id_col`` in and the
+    six fixed-width stat columns out (guide §4.1 — fewer boundary
+    crossings; §8 — the heavy payload travels zero times when every
+    decision column can be computed where the payload lives).
+
+    ``make_blob(id) -> bytes`` runs the genuine encoder; the decode side
+    is the same :func:`decode_image` as :func:`image_pixel_stats`, so the
+    full encode→decode codec path stays exercised and hash-verified.
+    """
+    (id_field,) = [f for f in ids.schema.fields if f.name == id_col]
+    out_schema = (
+        f"{id_field.name} {id_field.dataType.simpleString()}"
+        ", width INT, height INT, channels INT, px_sum BIGINT, px_min INT, px_max INT"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for d in pdf[id_col].tolist():
+                px = decode_image(make_blob(int(d)))
+                stats.append(
+                    (
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2] if px.ndim == 3 else 1,
+                        int(px.sum(dtype="int64")),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            out = pdf[[id_col]].copy()
+            out["width"] = [s[0] for s in stats]
+            out["height"] = [s[1] for s in stats]
+            out["channels"] = [s[2] for s in stats]
+            out["px_sum"] = [s[3] for s in stats]
+            out["px_min"] = [s[4] for s in stats]
+            out["px_max"] = [s[5] for s in stats]
+            yield out
+
+    return ids.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def audio_waveform_stats_synth(
+    ids: DataFrame, make_blob, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused synth→encode→decode→stats for WAV blobs — the audio twin of
+    :func:`image_pixel_stats_synth` (one MapInPandas, blob stays in the
+    worker); decode side identical to :func:`audio_waveform_stats`."""
+    (id_field,) = [f for f in ids.schema.fields if f.name == id_col]
+    out_schema = (
+        f"{id_field.name} {id_field.dataType.simpleString()}"
+        ", sample_rate INT, n_channels INT, n_samples BIGINT,"
+        " s_sum BIGINT, s_min INT, s_max INT"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for d in pdf[id_col].tolist():
+                blob = make_blob(int(d))
+                rate, chans, _bits, _n = parse_wav_header(blob)
+                arr = decode_wav_samples(blob)
+                stats.append(
+                    (
+                        rate,
+                        chans,
+                        arr.shape[0],
+                        int(arr.sum(dtype="int64")),
+                        int(arr.min()),
+                        int(arr.max()),
+                    )
+                )
+            out = pdf[[id_col]].copy()
+            out["sample_rate"] = [s[0] for s in stats]
+            out["n_channels"] = [s[1] for s in stats]
+            out["n_samples"] = [s[2] for s in stats]
+            out["s_sum"] = [s[3] for s in stats]
+            out["s_min"] = [s[4] for s in stats]
+            out["s_max"] = [s[5] for s in stats]
+            yield out
+
+    return ids.select(id_col).mapInPandas(fn, schema=out_schema)

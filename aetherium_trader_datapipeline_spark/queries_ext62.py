@@ -17,9 +17,6 @@ test SFs (the decode plumbing, not Python throughput, is what scales).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,31 +59,25 @@ def x281_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal.decode_png_pixels, reduce to integer stats."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_png,
-        image_pixel_stats,
+        image_pixel_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                px = bytes(
-                    (d * 31 + x * 7 + y * 13 + c * 17) % 256
-                    for y in range(h)
-                    for x in range(w)
-                    for c in range(3)
-                )
-                blobs.append(encode_png(w, h, pixels=px, cycle_filters=True))
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+    def make_blob(d: int) -> bytes:
+        w, h = 4 + d % 5, 3 + d % 4
+        px = bytes(
+            (d * 31 + x * 7 + y * 13 + c * 17) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        return encode_png(w, h, pixels=px, cycle_filters=True)
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas instead of two, the
+    # PNG bytes never cross the JVM boundary (guide §4.1/§8).
+    return image_pixel_stats_synth(ids, make_blob).orderBy("doc_id")
 
 
 # sample(d, j) = ((d*7 + j*11) % 65536) - 32768 over interleaved index j;
@@ -124,26 +115,18 @@ def x282_wav_waveform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples → genuine RIFF/WAVE bytes (fmt + LIST + data chunk walk) →
     operators.multimodal.decode_wav_samples → integer stats."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
-        audio_waveform_stats,
+        audio_waveform_stats_synth,
         encode_wav,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                n = 50 + d % 20
-                samples = [
-                    (d * 7 + j * 11) % 65536 - 32768 for j in range(n * 2)
-                ]
-                blobs.append(encode_wav(8000, 2, n, samples=samples))
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+    def make_blob(d: int) -> bytes:
+        n = 50 + d % 20
+        samples = [(d * 7 + j * 11) % 65536 - 32768 for j in range(n * 2)]
+        return encode_wav(8000, 2, n, samples=samples)
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return audio_waveform_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas instead of two, the
+    # RIFF bytes never cross the JVM boundary (guide §4.1/§8).
+    return audio_waveform_stats_synth(ids, make_blob).orderBy("doc_id")

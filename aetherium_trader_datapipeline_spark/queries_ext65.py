@@ -29,9 +29,6 @@ decoder behind the same mapInPandas schema).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,31 +74,25 @@ def x289_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.multimodal.decode_jpeg_pixels, reduce to integer stats."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_jpeg_baseline,
-        image_pixel_stats,
+        image_pixel_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w = 8 * (1 + d % 3) + d % 5
-                h = 8 * (1 + d % 2) + d % 3
-                px = bytes(
-                    ((d * 37 + (x // 8) * 23 + (y // 8) * 41) % 128) * 2
-                    for y in range(h)
-                    for x in range(w)
-                )
-                blobs.append(encode_jpeg_baseline(w, h, px))
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+    def make_blob(d: int) -> bytes:
+        w = 8 * (1 + d % 3) + d % 5
+        h = 8 * (1 + d % 2) + d % 3
+        px = bytes(
+            ((d * 37 + (x // 8) * 23 + (y // 8) * 41) % 128) * 2
+            for y in range(h)
+            for x in range(w)
+        )
+        return encode_jpeg_baseline(w, h, px)
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas instead of two, the
+    # JFIF bytes never cross the JVM boundary (guide §4.1/§8).
+    return image_pixel_stats_synth(ids, make_blob).orderBy("doc_id")
 
 
 # -- x290: GIF LZW raster decode ---------------------------------------------
@@ -146,27 +137,19 @@ def x290_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the identity grayscale palette, reduce to integer stats."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_gif,
-        image_pixel_stats,
+        image_pixel_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w, h = 5 + d % 9, 4 + d % 7
-                idx = bytes(
-                    (d * 31 + x * 7 + y * 13) % 256
-                    for y in range(h)
-                    for x in range(w)
-                )
-                blobs.append(encode_gif(w, h, idx))
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+    def make_blob(d: int) -> bytes:
+        w, h = 5 + d % 9, 4 + d % 7
+        idx = bytes(
+            (d * 31 + x * 7 + y * 13) % 256 for y in range(h) for x in range(w)
+        )
+        return encode_gif(w, h, idx)
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas instead of two, the
+    # GIF bytes never cross the JVM boundary (guide §4.1/§8).
+    return image_pixel_stats_synth(ids, make_blob).orderBy("doc_id")

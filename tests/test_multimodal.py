@@ -1998,3 +1998,55 @@ def test_decode_image_max_pixels_none_opt_out():
     assert out.shape[:2] == (8, 8)
     with pytest.raises(ValueError, match="decompression-bomb"):
         decode_image(bytes(blob), max_pixels=16)  # 8*8 > 16: param binds
+
+
+def test_fused_synth_stats_equals_two_pass(spark):
+    """r13: image_pixel_stats_synth / audio_waveform_stats_synth (one
+    MapInPandas, blob never leaves the worker) must be row-identical to
+    the original make_blobs-mapInPandas → *_stats two-pass pipeline."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        audio_waveform_stats,
+        audio_waveform_stats_synth,
+        encode_png,
+        encode_wav,
+        image_pixel_stats,
+        image_pixel_stats_synth,
+    )
+
+    ids = spark.createDataFrame([(d,) for d in range(1, 24)], "doc_id LONG")
+
+    def png_blob(d: int) -> bytes:
+        w, h = 4 + d % 5, 3 + d % 4
+        px = bytes(
+            (d * 31 + x * 7 + y * 13 + c * 17) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        return encode_png(w, h, pixels=px, cycle_filters=True)
+
+    def wav_blob(d: int) -> bytes:
+        n = 50 + d % 20
+        samples = [(d * 7 + j * 11) % 65536 - 32768 for j in range(n * 2)]
+        return encode_wav(8000, 2, n, samples=samples)
+
+    import pandas as pd
+
+    def two_pass(stats_op, make):
+        def mk(batches):
+            for pdf in batches:
+                out = pdf.copy()
+                out["blob"] = [make(int(d)) for d in pdf["doc_id"].tolist()]
+                yield out
+
+        withb = ids.mapInPandas(mk, "doc_id bigint, blob binary")
+        return stats_op(withb, "blob")
+
+    for stats_op, synth_op, make in [
+        (image_pixel_stats, image_pixel_stats_synth, png_blob),
+        (audio_waveform_stats, audio_waveform_stats_synth, wav_blob),
+    ]:
+        old = two_pass(stats_op, make).orderBy("doc_id")
+        new = synth_op(ids, make).orderBy("doc_id")
+        assert old.schema == new.schema
+        assert old.collect() == new.collect()
