@@ -22,9 +22,6 @@ prune first, doc_id <= 200 bounding the pure-Python scan loops.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,28 +66,22 @@ def x405_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient-accumulation path, reduce to integer stats."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_jpeg_progressive,
-        image_pixel_stats,
+        image_pixel_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w = 8 * (1 + d % 3) + d % 5
-                h = 8 * (1 + d % 2) + d % 3
-                px = bytes(
-                    ((d * 37 + (x // 8) * 23 + (y // 8) * 41) % 128) * 2
-                    for y in range(h)
-                    for x in range(w)
-                )
-                blobs.append(encode_jpeg_progressive(w, h, px))
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+    def make_blob(d: int) -> bytes:
+        w = 8 * (1 + d % 3) + d % 5
+        h = 8 * (1 + d % 2) + d % 3
+        px = bytes(
+            ((d * 37 + (x // 8) * 23 + (y // 8) * 41) % 128) * 2
+            for y in range(h)
+            for x in range(w)
+        )
+        return encode_jpeg_progressive(w, h, px)
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas, blob stays in the
+    # worker (guide §4.1/§8); same encoder/decoder path as before.
+    return image_pixel_stats_synth(ids, make_blob).orderBy("doc_id")

@@ -24,9 +24,6 @@ hash.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,38 +82,30 @@ def x406_jpeg_420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_jpeg_420,
-        image_pixel_stats,
+        image_pixel_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w = 16 * (1 + d % 2) + d % 7
-                h = 16 + d % 5
+    def make_blob(d: int) -> bytes:
+        w = 16 * (1 + d % 2) + d % 7
+        h = 16 + d % 5
 
-                def plane(a: int, b: int, c: int, tile: int) -> bytes:
-                    return bytes(
-                        ((d * a + (x // tile) * b + (y // tile) * c) % 128) * 2
-                        for y in range(h)
-                        for x in range(w)
-                    )
+        def plane(a: int, b: int, c: int, tile: int) -> bytes:
+            return bytes(
+                ((d * a + (x // tile) * b + (y // tile) * c) % 128) * 2
+                for y in range(h)
+                for x in range(w)
+            )
 
-                blobs.append(
-                    encode_jpeg_420(
-                        w, h,
-                        plane(37, 23, 41, 8),
-                        plane(29, 19, 31, 16),
-                        plane(43, 17, 37, 16),
-                    )
-                )
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+        return encode_jpeg_420(
+            w, h,
+            plane(37, 23, 41, 8),
+            plane(29, 19, 31, 16),
+            plane(43, 17, 37, 16),
+        )
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas, blob stays in the
+    # worker (guide §4.1/§8); same encoder/decoder path as before.
+    return image_pixel_stats_synth(ids, make_blob).orderBy("doc_id")

@@ -18,9 +18,6 @@ on random lossy content.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,36 +39,27 @@ def x407_jpeg_progressive_color_stats(spark: SparkSession, sf_dir: str) -> DataF
     closed-form oracle re-derives."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_jpeg_progressive_color,
-        image_pixel_stats,
+        image_pixel_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w = 8 * (1 + d % 3) + d % 5
-                h = 8 * (1 + d % 2) + d % 3
+    def make_blob(d: int) -> bytes:
+        w = 8 * (1 + d % 3) + d % 5
+        h = 8 * (1 + d % 2) + d % 3
 
-                def plane(a: int, b: int, c: int) -> bytes:
-                    return bytes(
-                        ((d * a + (x // 8) * b + (y // 8) * c) % 128) * 2
-                        for y in range(h)
-                        for x in range(w)
-                    )
+        def plane(a: int, b: int, c: int) -> bytes:
+            return bytes(
+                ((d * a + (x // 8) * b + (y // 8) * c) % 128) * 2
+                for y in range(h)
+                for x in range(w)
+            )
 
-                blobs.append(
-                    encode_jpeg_progressive_color(
-                        w, h, plane(37, 23, 41), plane(29, 19, 31),
-                        plane(43, 17, 37),
-                    )
-                )
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+        return encode_jpeg_progressive_color(
+            w, h, plane(37, 23, 41), plane(29, 19, 31), plane(43, 17, 37)
+        )
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas, blob stays in the
+    # worker (guide §4.1/§8); same encoder/decoder path as before.
+    return image_pixel_stats_synth(ids, make_blob).orderBy("doc_id")

@@ -15,9 +15,6 @@ pixel loops, only fixed-width stats leave the worker.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,7 +64,7 @@ def x445_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to integer stats."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_png_palette,
-        image_pixel_stats,
+        image_pixel_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
@@ -75,24 +72,14 @@ def x445_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     palette = [((i * 3) % 256, (i * 5 + 7) % 256, (i * 7 + 13) % 256)
                for i in range(256)]
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                idx = [
-                    (d * 11 + x * 3 + y * 5) % 256
-                    for y in range(h)
-                    for x in range(w)
-                ]
-                blobs.append(encode_png_palette(w, h, idx, palette))
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+    def make_blob(d: int) -> bytes:
+        w, h = 4 + d % 5, 3 + d % 4
+        idx = [(d * 11 + x * 3 + y * 5) % 256 for y in range(h) for x in range(w)]
+        return encode_png_palette(w, h, idx, palette)
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas, blob stays in the
+    # worker (guide §4.1/§8); same encoder/decoder path as before.
+    return image_pixel_stats_synth(ids, make_blob).orderBy("doc_id")
 
 
 # pixel(d, x, y, c) = (d*29 + x*5 + y*11 + c*19) % 256 ; w = 5 + d%6 ; h = 4 + d%5
@@ -132,28 +119,22 @@ def x446_png_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes are empty."""
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_png_interlaced,
-        image_pixel_stats,
+        image_pixel_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w, h = 5 + d % 6, 4 + d % 5
-                px = bytes(
-                    (d * 29 + x * 5 + y * 11 + c * 19) % 256
-                    for y in range(h)
-                    for x in range(w)
-                    for c in range(3)
-                )
-                blobs.append(encode_png_interlaced(w, h, px))
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+    def make_blob(d: int) -> bytes:
+        w, h = 5 + d % 6, 4 + d % 5
+        px = bytes(
+            (d * 29 + x * 5 + y * 11 + c * 19) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        return encode_png_interlaced(w, h, px)
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_pixel_stats(with_blobs, "blob").orderBy("doc_id")
+    # r13: fused synth→decode→stats — one MapInPandas, blob stays in the
+    # worker (guide §4.1/§8); same encoder/decoder path as before.
+    return image_pixel_stats_synth(ids, make_blob).orderBy("doc_id")
