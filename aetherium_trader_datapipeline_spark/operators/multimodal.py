@@ -3075,3 +3075,45 @@ def audio_waveform_stats_synth(
             yield out
 
     return ids.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def image_resize_stats_synth(
+    ids: DataFrame, make_blob, id_col: str = "doc_id", factor: int = 2
+) -> DataFrame:
+    """Fused synth→encode→decode→box-downsample→stats — the resize twin
+    of :func:`image_pixel_stats_synth` (one MapInPandas, blob stays in
+    the worker); decode/resize path identical to
+    :func:`image_resize_stats`."""
+    (id_field,) = [f for f in ids.schema.fields if f.name == id_col]
+    out_schema = (
+        f"{id_field.name} {id_field.dataType.simpleString()}"
+        ", out_width INT, out_height INT, channels INT,"
+        " px_sum BIGINT, px_min INT, px_max INT"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = []
+            for d in pdf[id_col].tolist():
+                px = box_downsample(decode_image(make_blob(int(d))), factor)
+                empty = px.size == 0
+                stats.append(
+                    (
+                        px.shape[1],
+                        px.shape[0],
+                        px.shape[2],
+                        0 if empty else int(px.sum(dtype="int64")),
+                        0 if empty else int(px.min()),
+                        0 if empty else int(px.max()),
+                    )
+                )
+            out = pdf[[id_col]].copy()
+            out["out_width"] = [s[0] for s in stats]
+            out["out_height"] = [s[1] for s in stats]
+            out["channels"] = [s[2] for s in stats]
+            out["px_sum"] = [s[3] for s in stats]
+            out["px_min"] = [s[4] for s in stats]
+            out["px_max"] = [s[5] for s in stats]
+            yield out
+
+    return ids.select(id_col).mapInPandas(fn, schema=out_schema)

@@ -202,37 +202,27 @@ _X299_ORACLE = """
 
 @register("x299_image_resize_box", oracle=_X299_ORACLE, tags=("multimodal", "decode"))
 def x299_image_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     from aetherium_trader_datapipeline_spark.operators.multimodal import (
         encode_png,
-        image_resize_stats,
+        image_resize_stats_synth,
     )
 
     docs = load_tables(spark, sf_dir)["documents"]
     ids = docs.select("doc_id").where(F.col("doc_id") <= 200)
 
-    def make_blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"].tolist():
-                d = int(d)
-                w, h = 4 + d % 5, 3 + d % 4
-                px = bytes(
-                    (d * 31 + x * 7 + y * 13 + c * 17) % 256
-                    for y in range(h)
-                    for x in range(w)
-                    for c in range(3)
-                )
-                blobs.append(encode_png(w, h, pixels=px, cycle_filters=True))
-            out = pdf.copy()
-            out["blob"] = blobs
-            yield out
+    def make_blob(d: int) -> bytes:
+        w, h = 4 + d % 5, 3 + d % 4
+        px = bytes(
+            (d * 31 + x * 7 + y * 13 + c * 17) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        return encode_png(w, h, pixels=px, cycle_filters=True)
 
-    with_blobs = ids.mapInPandas(make_blobs, "doc_id bigint, blob binary")
-    return image_resize_stats(with_blobs, "blob", factor=2).orderBy("doc_id")
+    # r13: fused synth→decode→resize→stats — one MapInPandas, blob stays
+    # in the worker (guide §4.1/§8); same encoder/decoder path as before.
+    return image_resize_stats_synth(ids, make_blob, factor=2).orderBy("doc_id")
 
 
 # -- x300: BPE compression payoff --------------------------------------------

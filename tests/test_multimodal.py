@@ -2050,3 +2050,37 @@ def test_fused_synth_stats_equals_two_pass(spark):
         new = synth_op(ids, make).orderBy("doc_id")
         assert old.schema == new.schema
         assert old.collect() == new.collect()
+
+
+def test_fused_resize_synth_equals_two_pass(spark):
+    """r13: image_resize_stats_synth must match the two-pass
+    make_blobs → image_resize_stats pipeline row for row."""
+    from aetherium_trader_datapipeline_spark.operators.multimodal import (
+        encode_png,
+        image_resize_stats,
+        image_resize_stats_synth,
+    )
+
+    ids = spark.createDataFrame([(d,) for d in range(1, 24)], "doc_id LONG")
+
+    def png_blob(d: int) -> bytes:
+        w, h = 4 + d % 5, 3 + d % 4
+        px = bytes(
+            (d * 31 + x * 7 + y * 13 + c * 17) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        return encode_png(w, h, pixels=px, cycle_filters=True)
+
+    def mk(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out["blob"] = [png_blob(int(d)) for d in pdf["doc_id"].tolist()]
+            yield out
+
+    withb = ids.mapInPandas(mk, "doc_id bigint, blob binary")
+    old = image_resize_stats(withb, "blob", factor=2).orderBy("doc_id")
+    new = image_resize_stats_synth(ids, png_blob, factor=2).orderBy("doc_id")
+    assert old.schema == new.schema
+    assert old.collect() == new.collect()
