@@ -254,14 +254,27 @@ def pagerank_fixed(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.localCheckpoint()
+    # LAZY checkpoint (r13): the eager form ran the whole edge build as a
+    # dedicated materialization job before any consumer; lazily the first
+    # consumer job (deg.count() below on the symmetric path, the nodes
+    # checkpoint on the general path) materializes e as a side effect —
+    # one driver job instead of two, same stored partitions either way.
+    e = e.localCheckpoint(eager=False)
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # name-based equi-joins throughout: every frame below re-derives from
+    # ``e``, and attribute-based conditions trip Spark's ambiguous-self-join
+    # check on shared lineage
+    # deg is joined once per round (plus the p init in the symmetric case);
+    # a lazy checkpoint computes the aggregation once instead of per
+    # reference
+    deg = outdeg.withColumnRenamed("src", "node").localCheckpoint(eager=False)
     if symmetric:
         # symmetrized graph: every node appears as a src, so the node set
         # IS the degree frame's key set — skip the union+distinct+
-        # checkpoint the general case needs (one shuffle + one
-        # materialization saved; deg is checkpointed below anyway)
-        nodes = outdeg.select(F.col("src").alias("node"))
+        # checkpoint the general case needs. Derive nodes (and the p init
+        # below) from the CHECKPOINTED deg, not the raw aggregation:
+        # otherwise round 1's p side re-runs the groupBy a second time.
+        nodes = deg.select("node")
     else:
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -269,7 +282,16 @@ def pagerank_fixed(
             .distinct()
             .localCheckpoint()
         )
-    n = n_nodes if n_nodes is not None else nodes.count()  # bounded scalar
+    if n_nodes is not None:
+        n = n_nodes
+    elif symmetric:
+        # counting deg (|nodes| rows) materializes e AND deg in the same
+        # job the count needs anyway — the nodes.count() form ran the
+        # outdeg aggregation once for the count and again when deg's
+        # checkpoint materialized in round 1 (r13: 3 jobs -> 1).
+        n = deg.count()  # bounded scalar
+    else:
+        n = nodes.count()  # bounded scalar
     base = scale // n
     tele = (15 * base) // 100
     # checkpointed frames lose Catalyst stats (graph.py:110-114 posture):
@@ -278,14 +300,6 @@ def pagerank_fixed(
     # 5M-row relations already risk driver pressure across 9 broadcasts)
     small = n <= 1_000_000
     _b = F.broadcast if small else (lambda df: df)
-
-    # name-based equi-joins throughout: every frame below re-derives from
-    # ``e``, and attribute-based conditions trip Spark's ambiguous-self-join
-    # check on shared lineage
-    # deg is joined once per round (plus the p init in the symmetric case);
-    # a lazy checkpoint computes the aggregation once instead of per
-    # reference
-    deg = outdeg.withColumnRenamed("src", "node").localCheckpoint(eager=False)
     e_s = e.withColumnRenamed("src", "s")
     if not small:
         # large-graph path (share side too big to broadcast): hash-
