@@ -99,6 +99,12 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
         .distinct()
+        # lazy checkpoint (r13): the path-deciding count below is the
+        # first action, so it materializes the distinct edge list as a
+        # side effect — the local union-find pass (and the distributed
+        # path's sym build) then reads the stored partitions instead of
+        # re-running the (possibly join-derived) dedup a second time.
+        .localCheckpoint(eager=False)
     )
     if e.count() <= local_threshold_edges:
         return _union_find_local(e)
