@@ -188,10 +188,15 @@ def kcore_counts(
     (same n-gated posture as pagerank_fixed); only 2 scalars per round
     cross the driver.
     """
+    # lazy checkpoints throughout (r13): every checkpoint here is followed
+    # immediately by a .count() on itself (or a derivation of it), so the
+    # count job materializes the stored partitions as a side effect — the
+    # eager form ran a dedicated materialization job first (the
+    # pagerank_fixed/connected_components job-diet lesson).
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = [(0, e.select("src").distinct().count(), e.count())]
     cur = e
@@ -200,7 +205,7 @@ def kcore_counts(
         keep = (
             deg.where(F.col("deg") >= k)
             .select(F.col("src").alias("node"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_keep = keep.count()
         _b = F.broadcast if n_keep <= 1_000_000 else (lambda df: df)
@@ -208,7 +213,7 @@ def kcore_counts(
             cur.join(_b(keep.withColumnRenamed("node", "src")), "src")
             .join(_b(keep.withColumnRenamed("node", "dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out.append((r, n_keep, nxt.count()))
         cur = nxt

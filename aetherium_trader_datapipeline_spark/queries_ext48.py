@@ -135,7 +135,9 @@ def x245_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
         .groupBy(F.col("a.p").alias("i"), F.col("b.p").alias("j"))
         .agg(F.sum(F.col("a.xq") * F.col("b.xq")).alias("g"))
-        .localCheckpoint()
+        # lazy (r13 job diet): round 1's broadcast build of v is the first
+        # action and materializes the gram in the same job
+        .localCheckpoint(eager=False)
     )
     v = gram.select(F.col("i")).distinct().withColumn(
         "v", F.lit(100000000).cast("bigint")
@@ -145,7 +147,8 @@ def x245_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             gram.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
             .groupBy("i")
             .agg(F.sum(F.col("g") * F.col("v")).alias("w"))
-        ).localCheckpoint()
+            # lazy: the max-abs collect right below materializes w
+        ).localCheckpoint(eager=False)
         m = w.agg(F.max(F.abs(F.col("w").cast("double")))).collect()[0][0]
         v = w.select(
             "i",
