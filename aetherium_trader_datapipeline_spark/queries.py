@@ -1146,6 +1146,31 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "x484_croston", "x485_wilson_ci",
         "x486_capture_recapture", "x487_ratio_metric_delta",
         "x488_partition_granularity", "x489_topk_stability",
+        "x490_dkw_sample_size", "x491_sprt_sequential",
+        "x492_deflated_sharpe", "x493_information_coefficient",
+        "x494_reserve_price_sweep", "x495_newsvendor",
+        "x496_auc_delong", "x497_gumbel_block_maxima",
+        "x498_sortedness_profile", "x499_checkpoint_interval",
+        "x500_min_variance_pair", "x501_kalman_local_level",
+        "x502_garch_variance", "x503_ewma_correlation",
+        "x504_iv_regression", "x505_regression_discontinuity",
+        "x506_synthetic_control", "x507_backfill_priority",
+        "x508_ransac_line", "x509_lifecycle_tiering",
+        "x510_tail_dependence", "x511_capacity_estimate",
+        "x512_liquidity_stress", "x513_mix_waterfill",
+        "x514_lsh_param_plan", "x515_pipeline_order_audit",
+        "x516_weibull_reliability", "x517_mm1_wait_slo",
+        "x518_markov_entropy_rate", "x519_bass_diffusion",
+        "x520_retention_decay_fit", "x521_salt_plan",
+        "x522_bandit_replay", "x523_ips_policy_value",
+        "x524_offpolicy_support", "x525_consistent_hash_ring",
+        "x526_crdt_gcounter", "x527_staleness_exposure",
+        "x528_json_schema_infer", "x529_time_to_convert",
+        "x530_bag_set_ops", "x531_source_ablation",
+        "x532_ttl_cache_hits", "x533_erasure_blast_radius",
+        "x534_fleiss_kappa", "x535_two_way_anova",
+        "x536_levene_test", "x537_omega_ratio",
+        "x538_ulcer_index", "x539_capture_ratios",
     }
 )
 
@@ -1158,24 +1183,20 @@ def _emission_order() -> list[str]:
     rows-only check wastes the stronger verification.
     """
 
-    # Round-13 absorption (the r12 TODO, executed late): the r11 AND r12
-    # driver windows both came back 50/50 green on the SAME key set
-    # (x440–x489 — the r12 round-open absorption was skipped, so the driver
-    # re-verified r11's keys; VERDICT r12 "What's wrong" #1).  All 50 are
-    # now in _DRIVER_VERIFIED above, derived from CORRECTNESS_r12.json's
-    # actual row keys (asserted identical to r11's) — cumulative
-    # driver-green is 489/575.  No reds, so no `front` list: the r13
-    # window is the next 50 never-verified oracle keys in registration
-    # order (x490–x539), leaving x540–x575 for r14.
+    # Round-14 absorption (executed at round-open): CORRECTNESS_r13.json
+    # came back 50/50 green (zero errs, zero hash mismatches) on the r13
+    # window x490–x539; all 50 are now in _DRIVER_VERIFIED above, derived
+    # from the artifact's actual row keys.  Cumulative driver-green is
+    # 539/575.  No reds, so no `front` list: the r14 window is the final
+    # never-verified tail in registration order (x540–x575, 36 keys) plus
+    # re-verifications of already-green keys to fill the 50-slot window —
+    # after this round every registry key has an official driver row.
     #
-    # ROUND-14 TODO (absorb after CORRECTNESS_r13.json lands): move the
-    # r13 window's green keys into _DRIVER_VERIFIED, re-derived from the
-    # artifact's actual row keys; any red row stays unverified and leads
-    # the r14 window via a `front` list.  Compensating controls unchanged:
-    # the type-strict oracle gate (tests/test_queries_oracle.py, all keys
-    # every session), the full-tail replica prechecks (.data/), and the
-    # full-registry sweeps (SCALE.md).  KEEP ABSORBING AT ROUND-OPEN,
-    # EVERY ROUND — the r12 skip cost a full rotation round.
+    # Compensating controls unchanged: the type-strict oracle gate
+    # (tests/test_queries_oracle.py, all keys every session), the
+    # full-tail replica prechecks (.data/), and the full-registry sweeps
+    # (SCALE.md).  KEEP ABSORBING AT ROUND-OPEN, EVERY ROUND — the r12
+    # skip cost a full rotation round.
 
     def tier(k: str) -> int:
         if k in _DRIVER_VERIFIED:
