@@ -311,6 +311,15 @@ def pagerank_fixed(
     # 5M-row relations already risk driver pressure across 9 broadcasts)
     small = n <= 1_000_000
     _b = F.broadcast if small else (lambda df: df)
+    if symmetric and n_nodes is not None and not small:
+        # Pin deg's lazy checkpoint before round 1 (ADVICE r13): on the
+        # large-graph symmetric path with a caller-supplied n_nodes no
+        # earlier job materializes deg, and round 1's join reaches it from
+        # two subtrees (p init and the probe side), so the outdeg groupBy
+        # could run twice concurrently before the first cached write
+        # lands. The count is |V|-row cheap; the small path is safe (the
+        # broadcast build runs as its own job first).
+        deg.count()
     e_s = e.withColumnRenamed("src", "s")
     if not small:
         # large-graph path (share side too big to broadcast): hash-

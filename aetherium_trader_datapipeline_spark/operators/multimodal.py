@@ -2842,6 +2842,56 @@ def perceptual_ahash(
     )
 
 
+def _pixel_stats_tuple(blob: bytes) -> tuple:
+    """Decode an image blob to (width, height, channels, px_sum, px_min,
+    px_max), integer-exact.  Single owner of the decode+stat math for both
+    the blob-column and synth stats variants (ADVICE r13); a zero-pixel
+    raster yields 0 for sum/min/max instead of a numpy ValueError."""
+    px = decode_image(blob)
+    empty = px.size == 0
+    return (
+        px.shape[1],
+        px.shape[0],
+        px.shape[2] if px.ndim == 3 else 1,  # grayscale JPEG is 2-D
+        0 if empty else int(px.sum(dtype="int64")),
+        0 if empty else int(px.min()),
+        0 if empty else int(px.max()),
+    )
+
+
+def _waveform_stats_tuple(blob: bytes) -> tuple:
+    """Decode a WAV blob to (sample_rate, n_channels, n_samples, s_sum,
+    s_min, s_max) — integer-exact over the int16 stream; zero-sample
+    blobs yield 0 stats.  Shared by blob-column and synth variants."""
+    rate, chans, _bits, _n = parse_wav_header(blob)
+    arr = decode_wav_samples(blob)
+    empty = arr.shape[0] == 0
+    return (
+        rate,
+        chans,
+        arr.shape[0],
+        0 if empty else int(arr.sum(dtype="int64")),
+        0 if empty else int(arr.min()),
+        0 if empty else int(arr.max()),
+    )
+
+
+def _resize_stats_tuple(blob: bytes, factor: int) -> tuple:
+    """Decode + box-downsample to (out_width, out_height, channels,
+    px_sum, px_min, px_max); empty output rasters yield 0 stats.  Shared
+    by blob-column and synth variants."""
+    px = box_downsample(decode_image(blob), factor)
+    empty = px.size == 0
+    return (
+        px.shape[1],
+        px.shape[0],
+        px.shape[2],
+        0 if empty else int(px.sum(dtype="int64")),
+        0 if empty else int(px.min()),
+        0 if empty else int(px.max()),
+    )
+
+
 def image_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """REAL pixel-level statistics via :func:`decode_image`: each blob is
     fully raster-decoded (PNG natively; other formats via PIL when
@@ -2860,19 +2910,7 @@ def image_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = []
-            for b in pdf[blob_col].tolist():
-                px = decode_image(bytes(b))
-                stats.append(
-                    (
-                        px.shape[1],
-                        px.shape[0],
-                        px.shape[2] if px.ndim == 3 else 1,  # grayscale JPEG is 2-D
-                        int(px.sum(dtype="int64")),
-                        int(px.min()),
-                        int(px.max()),
-                    )
-                )
+            stats = [_pixel_stats_tuple(bytes(b)) for b in pdf[blob_col].tolist()]
             out = pdf.drop(columns=[blob_col]).copy()
             out["width"] = [s[0] for s in stats]
             out["height"] = [s[1] for s in stats]
@@ -2921,20 +2959,10 @@ def image_resize_stats(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = []
-            for b in pdf[blob_col].tolist():
-                px = box_downsample(decode_image(bytes(b)), factor)
-                empty = px.size == 0
-                stats.append(
-                    (
-                        px.shape[1],
-                        px.shape[0],
-                        px.shape[2],
-                        0 if empty else int(px.sum(dtype="int64")),
-                        0 if empty else int(px.min()),
-                        0 if empty else int(px.max()),
-                    )
-                )
+            stats = [
+                _resize_stats_tuple(bytes(b), factor)
+                for b in pdf[blob_col].tolist()
+            ]
             out = pdf.drop(columns=[blob_col]).copy()
             out["out_width"] = [s[0] for s in stats]
             out["out_height"] = [s[1] for s in stats]
@@ -2959,21 +2987,9 @@ def audio_waveform_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = []
-            for b in pdf[blob_col].tolist():
-                blob = bytes(b)
-                rate, chans, _bits, _n = parse_wav_header(blob)
-                arr = decode_wav_samples(blob)
-                stats.append(
-                    (
-                        rate,
-                        chans,
-                        arr.shape[0],
-                        int(arr.sum(dtype="int64")),
-                        int(arr.min()),
-                        int(arr.max()),
-                    )
-                )
+            stats = [
+                _waveform_stats_tuple(bytes(b)) for b in pdf[blob_col].tolist()
+            ]
             out = pdf.drop(columns=[blob_col]).copy()
             out["sample_rate"] = [s[0] for s in stats]
             out["n_channels"] = [s[1] for s in stats]
@@ -3010,19 +3026,10 @@ def image_pixel_stats_synth(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = []
-            for d in pdf[id_col].tolist():
-                px = decode_image(make_blob(int(d)))
-                stats.append(
-                    (
-                        px.shape[1],
-                        px.shape[0],
-                        px.shape[2] if px.ndim == 3 else 1,
-                        int(px.sum(dtype="int64")),
-                        int(px.min()),
-                        int(px.max()),
-                    )
-                )
+            stats = [
+                _pixel_stats_tuple(make_blob(int(d)))
+                for d in pdf[id_col].tolist()
+            ]
             out = pdf[[id_col]].copy()
             out["width"] = [s[0] for s in stats]
             out["height"] = [s[1] for s in stats]
@@ -3050,21 +3057,10 @@ def audio_waveform_stats_synth(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = []
-            for d in pdf[id_col].tolist():
-                blob = make_blob(int(d))
-                rate, chans, _bits, _n = parse_wav_header(blob)
-                arr = decode_wav_samples(blob)
-                stats.append(
-                    (
-                        rate,
-                        chans,
-                        arr.shape[0],
-                        int(arr.sum(dtype="int64")),
-                        int(arr.min()),
-                        int(arr.max()),
-                    )
-                )
+            stats = [
+                _waveform_stats_tuple(make_blob(int(d)))
+                for d in pdf[id_col].tolist()
+            ]
             out = pdf[[id_col]].copy()
             out["sample_rate"] = [s[0] for s in stats]
             out["n_channels"] = [s[1] for s in stats]
@@ -3093,20 +3089,10 @@ def image_resize_stats_synth(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = []
-            for d in pdf[id_col].tolist():
-                px = box_downsample(decode_image(make_blob(int(d))), factor)
-                empty = px.size == 0
-                stats.append(
-                    (
-                        px.shape[1],
-                        px.shape[0],
-                        px.shape[2],
-                        0 if empty else int(px.sum(dtype="int64")),
-                        0 if empty else int(px.min()),
-                        0 if empty else int(px.max()),
-                    )
-                )
+            stats = [
+                _resize_stats_tuple(make_blob(int(d)), factor)
+                for d in pdf[id_col].tolist()
+            ]
             out = pdf[[id_col]].copy()
             out["out_width"] = [s[0] for s in stats]
             out["out_height"] = [s[1] for s in stats]
