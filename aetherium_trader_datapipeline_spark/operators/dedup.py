@@ -69,6 +69,7 @@ def ngram_jaccard_pairs(
     shingle_size: int = 2,
     max_shingle_freq: int | None = None,
     round_digits: int = 4,
+    join_parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing >= 1 shingle.
 
@@ -76,14 +77,25 @@ def ngram_jaccard_pairs(
     J = inter / (|a| + |b| - inter). Pairs sharing nothing have J=0 and are
     (deliberately) not emitted — at scale they are the overwhelming
     majority and carry no signal.
+
+    ``join_parallelism`` (r14): when the caller KNOWS the self-join
+    explodes far beyond its input (a corpus-proportional df cap keeps
+    shingles shared by up to 0.2n docs, each emitting C(f,2) pair rows),
+    AQE coalesces the join's exchange to ~1 task because the INPUT is a
+    few MB — pass e.g. 2×defaultParallelism to pin the exchange width.
+    Leave None for selective caps (rare-shingle joins), where the extra
+    fixed-width exchange is pure overhead.
     """
     sh = _shingles(df, id_col, text_col, shingle_size).cache()
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), "sh").select("id", "sh")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("a"), "sh")
-    b = sh.select(F.col("id").alias("b"), "sh")
+    # see join_parallelism in the docstring (measured 28 s -> 3 s for the
+    # x46-shaped exploding join at sf0.1 on local[32])
+    base = sh if join_parallelism is None else sh.repartition(join_parallelism, "sh")
+    a = base.select(F.col("id").alias("a"), "sh")
+    b = base.select(F.col("id").alias("b"), "sh")
     inter = (
         a.join(b, "sh")
         .where(F.col("a") < F.col("b"))
@@ -135,6 +147,11 @@ def minhash_lsh_candidates(
     exploded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
+    # r14: both self-join sides re-derived the signature aggregation (a
+    # full shingle explode + num_perm MINs) — materialize the small
+    # (id, band, bh) frame once; eager because both sides are read within
+    # the one join job (a lazy checkpoint could compute twice concurrently)
+    exploded = exploded.localCheckpoint(eager=True)
     a = exploded.select(F.col("id").alias("a"), "band", "bh")
     b = exploded.select(F.col("id").alias("b"), "band", "bh")
     return (
@@ -215,7 +232,12 @@ def simhash_neardup_pairs(
         F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias(f"c{i}")
         for i in range(chunks)
     ]
-    keyed = sigs.select("id", "simhash", *chunk_cols)
+    # r14: the chunk-candidate union referenced this frame 2*chunks times,
+    # re-running the per-bit vote aggregation each time — materialize the
+    # one-row-per-doc frame once (eager: every reader lands in the single
+    # downstream distinct job, so a lazy checkpoint could recompute
+    # concurrently)
+    keyed = sigs.select("id", "simhash", *chunk_cols).localCheckpoint(eager=True)
     cand = None
     for i in range(chunks):
         a = keyed.select(F.col("id").alias("a"), F.col("simhash").alias("sa"), F.col(f"c{i}").alias("ck"))
@@ -473,7 +495,8 @@ def simhash_portable_pairs(
         F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias(f"c{i}")
         for i in range(chunks)
     ]
-    keyed = sigs.select("id", "simhash", *chunk_cols)
+    # r14: same materialization as simhash_neardup_pairs — 2*chunks readers
+    keyed = sigs.select("id", "simhash", *chunk_cols).localCheckpoint(eager=True)
     cand = None
     for i in range(chunks):
         a = keyed.select(

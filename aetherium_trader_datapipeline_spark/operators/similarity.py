@@ -209,10 +209,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42):
-    """Random-hyperplane signature as a packed BIGINT column `sig`."""
+def _lsh_sig_expr(e, dim: int, n_planes: int, seed: int):
+    """Packed-BIGINT random-hyperplane signature expression over an
+    array<double> column expression ``e`` (shared by lsh_signature and the
+    one-pass multi-table form in ann_lsh_pairs)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    e = F.col(vec_col).cast("array<double>")
     bits = []
     for i, plane in enumerate(planes):
         pl = F.array(*[F.lit(x) for x in plane])
@@ -221,7 +222,13 @@ def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, see
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    return df.withColumn("sig", sig.cast("long"))
+    return sig.cast("long")
+
+
+def lsh_signature(df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42):
+    """Random-hyperplane signature as a packed BIGINT column `sig`."""
+    e = F.col(vec_col).cast("array<double>")
+    return df.withColumn("sig", _lsh_sig_expr(e, dim, n_planes, seed))
 
 
 def ann_lsh_pairs(
@@ -239,17 +246,35 @@ def ann_lsh_pairs(
     join only. At 100 TB the bucket join replaces the quadratic cross join;
     skewed buckets are split by AQE.
     """
-    v = _with_norm(df, id_col, vec_col)
-    candidates = None
-    for t in range(n_tables):
-        sig = lsh_signature(v, "e", dim, n_planes, seed=1000 + t).select(
-            F.col(id_col), F.col("sig"), F.lit(t).alias("tbl")
+    # r14: the per-table loop re-derived the signature frame TWICE per
+    # table (once per self-join side), so n_tables=12 recomputed the
+    # norm+signature projection 24x and the plan scanned the input 26x
+    # (guide §2.4 duplicated subtrees). One materialized (id, e, nrm)
+    # pass + one exploded (id, tbl, sig) frame + ONE self-join on
+    # (sig, tbl) produces the identical candidate set: same per-table
+    # seeds, and the union over per-table equality joins IS the equality
+    # join on the (tbl, sig) compound key.
+    v = _with_norm(df, id_col, vec_col).localCheckpoint(eager=True)
+    e = F.col("e")
+    structs = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _lsh_sig_expr(e, dim, n_planes, seed=1000 + t).alias("sig"),
         )
-        a = sig.select(F.col(id_col).alias("a"), "sig", "tbl")
-        b = sig.select(F.col(id_col).alias("b"), "sig", "tbl")
-        cand = a.join(b, ["sig", "tbl"]).where(F.col("a") < F.col("b")).select("a", "b")
-        candidates = cand if candidates is None else candidates.unionByName(cand)
-    candidates = candidates.distinct()
+        for t in range(n_tables)
+    ]
+    sigs = (
+        v.select(F.col(id_col), F.explode(F.array(*structs)).alias("s"))
+        .select(F.col(id_col), F.col("s.tbl").alias("tbl"), F.col("s.sig").alias("sig"))
+        # both self-join sides read this in one job: eager, not lazy
+        # (a lazy checkpoint could be computed twice concurrently)
+        .localCheckpoint(eager=True)
+    )
+    a = sigs.select(F.col(id_col).alias("a"), "sig", "tbl")
+    b = sigs.select(F.col(id_col).alias("b"), "sig", "tbl")
+    candidates = (
+        a.join(b, ["sig", "tbl"]).where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )
     av = v.select(F.col(id_col).alias("a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
     bv = v.select(F.col(id_col).alias("b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
     scored = candidates.join(av, "a").join(bv, "b")

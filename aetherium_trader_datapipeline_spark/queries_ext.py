@@ -244,7 +244,13 @@ def x46_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = max(100, -(-n_docs // 5))  # == GREATEST(100, CEIL(0.2*n))
     return (
         ngram_jaccard_pairs(
-            t["documents"], "doc_id", shingle_size=2, max_shingle_freq=cap
+            t["documents"],
+            "doc_id",
+            shingle_size=2,
+            max_shingle_freq=cap,
+            # corpus-proportional cap => exploding self-join: pin its
+            # exchange width (see the operator docstring; 23 s -> 6 s)
+            join_parallelism=spark.sparkContext.defaultParallelism * 2,
         )
         .orderBy(F.desc("jaccard"), "a", "b")
         .limit(50)
@@ -441,12 +447,22 @@ def _exact_jaccard_pairs(docs, p: int, q: int, max_freq: int | None = None):
     sh = (
         sh0.join(freq.where(F.col("df") <= max_freq), "sh")
         .select("id", "sh")
-        .localCheckpoint(eager=False)
+        # eager (r14): three readers (sizes + both self-join sides) share
+        # the downstream job; lazy risked concurrent recomputation
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # r14: with the df cap at GREATEST(100, 0.2n) the shingle self-join
+    # EXPLODES (sf0.1: 256k input rows -> 36.5M joined rows, 10.3M pairs)
+    # while its input is a few MB, so AQE coalesces the exchange to ~1
+    # task and the explosion runs serial.  Pin the exchange's parallelism
+    # by keying it explicitly (cores-derived, scale-adaptive).  Measured
+    # 28.2 s -> 2.7 s for the inter stage at sf0.1 on local[32].
+    p_join = docs.sparkSession.sparkContext.defaultParallelism * 2
+    base = sh.repartition(p_join, "sh")
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "sh")
+        base.alias("x")
+        .join(base.alias("y"), "sh")
         .where(F.col("x.id") < F.col("y.id"))
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -485,7 +501,11 @@ def x47_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    exact = _exact_jaccard_pairs(docs, p=1, q=5)  # J >= 0.2
+    # r14: the count branch and the recall semi-join both consume the
+    # exact-pairs frame in one job — without materialization the whole
+    # shingle self-join subtree ran twice (guide §2.4); the pair list
+    # itself is tiny
+    exact = _exact_jaccard_pairs(docs, p=1, q=5).localCheckpoint(eager=True)  # J >= 0.2
     cand = minhash_lsh_candidates(minhash_signatures(docs, "doc_id"))
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_rec = exact.join(cand, ["a", "b"], "left_semi").agg(
@@ -519,7 +539,8 @@ def x48_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    truth = _exact_jaccard_pairs(docs, p=7, q=10)  # J >= 0.7
+    # r14: same two-consumer materialization as x47 (count + recall join)
+    truth = _exact_jaccard_pairs(docs, p=7, q=10).localCheckpoint(eager=True)  # J >= 0.7
     pred = simhash_neardup_pairs(docs, "doc_id", max_hamming=16)
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
     n_hit = truth.join(pred, ["a", "b"], "left_semi").agg(
@@ -558,9 +579,12 @@ def _ann_recall_summary(spark, sf_dir, ann_pairs, min_hits: int):
     )
 
     t = load_tables(spark, sf_dir)
+    # r14: stats and hits both consume the exact top-k in one job; the
+    # block-GEMM subtree behind it is the expensive part and ran twice —
+    # materialize the k-row result instead (guide §2.4)
     exact = pairwise_cosine_topk(
         t["embeddings"], id_col="vec_id", vec_col="embedding", k=20
-    )
+    ).localCheckpoint(eager=True)
     stats = exact.agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.round(F.avg("sim"), 4).alias("top20_mean_sim"),

@@ -3,28 +3,59 @@ graph, complementing x72/x73 (connected components) and x172 (PageRank).
 
 Both keys project the orders⨝lineitem bipartite relation into a
 supplier–supplier graph and stay in exact integer arithmetic until one
-final division, so they hash-verify. Plans are pure equality joins —
-no iteration, no driver collects.
+final division, so they hash-verify.
 
-x189 triangle census   edge-edge-edge join with a<b<c id ordering (each
-                       triangle enumerated exactly once) + global
-                       clustering coefficient 6T / Σd(d-1). The per-order
-                       supplier fan-out is bounded (≤7 lineitems/order),
-                       so the projected edge list grows linearly in
-                       orders; the standard scale refinement — ordering
-                       endpoints by (degree, id) instead of id to cap the
-                       wedge join on hub nodes — is noted for the dense-
-                       graph regime but unnecessary at these SFs.
+x189 triangle census   global clustering coefficient 6T / Σd(d-1) with an
+                       exact triangle count T.
 x190 neighbor jaccard  supplier similarity by shared-customer sets:
                        intersection via one equality self-join on
                        customer, union by inclusion-exclusion from exact
                        degrees — the same candidate-generation shape as
                        the LSH dedup paths (no all-pairs scan).
+
+r14 rewrite (guide §1.2 — fix the distributed algorithm first):
+
+* The SQL forms re-inlined each CTE per reference (x189's edge list six
+  times, 16 lineitem scans, 84 Exchanges), but the dominant cost was NOT
+  the re-scans — it was the shape of the heavy operators on this DENSE
+  fixture graph (1 000 suppliers, 453 588 of 499 500 possible edges, so
+  ~137 M wedges and 124.5 M triangles at sf0.1):
+* x189's edge-edge-edge join materialized and shuffled every wedge; the
+  dense regime calls for the GEMM kernel instead (the x307 posture):
+  T = trace(A³)/6 over the n×n 0/1 adjacency, computed in one NumPy task
+  (n ≤ _GEMM_MAX_NODES keeps A ≤ 64 MB f32 and ≤ ~140 GFLOPs; (A@A)_ij
+  ≤ n < 2²⁴ stays exact in f32, the final sum accumulates in f64).
+  Measured 14.8 s (broadcast wedge+semi join) → 2.9 s at sf0.1; the
+  sparse/large regime (n above the cutoff, where dense tiles are
+  infeasible but real graphs are sparse) keeps the equality-join plan.
+* Edges come from one groupBy(order)+collect_set+map-side pair explode
+  (bounded ≤7 suppliers/order ⇒ ≤21 pairs) instead of the so⨝so
+  self-join — one shuffle of (order, supplier) rows, no join, measured
+  2.2 s → 1.6 s; the distinct output is eagerly checkpointed because the
+  census reads it from several subtrees in one job.
+* x190's customer self-join explodes (shared-customer mass ≫ input), and
+  AQE coalesces its exchange to ~1 task because the INPUT is only a few
+  MB — the small-input/exploding-join blind spot.  An explicit
+  repartition(2×defaultParallelism, c) on the materialized base sets the
+  explosion's parallelism (scale-adaptive: derived from cores, and at
+  real scale the input partition count already dominates).  Checkpointed
+  frames lose Catalyst size stats, so the node-sized degree frame is
+  broadcast explicitly (graph.py posture).
+
+The DuckDB oracles keep the original CTE text (DuckDB materializes CTEs,
+so the duplication never hurt the oracle side), and both keys stay
+hash-verified at sf0.001/0.01/0.1.
 """
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aetherium_trader_datapipeline_spark.queries import register
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 _X189_BODY = """
     WITH so AS (
@@ -50,12 +81,104 @@ _X189_BODY = """
     FROM tri CROSS JOIN wedges
 """
 
-register_sql(
-    "x189_triangle_census",
-    spark_sql=_X189_BODY,
-    duckdb_sql=_X189_BODY,
-    tags=("graph",),
+# Dense-GEMM cutoff: A is n×n float32 (64 MB at 4096) and the kernel is
+# 2n³ FLOPs in one task (~140 GFLOPs at 4096 — seconds of BLAS). Above
+# it, dense adjacency is infeasible and the graph is necessarily sparse
+# relative to n², which is the equality-join plan's regime.
+_GEMM_MAX_NODES = 4096
+
+# Map-side unordered-pair explode over a sorted per-group set ss:
+# (ss[i], ss[j]) for all i < j.
+_PAIRS_EXPR = (
+    "flatten(transform(ss, (v, i) ->"
+    " transform(slice(ss, i + 2, size(ss) - i - 1), w -> struct(v AS a, w AS b))))"
 )
+
+
+def _gemm_triangle_count(pdf_iter: Iterator) -> Iterator:
+    """Exact T = trace(A³)/6 over one partition holding the whole edge
+    list (a < b per row, distinct).  f32 GEMM is exact here: every
+    (A@A)_ij ≤ n < 2²⁴; the final reduction accumulates in float64."""
+    import numpy as np
+    import pandas as pd
+
+    chunks = list(pdf_iter)
+    ed = pd.concat(chunks) if chunks else pd.DataFrame({"a": [], "b": []})
+    if len(ed) == 0:
+        yield pd.DataFrame({"t": [0]})
+        return
+    ids = np.unique(np.concatenate([ed["a"].to_numpy(), ed["b"].to_numpy()]))
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n), dtype=np.float32)
+    ai = ed["a"].map(idx).to_numpy()
+    bi = ed["b"].map(idx).to_numpy()
+    A[ai, bi] = 1.0
+    A[bi, ai] = 1.0
+    tr = float(np.sum((A @ A) * A, dtype=np.float64))
+    yield pd.DataFrame({"t": [int(round(tr / 6.0))]})
+
+
+@register("x189_triangle_census", oracle=_X189_BODY, tags=("graph",))
+def x189_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    P = spark.sparkContext.defaultParallelism * 2
+    e = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("s")).alias("ss"))
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("p.a", "p.b")
+        .distinct()
+        # several readers (census kernel, degree union, edge count) share
+        # one job — eager, and LogicalRDD drops stats so joins below that
+        # need a broadcast say so explicitly
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("s"))
+        .unionAll(e.select(F.col("b").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+        # two readers (wedge sum + node count); cheap from materialized e
+        .localCheckpoint(eager=True)
+    )
+    n_nodes_v = deg.count()  # bounded scalar: picks the census kernel
+    if n_nodes_v <= _GEMM_MAX_NODES:
+        tri = e.coalesce(1).mapInPandas(_gemm_triangle_count, "t long")
+    else:
+        # sparse/large regime: oriented wedge join closed by an edge join,
+        # parallelism pinned against the exploding-join AQE blind spot
+        e1 = e.repartition(P, "b").select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+        e2 = e.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+        e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+        tri = (
+            e1.join(e2, F.col("a2") == F.col("b1"))
+            .join(
+                e3,
+                (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")),
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).alias("t"))
+        )
+    wedges = deg.agg(F.sum(F.col("d") * (F.col("d") - F.lit(1))).alias("w2"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(wedges)
+        .crossJoin(n_nodes)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").alias("n_triangles"),
+            F.round(F.lit(6.0) * F.col("t") / F.col("w2"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )
+
 
 _X190_BODY = """
     WITH sc AS (
@@ -74,9 +197,60 @@ _X190_BODY = """
     ORDER BY jaccard DESC, sa, sb LIMIT 20
 """
 
-register_sql(
-    "x190_neighbor_jaccard",
-    spark_sql=_X190_BODY,
-    duckdb_sql=_X190_BODY,
-    tags=("graph", "similarity"),
-)
+
+@register("x190_neighbor_jaccard", oracle=_X190_BODY, tags=("graph", "similarity"))
+def x190_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    P = spark.sparkContext.defaultParallelism * 2
+    sc = (
+        t["lineitem"]
+        .select(F.col("l_suppkey").alias("s"), F.col("l_orderkey").alias("ok"))
+        .join(
+            t["orders"].select(
+                F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
+            ),
+            "ok",
+        )
+        .select("s", "c")
+        .distinct()
+        # three readers (degree + both intersection sides)
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        sc.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+        # two readers (deg_a / deg_b joins) in the one final job
+        .localCheckpoint(eager=True)
+    )
+    # the shared-customer self-join explodes far beyond its few-MB input,
+    # which AQE would coalesce to ~1 task — pin the parallelism by keying
+    # the exchange explicitly (scale-adaptive: cores-derived)
+    base = sc.repartition(P, "c")
+    a = base.select(F.col("s").alias("sa"), "c")
+    b = base.select(F.col("s").alias("sb"), "c")
+    inter = (
+        a.join(b, "c")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("s").alias("sb"), F.col("d").alias("deg_b"))
+    return (
+        inter.join(F.broadcast(da), "sa")
+        .join(F.broadcast(db), "sb")
+        .select(
+            "sa",
+            "sb",
+            "shared",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "sa", "sb")
+        .limit(20)
+    )

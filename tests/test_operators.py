@@ -849,3 +849,36 @@ def test_block_pair_sims_topk_floor_tiny_n(spark):
     )
     got = [(r.a, r.b) for r in pairwise_cosine_topk(df, "id", "emb", k=2).collect()]
     assert got == [(1, 2), (3, 4)]
+
+
+def test_ngram_jaccard_join_parallelism_equivalent(spark, tables):
+    """The r14 exploding-join parallelism pin must not change results."""
+    from aetherium_trader_datapipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = tables["documents"]
+    plain = {
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, "doc_id", max_shingle_freq=100).collect()
+    }
+    pinned = {
+        (r.a, r.b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", max_shingle_freq=100, join_parallelism=7
+        ).collect()
+    }
+    assert plain == pinned and plain
+
+
+def test_triangle_census_gemm_matches_join(spark, tables, monkeypatch):
+    """x189's dense-GEMM kernel and the sparse join fallback must agree."""
+    import os
+
+    import aetherium_trader_datapipeline_spark.queries_ext29 as ext29
+    from aetherium_trader_datapipeline_spark.queries import REGISTRY
+
+    run = REGISTRY["x189_triangle_census"].run
+    d = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    gemm = run(spark, d).collect()
+    monkeypatch.setattr(ext29, "_GEMM_MAX_NODES", 0)  # force the join path
+    join = run(spark, d).collect()
+    assert [tuple(r) for r in gemm] == [tuple(r) for r in join]
