@@ -666,8 +666,13 @@ def x63_stateful_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
+    # r14: pin the group-key exchange width so the per-user Python replay
+    # spreads across workers instead of one AQE-coalesced task (the x171
+    # fix; see queries_ext21)
+    p = spark.sparkContext.defaultParallelism * 2
     out = rate_limit_batch(
-        t["events"], "ts", ["user_id"], windows=(RateWindow(3, 3600), RateWindow(1, 600))
+        t["events"].repartition(p, "user_id"),
+        "ts", ["user_id"], windows=(RateWindow(3, 3600), RateWindow(1, 600))
     )
     return out.orderBy("user_id", "ts").limit(500)
 

@@ -24,7 +24,8 @@ contract.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # -- x162: one-pass gram matrix (X^T X) over embeddings ---------------------
 #
@@ -34,18 +35,23 @@ from aetherium_trader_datapipeline_spark.queries import register_sql
 # 4096 cells per task before the single tiny shuffle. Per-term
 # double-product → DECIMAL(38,18) cast makes the SUM order-independent.
 
-register_sql(
-    "x162_gram_matrix",
-    spark_sql="""
+# r14: the per-vector dim×dim fan-out (|V|·d(d+1)/2 product rows with
+# DECIMAL(38,18) partial sums) exploded out of a single-row-group scan,
+# so the whole join+aggregate ran as ONE task (AQE sizes exchanges by
+# input bytes, which are a few MB) — the Spark side now feeds the
+# self-join from a cores-derived repartition of embeddings: 5.2 s →
+# 1.0–1.4 s at sf0.1 on local[32].  Oracle text unchanged.
+_X162_SPARK = """
     WITH e AS (
-      SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM embeddings
+      SELECT vec_id, i, CAST(v AS DOUBLE) AS v FROM x162_emb_rep
       LATERAL VIEW posexplode(embedding) t AS i, v)
     SELECT a.i AS di, b.i AS dj,
            ROUND(CAST(CAST(ROUND(SUM(CAST(a.v * b.v AS DECIMAL(38,18))), 6) AS DECIMAL(38,6)) AS DOUBLE), 6) AS dot
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i ORDER BY di, dj LIMIT 600
-    """,
-    duckdb_sql="""
+"""
+
+_X162_DUCK = """
     WITH e AS (
       SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v FROM (
         SELECT vec_id, embedding FROM embeddings) d,
@@ -54,9 +60,15 @@ register_sql(
            ROUND(CAST(CAST(ROUND(SUM(CAST(a.v * b.v AS DECIMAL(38,18))), 6) AS DECIMAL(38,6)) AS DOUBLE), 6) AS dot
     FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
     GROUP BY a.i, b.i ORDER BY di, dj LIMIT 600
-    """,
-    tags=("similarity", "stats", "llm"),
-)
+"""
+
+
+@register("x162_gram_matrix", oracle=_X162_DUCK, tags=("similarity", "stats", "llm"))
+def x162_gram_matrix(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    p = spark.sparkContext.defaultParallelism * 2
+    t["embeddings"].repartition(p).createOrReplaceTempView("x162_emb_rep")
+    return spark.sql(_X162_SPARK)
 
 # -- x163: ordered conversion funnel ----------------------------------------
 #

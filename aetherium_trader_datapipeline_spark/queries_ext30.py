@@ -176,13 +176,27 @@ _X192_FMT = """
     FROM best ORDER BY probe_id
 """
 
-register_sql(
+# r14: the probes×cands cross join evaluates ~154k interpreted 64-dim
+# cosine folds out of a single-row-group scan — one task.  The Spark side
+# reads embeddings through a cores-derived repartition so the
+# BroadcastNestedLoopJoin stage spreads (2.5 s → see OPTIMIZATION_r14.md);
+# oracle text unchanged.
+_X192_SPARK = _X192_FMT.format(
+    cast_vec="CAST(embedding AS ARRAY<DOUBLE>)", cos=_spark_cos("p.e", "c.e")
+).replace("FROM embeddings", "FROM x192_emb_rep")
+
+
+@register(
     "x192_knn_classify",
-    spark_sql=_X192_FMT.format(
-        cast_vec="CAST(embedding AS ARRAY<DOUBLE>)", cos=_spark_cos("p.e", "c.e")
-    ),
-    duckdb_sql=_X192_FMT.format(
+    oracle=_X192_FMT.format(
         cast_vec="CAST(embedding AS DOUBLE[])", cos=_duck_cos("p.e", "c.e")
     ),
     tags=("similarity", "llm"),
 )
+def x192_knn_classify(spark, sf_dir):
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    p = spark.sparkContext.defaultParallelism * 2
+    t["embeddings"].repartition(p).createOrReplaceTempView("x192_emb_rep")
+    return spark.sql(_X192_SPARK)
