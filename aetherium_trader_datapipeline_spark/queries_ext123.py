@@ -33,7 +33,7 @@ run before trusting cosine similarity (x35/x49/x191) on a new encoder.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
 
 # -- x442: vocabulary coverage curve ------------------------------------------------
 
@@ -93,6 +93,27 @@ register_sql(
 )
 
 # -- x443: pairs z-score backtest -----------------------------------------------------
+
+# r14: the Spark side materializes the tiny lp frame (last log-price per
+# (sym, minute) — one events scan + one window) into an eagerly
+# checkpointed temp view; CTE inlining otherwise re-ran that scan+window
+# once per self-join side (2.1 s -> ~1.2 s at sf0.1).  The oracle keeps
+# the original single-statement text.
+_X443_LP = """
+    WITH ticks AS (
+      SELECT user_id % 10 AS sym, {epoch} {intdiv} 60 AS mkey, ts, event_id,
+             CAST(100 + (value - FLOOR(value)) * 10 AS DECIMAL(18,6)) AS px
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT sym, mkey,
+           CAST(FLOOR(LN(CAST(px AS DOUBLE)) * 1e9) AS BIGINT) AS lp_fp
+    FROM (
+      SELECT sym, mkey, px,
+             ROW_NUMBER() OVER (PARTITION BY sym, mkey
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ticks
+    ) t WHERE rn = 1
+"""
 
 _X443 = """
     WITH ticks AS (
@@ -189,17 +210,37 @@ _X443 = """
 _LASTVAL_SPARK = "LAST_VALUE(marker) IGNORE NULLS OVER w"
 _LASTVAL_DUCK = "LAST_VALUE(marker IGNORE NULLS) OVER w"
 
-register_sql(
-    "x443_pairs_backtest",
-    spark_sql=_X443.format(
-        intdiv="DIV", epoch="unix_seconds(ts)", lastval=_LASTVAL_SPARK
-    ),
-    duckdb_sql=_X443.format(
-        intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)",
-        lastval=_LASTVAL_DUCK,
-    ),
-    tags=("finance", "backtest"),
+_X443_SPARK = _X443.format(
+    intdiv="DIV", epoch="unix_seconds(ts)", lastval=_LASTVAL_SPARK
+).replace(
+    """lp AS (
+      SELECT sym, mkey,
+             CAST(FLOOR(LN(CAST(px AS DOUBLE)) * 1e9) AS BIGINT) AS lp_fp
+      FROM (
+        SELECT sym, mkey, px,
+               ROW_NUMBER() OVER (PARTITION BY sym, mkey
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ticks
+      ) t WHERE rn = 1
+    ),""",
+    "lp AS (SELECT * FROM x443_lp),",
 )
+
+
+_X443_DUCK = _X443.format(
+    intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)",
+    lastval=_LASTVAL_DUCK,
+)
+
+
+@register("x443_pairs_backtest", oracle=_X443_DUCK, tags=("finance", "backtest"))
+def x443_pairs_backtest(spark, sf_dir):
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    lp = spark.sql(_X443_LP.format(intdiv="DIV", epoch="unix_seconds(ts)"))
+    lp.localCheckpoint(eager=True).createOrReplaceTempView("x443_lp")
+    return spark.sql(_X443_SPARK)
 
 # -- x444: embedding isotropy ---------------------------------------------------------
 
