@@ -24,7 +24,7 @@ placebo check.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
 
 # -- x504: IV regression -----------------------------------------------------------------
 
@@ -204,11 +204,108 @@ _X506 = """
     FROM gaps GROUP BY post ORDER BY is_post_period
 """
 
-register_sql(
-    "x506_synthetic_control",
-    spark_sql=_X506.format(intdiv="DIV", epoch="unix_seconds(ts)"),
-    duckdb_sql=_X506.format(
-        intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"
+def _x506_spark(spark, sf_dir):
+    """r14 restructure (guide §2.4): the pure-SQL form re-inlined `rets`
+    per reference — pre_pair reads it twice (donor and treated side of the
+    correlation join), donor_daily and treated_daily once each — so the
+    ticks scan + per-(sym, minute) last-price window ran 8 times (8 events
+    scans, 56 exchanges).  Materializing lastpx (one row per sym-minute)
+    and rets (same cardinality) as checkpointed temp views runs the events
+    scan and the window ONCE; every downstream CTE is sym×minute-sized.
+    All expressions are textually unchanged, so the DuckDB oracle
+    (byte-identical) agrees row-for-row."""
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+    lastpx = spark.sql(
+        """
+    WITH ticks AS (
+      SELECT user_id % 10 AS sym, unix_seconds(ts) DIV 60 AS mkey,
+             unix_seconds(ts) DIV 86400 AS dkey, ts, event_id,
+             CAST(100 + (value - FLOOR(value)) * 10 AS DECIMAL(18,6)) AS px
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT sym, mkey, dkey, px FROM (
+      SELECT sym, mkey, dkey, px,
+             ROW_NUMBER() OVER (PARTITION BY sym, mkey
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM ticks
+    ) t WHERE rn = 1"""
+    ).localCheckpoint()
+    lastpx.createOrReplaceTempView("x506_lastpx")
+    rets = spark.sql(
+        """
+    WITH d0 AS (SELECT MIN(dkey) AS d0 FROM x506_lastpx)
+    SELECT l.sym, l.mkey, l.dkey - d.d0 AS rel_day,
+           CAST(FLOOR(LN(CAST(l.px AS DOUBLE)
+                         / CAST(LAG(l.px) OVER (PARTITION BY l.sym
+                                                ORDER BY l.mkey)
+                                AS DOUBLE)) * 1e9) AS BIGINT) AS r
+    FROM x506_lastpx l CROSS JOIN d0 d"""
+    ).localCheckpoint()
+    rets.createOrReplaceTempView("x506_rets")
+    return spark.sql(
+        """
+    WITH pre_pair AS (
+      SELECT b.sym AS donor, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(a.r AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(b.r AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(CAST(a.r AS DECIMAL(18,0)) * a.r) AS DECIMAL(38,0))
+               AS s11,
+             CAST(SUM(CAST(b.r AS DECIMAL(18,0)) * b.r) AS DECIMAL(38,0))
+               AS s22,
+             CAST(SUM(CAST(a.r AS DECIMAL(18,0)) * b.r) AS DECIMAL(38,0))
+               AS s12
+      FROM x506_rets a JOIN x506_rets b
+        ON a.mkey = b.mkey AND a.sym = 0 AND b.sym != 0
+      WHERE a.rel_day < 15 AND a.r IS NOT NULL AND b.r IS NOT NULL
+      GROUP BY b.sym
     ),
+    weights AS (
+      SELECT donor,
+             GREATEST(0, CAST(FLOOR(
+               CAST(n * s12 - s1 * s2 AS DOUBLE)
+               / SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                      * CAST(n * s22 - s2 * s2 AS DOUBLE)) * 1e9)
+               AS BIGINT)) AS w_fp
+      FROM pre_pair
+      WHERE n * s11 - s1 * s1 > 0 AND n * s22 - s2 * s2 > 0
+    ),
+    donor_daily AS (
+      SELECT r.rel_day,
+             CAST(SUM(w.w_fp * r.r) AS DECIMAL(38,0)) AS wsum,
+             CAST(SUM(CAST(w.w_fp AS DECIMAL(18,0)) * 1) AS DECIMAL(38,0))
+               AS wtot_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM x506_rets r JOIN weights w ON r.sym = w.donor
+      WHERE r.r IS NOT NULL
+      GROUP BY r.rel_day
+    ),
+    treated_daily AS (
+      SELECT rel_day,
+             CAST(SUM(r) AS BIGINT) AS tsum,
+             CAST(COUNT(*) AS BIGINT) AS tn
+      FROM x506_rets WHERE sym = 0 AND r IS NOT NULL GROUP BY rel_day
+    ),
+    gaps AS (
+      SELECT t.rel_day,
+             CASE WHEN t.rel_day >= 15 THEN 1 ELSE 0 END AS post,
+             CAST(FLOOR((CAST(t.tsum AS DOUBLE) / t.tn
+                         - CAST(d.wsum AS DOUBLE) / CAST(d.wtot_rows
+                                                         AS DOUBLE))
+                        / 1e0) AS BIGINT) AS gap_fp
+      FROM treated_daily t JOIN donor_daily d ON t.rel_day = d.rel_day
+    )
+    SELECT CAST(post AS BIGINT) AS is_post_period,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(CAST(SUM(gap_fp) AS DOUBLE) / COUNT(*) / 1e9, 9)
+             AS mean_gap_treated_vs_synthetic
+    FROM gaps GROUP BY post ORDER BY is_post_period"""
+    )
+
+
+register(
+    "x506_synthetic_control",
+    oracle=_X506.format(intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"),
     tags=("experiment", "finance"),
-)
+)(_x506_spark)

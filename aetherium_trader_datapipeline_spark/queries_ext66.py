@@ -112,16 +112,75 @@ def _x291_sql(pos_gen: str, md5i) -> str:
 """
 
 
-register_sql(
+_X291_DUCK = _x291_sql(
+    ", LATERAL (SELECT unnest(range(1, d.npos + 1)) AS i) g", _md5i_duck
+).format(div="//")
+
+
+@register(
     "x291_winnowing_fingerprints",
-    spark_sql=_x291_sql(
-        "LATERAL VIEW explode(sequence(1, d.npos)) g AS i", _md5i_spark
-    ).format(div="DIV"),
-    duckdb_sql=_x291_sql(
-        ", LATERAL (SELECT unnest(range(1, d.npos + 1)) AS i) g", _md5i_duck
-    ).format(div="//"),
+    oracle=_X291_DUCK,
     tags=("dedup", "text", "fingerprint"),
 )
+def x291_winnowing_fingerprints(spark, sf_dir):
+    """r14 restructure (guide §2.4): CTE inlining ran the per-position
+    md5 k-gram hashing once per reference — `g` twice (both sides of the
+    band self-join) and `fp` three times (nfp + both pair-join sides) —
+     8 documents scans per plan, each re-exploding every position and
+    re-hashing.  Checkpointing g (doc_id, i, npos, h — the text never
+    leaves the scan job) and fp makes the hash pass run once; the band
+    join and the overlap join read the small checkpoints.  Window/selection
+    SQL is textually unchanged, as is the DuckDB oracle."""
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents")
+    h = _md5i_spark("substr(d.text, g.i, 5)", 1, 12)
+    g = spark.sql(
+        f"""
+    SELECT d.doc_id, g.i, d.npos, {h} AS h
+    FROM (
+      SELECT doc_id, lower(text) AS text, length(text) - 4 AS npos
+      FROM documents WHERE doc_id <= 300 AND length(text) >= 5
+    ) d LATERAL VIEW explode(sequence(1, d.npos)) g AS i"""
+    ).localCheckpoint()
+    g.createOrReplaceTempView("x291_g")
+    fp = spark.sql(
+        """
+    WITH win AS (
+      SELECT a.doc_id, a.i AS s, b.i AS j, b.h
+      FROM x291_g a JOIN x291_g b
+        ON a.doc_id = b.doc_id AND b.i >= a.i AND b.i <= a.i + 3
+      WHERE a.i + 3 <= a.npos
+    ),
+    sel AS (
+      SELECT doc_id, s, mh, MAX(j) AS fp_pos
+      FROM (
+        SELECT w.*, MIN(h) OVER (PARTITION BY doc_id, s) AS mh FROM win w
+      ) z
+      WHERE h = mh GROUP BY doc_id, s, mh
+    )
+    SELECT DISTINCT doc_id, mh AS fp_hash FROM sel"""
+    ).localCheckpoint()
+    fp.createOrReplaceTempView("x291_fp")
+    return spark.sql(
+        """
+    WITH nfp AS (SELECT doc_id, COUNT(*) AS n FROM x291_fp GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM x291_fp a JOIN x291_fp b
+        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.d1, p.d2, CAST(p.shared AS BIGINT) AS shared_fps,
+           CAST(na.n AS BIGINT) AS n_fp1, CAST(nb.n AS BIGINT) AS n_fp2,
+           CAST(p.shared * 10000 DIV (na.n + nb.n - p.shared) AS BIGINT)
+             AS overlap_bp
+    FROM pairs p
+    JOIN nfp na ON na.doc_id = p.d1
+    JOIN nfp nb ON nb.doc_id = p.d2
+    WHERE p.shared >= 3
+    ORDER BY overlap_bp DESC, p.d1, p.d2 LIMIT 100"""
+    )
 
 # -- x292: BPE tokenizer training, two merge rounds --------------------------
 # The merge round is the interesting SQL: mark match positions (sym_p,
@@ -562,19 +621,109 @@ def _x296_sql(toks: str, intdiv: str = "DIV") -> str:
 """
 
 
-register_sql(
-    "x296_perplexity_buckets",
-    spark_sql=_x296_sql(
-        """
-      SELECT doc_id, idx, w FROM documents
-      LATERAL VIEW posexplode(split(lower(text), ' ')) t AS idx, w"""
-    ),
-    duckdb_sql=_x296_sql(
-        """
+_X296_DUCK = _x296_sql(
+    """
       SELECT doc_id, i AS idx, ws[i] AS w FROM (
         SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         LATERAL unnest(generate_series(1, len(ws))) AS t(i)""",
-        intdiv="//",
-    ),
+    intdiv="//",
+)
+
+
+@register(
+    "x296_perplexity_buckets",
+    oracle=_X296_DUCK,
     tags=("text", "llm", "curation"),
 )
+def x296_perplexity_buckets(spark, sf_dir):
+    """r14 restructure (guide §2.4 — remove shuffles outright): the pure-SQL
+    form re-inlined every CTE per reference — `toks` feeds occ (twice, via
+    the idx+1 self-join), uni and vocab, and `docscore` feeds nb/dch (which
+    dw and doff each re-expand) — 30 scans of documents and 122 exchanges
+    in one plan.  Materializing the three natural boundaries (toks, uni,
+    docscore) as checkpointed temp views and pairing bigrams with LEAD over
+    the dense posexplode index (identical pairs: idx is 0..n-1 consecutive,
+    so b.idx = a.idx + 1 selects exactly the LEAD row) drops the plan to
+    ONE documents scan; bc's per-(w1,w2) count becomes a window on the same
+    pass instead of a groupBy + join-back (the x157 device).  All decimal
+    casts and the chunked-rank tail are textually unchanged, so the NTILE
+    reconstruction and the DuckDB oracle (byte-identical) agree row-for-row.
+    """
+    from aetherium_trader_datapipeline_spark.tables import load_tables
+
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView("documents")
+    toks = spark.sql(
+        """
+      SELECT doc_id, idx, w FROM documents
+      LATERAL VIEW posexplode(split(lower(text), ' ')) t AS idx, w"""
+    ).localCheckpoint()
+    toks.createOrReplaceTempView("x296_toks")
+    uni = spark.sql(
+        "SELECT w, COUNT(*) AS c FROM x296_toks GROUP BY w"
+    ).localCheckpoint()
+    uni.createOrReplaceTempView("x296_uni")
+    docscore = spark.sql(
+        """
+    WITH occ0 AS (
+      SELECT doc_id, w AS w1,
+             LEAD(w) OVER (PARTITION BY doc_id ORDER BY idx) AS w2
+      FROM x296_toks),
+    occ AS (
+      SELECT doc_id, w1, w2,
+             COUNT(*) OVER (PARTITION BY w1, w2) AS c
+      FROM occ0 WHERE w2 IS NOT NULL),
+    vocab AS (SELECT COUNT(*) AS v FROM x296_uni),
+    scored AS (
+      SELECT occ.doc_id,
+             CAST(log2(CAST(occ.c + 1 AS DOUBLE) / (uni.c + vocab.v))
+                  AS DECIMAL(18,9)) AS lp
+      FROM occ
+      JOIN x296_uni uni ON occ.w1 = uni.w
+      CROSS JOIN vocab)
+    SELECT doc_id,
+           CAST(ROUND(-CAST(SUM(lp) AS DOUBLE) / COUNT(*), 4)
+                AS DECIMAL(18,6)) AS nll
+    FROM scored GROUP BY doc_id"""
+    ).localCheckpoint()
+    docscore.createOrReplaceTempView("x296_docscore")
+    return spark.sql(
+        """
+    WITH nb AS (SELECT MIN(nll) AS lo, MAX(nll) AS hi,
+                  CAST(COUNT(*) AS BIGINT) AS n FROM x296_docscore),
+    dch AS (
+      SELECT d.doc_id, d.nll,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST(d.nll - b.lo AS DOUBLE) * 1000
+                                        / CAST(b.hi - b.lo AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END AS ck
+      FROM x296_docscore d CROSS JOIN nb b),
+    dw AS (
+      SELECT doc_id, nll, ck,
+             ROW_NUMBER() OVER (PARTITION BY ck ORDER BY nll, doc_id)
+               AS r_in
+      FROM dch),
+    doff AS (
+      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM dch GROUP BY ck)),
+    bucketed AS (
+      SELECT w.doc_id, w.nll,
+             CASE WHEN b.n DIV 3 = 0 THEN o.off + w.r_in
+                  WHEN o.off + w.r_in
+                       <= (b.n % 3) * (b.n DIV 3 + 1)
+                    THEN (o.off + w.r_in + b.n DIV 3)
+                         DIV (b.n DIV 3 + 1)
+                  ELSE b.n % 3
+                       + (o.off + w.r_in
+                          - (b.n % 3) * (b.n DIV 3 + 1)
+                          + b.n DIV 3 - 1) DIV (b.n DIV 3)
+             END AS bucket
+      FROM dw w JOIN doff o ON w.ck = o.ck CROSS JOIN nb b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(nll) AS DOUBLE) AS min_nll,
+           CAST(MAX(nll) AS DOUBLE) AS max_nll,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 4) AS avg_nll
+    FROM bucketed GROUP BY bucket ORDER BY bucket"""
+    )
