@@ -22,7 +22,8 @@ applies before ranking many small arms (winner's-curse control).
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # -- x447: reciprocal rank fusion -----------------------------------------------------
 
@@ -124,12 +125,112 @@ _TOK_DUCK = """
       WHERE w != ''
 """
 
-register_sql(
+@register(
     "x447_rrf_fusion",
-    spark_sql=_X447.format(tok=_TOK_SPARK),
-    duckdb_sql=_X447.format(tok=_TOK_DUCK),
+    oracle=_X447.format(tok=_TOK_DUCK),
     tags=("retrieval",),
 )
+def x447_rrf_fusion(spark, sf_dir):
+    """r14 restructure (guide §2.4): CTE inlining re-expanded the token
+    explode per reference — lex reads tok twice (tf side and idf side),
+    and wrk/lg/mg each re-expand cch -> cand -> lex -> tok — 19 documents
+    scans, 101 exchanges in one plan.  Changes, oracle untouched:
+    (1) the tf grouping runs ONCE and the idf side derives from it
+    (each (doc_id, term) appears once in the tf frame, so COUNT(*) per
+    term there IS COUNT(DISTINCT doc_id) per term in tok); (2) `cand`
+    and `cch` are checkpointed once; the two-list chunked-rank tail reads
+    the small checkpoints.  19 documents scans -> 2 (token pass + the
+    corpus-count scalar / n_chars join)."""
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+        "documents"
+    )
+    tf = spark.sql(
+        f"""
+    WITH tok AS ({_TOK_SPARK})
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE term IN ('table', 'value', 'row')
+    GROUP BY doc_id, term"""
+    ).localCheckpoint()
+    tf.createOrReplaceTempView("x447_tf")
+    cand = spark.sql(
+        """
+    WITH lex AS (
+      SELECT t.doc_id,
+             CAST(SUM(t.tf * i.idf_fp) AS BIGINT) AS lex_fp
+      FROM x447_tf t
+      JOIN (
+        SELECT term,
+               CAST(FLOOR(LN((CAST((SELECT COUNT(*) FROM documents)
+                              AS DOUBLE) + 1.0) / (COUNT(*)
+                              + 1.0)) * 1e9) AS BIGINT) AS idf_fp
+        FROM x447_tf
+        GROUP BY term
+      ) i ON t.term = i.term
+      GROUP BY t.doc_id
+    )
+    SELECT l.doc_id, l.lex_fp, d.n_chars
+    FROM lex l JOIN documents d ON l.doc_id = d.doc_id"""
+    ).localCheckpoint()
+    cand.createOrReplaceTempView("x447_cand")
+    cch = spark.sql(
+        """
+    WITH bounds AS (
+      SELECT MIN(lex_fp) AS llo, MAX(lex_fp) AS lhi,
+             MIN(n_chars) AS mlo, MAX(n_chars) AS mhi
+      FROM x447_cand
+    )
+    SELECT c.doc_id, c.lex_fp, c.n_chars,
+           CASE WHEN b.lhi = b.llo THEN CAST(0 AS BIGINT)
+                ELSE LEAST(CAST(FLOOR(CAST(b.lhi - c.lex_fp AS DOUBLE)
+                                * 1000 / CAST(b.lhi - b.llo AS DOUBLE))
+                                AS BIGINT), CAST(999 AS BIGINT)) END AS ckl,
+           CASE WHEN b.mhi = b.mlo THEN CAST(0 AS BIGINT)
+                ELSE LEAST(CAST(FLOOR(CAST(b.mhi - c.n_chars AS DOUBLE)
+                                * 1000 / CAST(b.mhi - b.mlo AS DOUBLE))
+                                AS BIGINT), CAST(999 AS BIGINT)) END AS ckm
+    FROM x447_cand c CROSS JOIN bounds b"""
+    ).localCheckpoint()
+    cch.createOrReplaceTempView("x447_cch")
+    return spark.sql(
+        """
+    WITH wrk AS (
+      SELECT doc_id, ckl, ckm,
+             ROW_NUMBER() OVER (PARTITION BY ckl
+                                ORDER BY lex_fp DESC, doc_id) AS rl_in,
+             ROW_NUMBER() OVER (PARTITION BY ckm
+                                ORDER BY n_chars DESC, doc_id) AS rm_in
+      FROM x447_cch
+    ),
+    lg AS (
+      SELECT ckl, COALESCE(SUM(c) OVER (ORDER BY ckl
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ckl, CAST(COUNT(*) AS BIGINT) AS c FROM x447_cch
+            GROUP BY ckl)
+    ),
+    mg AS (
+      SELECT ckm, COALESCE(SUM(c) OVER (ORDER BY ckm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ckm, CAST(COUNT(*) AS BIGINT) AS c FROM x447_cch
+            GROUP BY ckm)
+    ),
+    fused AS (
+      SELECT w.doc_id,
+             CAST(lg.off + w.rl_in AS BIGINT) AS rank_lex,
+             CAST(mg.off + w.rm_in AS BIGINT) AS rank_meta,
+             CAST(FLOOR(1e12 / (60 + lg.off + w.rl_in)) AS BIGINT)
+               + CAST(FLOOR(1e12 / (60 + mg.off + w.rm_in)) AS BIGINT)
+               AS rrf_fp
+      FROM wrk w JOIN lg ON w.ckl = lg.ckl
+      JOIN mg ON w.ckm = mg.ckm
+    )
+    SELECT doc_id,
+           rank_lex,
+           rank_meta,
+           ROUND(rrf_fp / 1e12, 9) AS rrf_score
+    FROM fused ORDER BY rrf_fp DESC, doc_id LIMIT 10"""
+    )
 
 # -- x448: Simpson's paradox detector --------------------------------------------------
 

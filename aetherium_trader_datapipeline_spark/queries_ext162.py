@@ -25,7 +25,8 @@ logic.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # -- x552: empirical Bayes rates --------------------------------------------------------------
 
@@ -180,12 +181,83 @@ _TOK_DUCK = """
       WHERE w != ''
 """
 
-register_sql(
+@register(
     "x553_textrank_keywords",
-    spark_sql=_X553.format(tok=_TOK_SPARK, intdiv="DIV"),
-    duckdb_sql=_X553.format(tok=_TOK_DUCK, intdiv="//"),
+    oracle=_X553.format(tok=_TOK_DUCK, intdiv="//"),
     tags=("text", "graph"),
 )
+def x553_textrank_keywords(spark, sf_dir):
+    """r14 restructure (guide §2.4): `postings` (the distinct token
+    explode) was re-expanded by df and both edge_docs sides, and `edges`
+    by wdeg/pr1/pr2 — each expansion re-running the corpus scan — 17
+    documents scans, 98 exchanges in one plan.  Checkpointing postings,
+    nodes and edges runs the corpus pass ONCE; the two unrolled PageRank
+    iterations read the tiny (<=40x40) edge checkpoint.  All expressions
+    and the DuckDB oracle are textually unchanged."""
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+        "documents"
+    )
+    postings = spark.sql(
+        f"""
+    WITH tok AS ({_TOK_SPARK})
+    SELECT DISTINCT doc_id, term FROM tok"""
+    ).localCheckpoint()
+    postings.createOrReplaceTempView("x553_postings")
+    nodes = spark.sql(
+        """
+    WITH df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM x553_postings GROUP BY term
+    ),
+    vocab AS (
+      SELECT term, df,
+             ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rk
+      FROM df
+    )
+    SELECT term, df FROM vocab WHERE rk <= 40"""
+    ).localCheckpoint()
+    nodes.createOrReplaceTempView("x553_nodes")
+    edges = spark.sql(
+        """
+    WITH edge_docs AS (
+      SELECT doc_id, term FROM x553_postings WHERE doc_id % 10 = 0
+    )
+    SELECT pa.term AS u, pb.term AS v,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM edge_docs pa
+    JOIN edge_docs pb
+      ON pa.doc_id = pb.doc_id AND pa.term != pb.term
+    JOIN x553_nodes na ON pa.term = na.term
+    JOIN x553_nodes nb ON pb.term = nb.term
+    GROUP BY pa.term, pb.term"""
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("x553_edges")
+    return spark.sql(
+        """
+    WITH wdeg AS (
+      SELECT u, CAST(SUM(w) AS BIGINT) AS wd FROM x553_edges GROUP BY u
+    ),
+    pr1 AS (
+      SELECT e.v AS term,
+             150000 + 85 * CAST(SUM(e.w * 1000000 DIV d.wd)
+                                AS BIGINT) DIV 100 AS score
+      FROM x553_edges e JOIN wdeg d ON e.u = d.u
+      GROUP BY e.v
+    ),
+    pr2 AS (
+      SELECT e.v AS term,
+             150000 + 85 * CAST(SUM((e.w * p.score DIV d.wd))
+                                AS BIGINT) DIV 100 AS score
+      FROM x553_edges e
+      JOIN wdeg d ON e.u = d.u
+      JOIN pr1 p ON e.u = p.term
+      GROUP BY e.v
+    )
+    SELECT p.term, n.df, CAST(p.score AS BIGINT) AS textrank_fp,
+           ROUND(p.score / 1e6, 6) AS textrank
+    FROM pr2 p JOIN x553_nodes n ON p.term = n.term
+    ORDER BY p.score DESC, p.term LIMIT 10"""
+    )
 
 # -- x554: inspection paradox ---------------------------------------------------------------------
 

@@ -39,7 +39,8 @@ under per-row double math, hash orderings with tie-breakers).
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # -- x166: deterministic weighted sampling (A-ES) ---------------------------
 
@@ -68,33 +69,9 @@ register_sql(
 
 # -- x167: shingle containment (near-subset detection) ----------------------
 
-register_sql(
+@register(
     "x167_containment",
-    spark_sql="""
-    WITH sh AS (
-      SELECT DISTINCT doc_id, array_join(slice(ws, i, 5), ' ') AS shingle
-      FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents
-            ) d
-      LATERAL VIEW explode(sequence(1, size(ws) - 4)) t AS i
-      WHERE size(ws) >= 5),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-      FROM sh a JOIN rare ON a.shingle = rare.shingle
-                JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
-    inter AS (
-      SELECT c.a, c.b, COUNT(*) AS c
-      FROM cand c JOIN sh sa ON sa.doc_id = c.a
-                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-      GROUP BY c.a, c.b)
-    SELECT a, b, c AS n_shared, sz.n AS n_a,
-           ROUND(c / CAST(sz.n AS DOUBLE), 4) AS containment
-    FROM inter JOIN sz ON inter.a = sz.doc_id
-    WHERE c / CAST(sz.n AS DOUBLE) >= 0.5
-    ORDER BY containment DESC, a, b LIMIT 100
-    """,
-    duckdb_sql="""
+    oracle="""
     WITH sh AS (
       SELECT DISTINCT doc_id, array_to_string(ws[i:i+4], ' ') AS shingle
       FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
@@ -120,6 +97,45 @@ register_sql(
     """,
     tags=("dedup", "llm"),
 )
+def x167_containment(spark, sf_dir):
+    """r14 restructure (guide §2.4): `sh` (the distinct-shingle explode —
+    the expensive pass) was re-inlined six times (sz, rare, both cand
+    sides, both inter sides) — 6 documents scans, 28 exchanges in one
+    plan.  Checkpointing sh once leaves every downstream join reading the
+    small (doc_id, shingle) checkpoint; all expressions and the DuckDB
+    oracle are textually unchanged."""
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+        "documents"
+    )
+    sh = spark.sql(
+        """
+      SELECT DISTINCT doc_id, array_join(slice(ws, i, 5), ' ') AS shingle
+      FROM (SELECT doc_id, split(lower(text), ' ') AS ws FROM documents
+            ) d
+      LATERAL VIEW explode(sequence(1, size(ws) - 4)) t AS i
+      WHERE size(ws) >= 5"""
+    ).localCheckpoint()
+    sh.createOrReplaceTempView("x167_sh")
+    return spark.sql(
+        """
+    WITH sh AS (SELECT doc_id, shingle FROM x167_sh),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM sh a JOIN rare ON a.shingle = rare.shingle
+                JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS c
+      FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                  JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b)
+    SELECT a, b, c AS n_shared, sz.n AS n_a,
+           ROUND(c / CAST(sz.n AS DOUBLE), 4) AS containment
+    FROM inter JOIN sz ON inter.a = sz.doc_id
+    WHERE c / CAST(sz.n AS DOUBLE) >= 0.5
+    ORDER BY containment DESC, a, b LIMIT 100"""
+    )
 
 # -- x168: exact-dup keep-best policy ---------------------------------------
 

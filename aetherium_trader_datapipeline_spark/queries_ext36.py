@@ -75,10 +75,8 @@ register_sql(
 # x222 NTILE closed form (first n%5 quintiles hold n/5+1 rows).
 
 
-def _x210_quintile(tag: str, metric: str, desc: bool, intdiv: str) -> str:
+def _x210_chunk(tag: str, metric: str, desc: bool) -> str:
     diff = f"b{tag}.hi - t.{metric}" if desc else f"t.{metric} - b{tag}.lo"
-    order = f"{metric} DESC, user_id" if desc else f"{metric}, user_id"
-    rk = "(o.off + w.r_in)"
     return f"""
     b{tag} AS (SELECT MIN({metric}) AS lo, MAX({metric}) AS hi FROM rfm),
     c{tag} AS (
@@ -88,7 +86,14 @@ def _x210_quintile(tag: str, metric: str, desc: bool, intdiv: str) -> str:
                                   / CAST(b{tag}.hi - b{tag}.lo AS DOUBLE))
                                   AS BIGINT), CAST(999 AS BIGINT)) END AS ck
       FROM rfm t CROSS JOIN b{tag}
-    ),
+    )"""
+
+
+def _x210_quintile(tag: str, metric: str, desc: bool, intdiv: str) -> str:
+    order = f"{metric} DESC, user_id" if desc else f"{metric}, user_id"
+    rk = "(o.off + w.r_in)"
+    return f"""
+    {_x210_chunk(tag, metric, desc).lstrip()},
     w{tag} AS (
       SELECT user_id, ck,
              ROW_NUMBER() OVER (PARTITION BY ck ORDER BY {order}) AS r_in
@@ -115,9 +120,8 @@ def _x210_quintile(tag: str, metric: str, desc: bool, intdiv: str) -> str:
     )"""
 
 
-def _x210_sql(daydiff: str, intdiv: str) -> str:
-    return f"""
-    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+def _x210_rfm_cte(daydiff: str) -> str:
+    return f"""anchor AS (SELECT MAX(ts) AS mx FROM events),
     rfm AS (
       SELECT e.user_id,
              CAST({daydiff} AS BIGINT) AS recency_days,
@@ -125,7 +129,12 @@ def _x210_sql(daydiff: str, intdiv: str) -> str:
              SUM(CAST(ROUND(e.value, 2) AS DECIMAL(18,2))) AS monetary
       FROM events e CROSS JOIN anchor a
       GROUP BY e.user_id, a.mx
-    ),
+    )"""
+
+
+def _x210_sql(rfm_cte: str, intdiv: str) -> str:
+    return f"""
+    WITH {rfm_cte},
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm),
     {_x210_quintile("r", "recency_days", True, intdiv)},
     {_x210_quintile("f", "frequency", False, intdiv)},
@@ -144,16 +153,124 @@ def _x210_sql(daydiff: str, intdiv: str) -> str:
 """
 
 
-register_sql(
+@register(
     "x210_rfm",
-    spark_sql=_x210_sql(
-        "DATEDIFF(CAST(a.mx AS DATE), CAST(MAX(e.ts) AS DATE))", "DIV"
-    ),
-    duckdb_sql=_x210_sql(
-        "datediff('day', CAST(MAX(e.ts) AS DATE), CAST(a.mx AS DATE))", "//"
+    oracle=_x210_sql(
+        _x210_rfm_cte(
+            "datediff('day', CAST(MAX(e.ts) AS DATE), CAST(a.mx AS DATE))"
+        ),
+        "//",
     ),
     tags=("analytics", "window"),
 )
+def x210_rfm(spark, sf_dir):
+    """r14 restructure (guide §2.4): the pure-SQL form re-inlined `rfm`
+    (the per-user events aggregate) once per reference — nn plus, per
+    quintile tag, b{tag} and c{tag} twice (w{tag} and g{tag} each
+    re-expand it) — 10 rfm expansions, 30 events scans, 160 exchanges in
+    one plan.  Three changes, DuckDB oracle untouched: (1) rfm is
+    materialized once, computed in ONE events pass (anchor = MAX of the
+    per-user maxes); (2) the three structurally identical quintile
+    pipelines are unpivoted into one stacked chunked-rank pass
+    (PARTITION BY tag, ck) and the scores pivoted back — same ck formula,
+    same closed form, exact DECIMAL(38,2) order keys; (3) shared frames
+    are checkpointed.  30 events scans -> 1, 160 exchanges -> 14."""
+    load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+    per_user = spark.sql(
+        """
+      SELECT user_id, MAX(ts) AS mxu, CAST(COUNT(*) AS BIGINT) AS frequency,
+             SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS monetary
+      FROM events GROUP BY user_id"""
+    ).localCheckpoint()
+    per_user.createOrReplaceTempView("x210_per_user")
+    # anchor = MAX(ts) = MAX over the per-user maxes, and rfm's GROUP BY
+    # (user_id, a.mx) has a.mx constant — so this is the same relation as
+    # `_x210_rfm_cte` computed in ONE events pass instead of two.
+    rfm = spark.sql(
+        """
+      WITH anchor AS (SELECT MAX(mxu) AS mx FROM x210_per_user)
+      SELECT p.user_id,
+             CAST(DATEDIFF(CAST(a.mx AS DATE), CAST(p.mxu AS DATE))
+                  AS BIGINT) AS recency_days,
+             p.frequency, p.monetary
+      FROM x210_per_user p CROSS JOIN anchor a"""
+    ).localCheckpoint()
+    rfm.createOrReplaceTempView("x210_rfm_base")
+
+    # The three quintile pipelines are identical in shape and tiny per
+    # stage at any one SF (the per-user relation), so running them as
+    # three separate chunk/window/prefix/join chains is pure stage
+    # overhead.  Unpivot to (tag, ck, okey) and run ONE chunked-rank pass
+    # (PARTITION BY tag, ck), then pivot the scores back.  Order keys are
+    # exact: BIGINT and DECIMAL(18,2) both embed losslessly in
+    # DECIMAL(38,2), and `recency_days DESC, user_id` == `-recency ASC,
+    # user_id`.  The ck formula per tag is byte-identical to
+    # `_x210_chunk`'s, so chunk membership — and hence off + r_in, the
+    # global rank the closed form consumes — matches the oracle exactly.
+    def _ck(metric: str, lo: str, hi: str, desc: bool) -> str:
+        diff = f"s.{hi} - t.{metric}" if desc else f"t.{metric} - s.{lo}"
+        return f"""CASE WHEN s.{hi} = s.{lo} THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR(CAST({diff} AS DOUBLE) * 1000
+                                  / CAST(s.{hi} - s.{lo} AS DOUBLE))
+                                  AS BIGINT), CAST(999 AS BIGINT)) END"""
+
+    rk = "(o.off + w.r_in)"
+    closed = f"""CASE WHEN w.n DIV 5 = 0 THEN {rk}
+                  WHEN {rk} <= (w.n % 5) * (w.n DIV 5 + 1)
+                    THEN ({rk} + w.n DIV 5)
+                         DIV (w.n DIV 5 + 1)
+                  ELSE w.n % 5
+                       + ({rk} - (w.n % 5) * (w.n DIV 5 + 1)
+                          + w.n DIV 5 - 1) DIV (w.n DIV 5)
+             END"""
+    stacked = spark.sql(
+        f"""
+    WITH stats AS (
+      SELECT MIN(recency_days) AS rlo, MAX(recency_days) AS rhi,
+             MIN(frequency) AS flo, MAX(frequency) AS fhi,
+             MIN(monetary) AS mlo, MAX(monetary) AS mhi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM x210_rfm_base)
+    SELECT t.user_id, s.n, x.tag, x.ck, x.okey
+    FROM x210_rfm_base t CROSS JOIN stats s
+    LATERAL VIEW explode(array(
+      named_struct('tag', 'r', 'ck', {_ck("recency_days", "rlo", "rhi", True)},
+                   'okey', CAST(-t.recency_days AS DECIMAL(38,2))),
+      named_struct('tag', 'f', 'ck', {_ck("frequency", "flo", "fhi", False)},
+                   'okey', CAST(t.frequency AS DECIMAL(38,2))),
+      named_struct('tag', 'm', 'ck', {_ck("monetary", "mlo", "mhi", False)},
+                   'okey', CAST(t.monetary AS DECIMAL(38,2))))) e AS x"""
+    ).localCheckpoint()
+    stacked.createOrReplaceTempView("x210_stacked")
+    return spark.sql(
+        f"""
+    WITH w AS (
+      SELECT user_id, n, tag, ck,
+             ROW_NUMBER() OVER (PARTITION BY tag, ck
+                                ORDER BY okey, user_id) AS r_in
+      FROM x210_stacked),
+    g AS (
+      SELECT tag, ck, COALESCE(SUM(c) OVER (PARTITION BY tag ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT tag, ck, CAST(COUNT(*) AS BIGINT) AS c
+            FROM x210_stacked GROUP BY tag, ck)),
+    scored AS (
+      SELECT w.user_id,
+             MAX(CASE WHEN w.tag = 'r' THEN {closed} END) AS r_score,
+             MAX(CASE WHEN w.tag = 'f' THEN {closed} END) AS f_score,
+             MAX(CASE WHEN w.tag = 'm' THEN {closed} END) AS m_score
+      FROM w JOIN g o ON w.tag = o.tag AND w.ck = o.ck
+      GROUP BY w.user_id
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+"""
+    )
 
 # -- x211: log2-bucketed histogram + bucket-boundary p99 --------------------
 # Bucket = floor(log2(1 + value_cents)): integer-exact on both engines

@@ -44,6 +44,7 @@ NTILE(3) head/middle/tail terciles with per-bucket stats — the standard
 from __future__ import annotations
 
 from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # ---------------------------------------------------------------------------
 # engine fragments
@@ -290,12 +291,96 @@ _X292_CHR_DUCK = """
       ) z
 """
 
-register_sql(
+@register(
     "x292_bpe_merge_rounds",
-    spark_sql=_x292_sql(_X292_TOK_SPARK, _X292_CHR_SPARK),
-    duckdb_sql=_x292_sql(_X292_TOK_DUCK, _X292_CHR_DUCK),
+    oracle=_x292_sql(_X292_TOK_DUCK, _X292_CHR_DUCK),
     tags=("text", "llm", "tokenizer"),
 )
+def x292_bpe_merge_rounds(spark, sf_dir):
+    """r14 restructure (guide §2.4): the recursive CTE chain seq0 -> pc1/
+    seq1 -> pc2/seq2 -> pc3 re-inlined every upstream round per reference
+    (pc{q} feeds both best{q} and the top-10 tail; m{q} re-expands
+    seq{p}) — 14 documents scans, 64 exchanges in one plan.  Running the
+    rounds iteratively with wf/seq{q}/pc{q} checkpointed runs the corpus
+    scan and each merge round ONCE; the `_bpe_round` window SQL is reused
+    textually round by round, and the DuckDB oracle is unchanged."""
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+        "documents"
+    )
+    wf = spark.sql(
+        f"""
+    WITH w0 AS ({_X292_TOK_SPARK})
+    SELECT word, COUNT(*) AS f FROM w0 WHERE length(word) > 0
+    GROUP BY word"""
+    ).localCheckpoint()
+    wf.createOrReplaceTempView("x292_wf")
+    seq = spark.sql(
+        _X292_CHR_SPARK.replace("FROM wf", "FROM x292_wf wf")
+    ).localCheckpoint()
+    seq.createOrReplaceTempView("x292_seq0")
+    pair_counts = """
+      SELECT t.s1, t.s2, SUM(w.f) AS cnt
+      FROM (
+        SELECT word, p, sym AS s1,
+               LEAD(sym) OVER (PARTITION BY word ORDER BY p) AS s2
+        FROM x292_seq{p}
+      ) t JOIN x292_wf w ON t.word = w.word
+      WHERE t.s2 IS NOT NULL GROUP BY t.s1, t.s2"""
+    for q in (1, 2):
+        p = q - 1
+        pc = spark.sql(pair_counts.format(p=p)).localCheckpoint()
+        pc.createOrReplaceTempView(f"x292_pc{q}")
+        seq = spark.sql(
+            f"""
+    WITH best AS (
+      SELECT s1, s2 FROM x292_pc{q} ORDER BY cnt DESC, s1, s2 LIMIT 1
+    ),
+    m AS (
+      SELECT s.word, s.p, s.sym,
+             CASE WHEN s.sym = b.s1
+                   AND LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.p) = b.s2
+                  THEN 1 ELSE 0 END AS cand
+      FROM x292_seq{p} s CROSS JOIN best b
+    ),
+    r AS (
+      SELECT *, p - ROW_NUMBER() OVER (PARTITION BY word, cand ORDER BY p) AS grp
+      FROM m
+    ),
+    mm AS (
+      SELECT *,
+             CASE WHEN cand = 1
+                   AND ROW_NUMBER() OVER (PARTITION BY word, cand, grp ORDER BY p) % 2 = 1
+                  THEN 1 ELSE 0 END AS do_merge
+      FROM r
+    ),
+    n AS (
+      SELECT word, p,
+             CASE WHEN do_merge = 1 THEN sym || next_sym ELSE sym END AS sym,
+             LAG(do_merge) OVER (PARTITION BY word ORDER BY p) AS consumed
+      FROM (
+        SELECT *, LEAD(sym) OVER (PARTITION BY word ORDER BY p) AS next_sym
+        FROM mm
+      ) z
+    )
+    SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS p, sym
+    FROM n WHERE consumed IS NULL OR consumed = 0"""
+        ).localCheckpoint()
+        seq.createOrReplaceTempView(f"x292_seq{q}")
+    pc3 = spark.sql(pair_counts.format(p=2)).localCheckpoint()
+    pc3.createOrReplaceTempView("x292_pc3")
+    top = """
+      SELECT CAST({r} AS BIGINT) AS round, rk, s1, s2, pair_count FROM (
+        SELECT s1, s2, CAST(cnt AS BIGINT) AS pair_count,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, s1, s2) AS BIGINT) AS rk
+        FROM x292_pc{r}
+      ) t{r} WHERE rk <= 10"""
+    return spark.sql(
+        f"""
+    SELECT * FROM ({top.format(r=1)}) a
+    UNION ALL SELECT * FROM ({top.format(r=2)}) b
+    UNION ALL SELECT * FROM ({top.format(r=3)}) c
+    ORDER BY round, rk"""
+    )
 
 # -- x293: sublinear per-domain cap ------------------------------------------
 # cap(domain) = 4 * ceil(sqrt(n_docs)) — large domains keep relatively

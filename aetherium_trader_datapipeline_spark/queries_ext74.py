@@ -204,12 +204,104 @@ _X311_FMT = """
     GROUP BY c.slope, c.icept, q.radius
 """
 
-register_sql(
+@register(
     "x311_conformal_interval",
-    spark_sql=_X311_FMT.format(div="DIV"),
-    duckdb_sql=_X311_FMT.format(div="//"),
+    oracle=_X311_FMT.format(div="//"),
     tags=("stats", "ml"),
 )
+def x311_conformal_interval(spark, sf_dir):
+    """r14 restructure (guide §2.4): every reference to `coef` and `q`
+    re-expanded the whole fit chain down to the lineitem scan — 23
+    lineitem scans, 92 exchanges in one plan.  Materializing the four
+    natural boundaries (base once; the one-row coef; the bounded cal
+    sample; the one-row q) runs the lineitem scan ONCE; all CTE
+    expressions and the DuckDB oracle are textually unchanged."""
+    load_tables(spark, sf_dir)["lineitem"].createOrReplaceTempView(
+        "lineitem"
+    )
+    base = spark.sql(
+        """
+      SELECT CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             (l_orderkey * 8 + l_linenumber) AS rid,
+             ((l_orderkey * 8 + l_linenumber) * 2654435761) % 4294967296 % 10
+               AS bucket
+      FROM lineitem"""
+    ).localCheckpoint()
+    base.createOrReplaceTempView("x311_base")
+    coef = spark.sql(
+        """
+    WITH base AS (SELECT * FROM x311_base),
+    train AS (SELECT * FROM base WHERE bucket <= 5),
+    fit AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                  AS DECIMAL(38,4)) AS DOUBLE) AS sxy
+      FROM train
+    )
+    SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS icept
+    FROM fit"""
+    ).localCheckpoint()
+    coef.createOrReplaceTempView("x311_coef")
+    cal = spark.sql(
+        """
+      SELECT ABS(b.y - (c.icept + c.slope * b.x)) AS r, b.rid
+      FROM x311_base b CROSS JOIN x311_coef c
+      WHERE b.bucket IN (6, 7)
+        AND ((b.rid * 1103515245) % 4294967296) % 50 = 0"""
+    ).localCheckpoint()
+    cal.createOrReplaceTempView("x311_cal")
+    q = spark.sql(
+        """
+    WITH cal AS (SELECT * FROM x311_cal),
+    cb AS (SELECT MIN(r) AS lo, MAX(r) AS hi,
+                  CAST(COUNT(*) AS BIGINT) AS nc FROM cal),
+    cch AS (
+      SELECT c.r, c.rid,
+             CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST(FLOOR((c.r - b.lo) * 1000
+                                        / (b.hi - b.lo)) AS BIGINT),
+                             CAST(999 AS BIGINT)) END AS ck
+      FROM cal c CROSS JOIN cb b
+    ),
+    cw AS (
+      SELECT r, ck,
+             ROW_NUMBER() OVER (PARTITION BY ck ORDER BY r, rid) AS r_in
+      FROM cch
+    ),
+    co AS (
+      SELECT ck, COALESCE(SUM(c) OVER (ORDER BY ck
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS off
+      FROM (SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM cch GROUP BY ck)
+    )
+    SELECT w.r AS radius
+    FROM cw w JOIN co o ON w.ck = o.ck CROSS JOIN cb b
+    WHERE o.off + w.r_in = CAST(CEIL(0.9 * b.nc) AS BIGINT)"""
+    ).localCheckpoint()
+    q.createOrReplaceTempView("x311_q")
+    return spark.sql(
+        """
+    WITH test AS (
+      SELECT CASE WHEN ABS(b.y - (c.icept + c.slope * b.x)) <= q.radius
+                  THEN 1 ELSE 0 END AS hit
+      FROM x311_base b CROSS JOIN x311_coef c CROSS JOIN x311_q q
+      WHERE b.bucket >= 8
+    )
+    SELECT ROUND(c.slope, 6) AS slope, ROUND(c.icept, 4) AS intercept,
+           ROUND(q.radius, 4) AS conformal_radius,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(hit) * 10000 DIV COUNT(*) AS BIGINT) AS coverage_bp,
+           SUM(hit) * 100 >= 85 * COUNT(*)
+             AND SUM(hit) * 100 <= 97 * COUNT(*) AS near_nominal
+    FROM test CROSS JOIN x311_coef c CROSS JOIN x311_q q
+    GROUP BY c.slope, c.icept, q.radius"""
+    )
 
 # -- x312: k-anonymity audit ---------------------------------------------------
 

@@ -31,7 +31,8 @@ output states it so reviewers can argue with the POLICY, not the code.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 _TOKS_SPARK = """
       SELECT doc_id, w, idx FROM documents
@@ -89,12 +90,75 @@ _X348_FMT = """
 
 _THR_REL = "VALUES (500), (600), (700), (800), (900)"
 
-register_sql(
+@register(
     "x348_dedup_threshold_sweep",
-    spark_sql=_X348_FMT.format(toks=_TOKS_SPARK, thr_rel=_THR_REL),
-    duckdb_sql=_X348_FMT.format(toks=_TOKS_DUCK, thr_rel=_THR_REL),
+    oracle=_X348_FMT.format(toks=_TOKS_DUCK, thr_rel=_THR_REL),
     tags=("dedup", "audit"),
 )
+def x348_dedup_threshold_sweep(spark, sf_dir):
+    """r14 restructure (guide §2.4): CTE inlining re-ran `toks` per
+    reference — grams' self-join reads it twice, grams feeds sizes and
+    both sides of inter, and `hits` is expanded three times by the tail —
+    24 documents scans, 104 exchanges in one plan.  Changes, oracle
+    untouched: (1) the bigram pairing b.idx = a.idx + 1 becomes LEAD over
+    the dense posexplode index (identical pairs — idx is consecutive
+    0..n-1 within a doc, g is NULL only at the last token); (2) `grams`
+    and `scored` are checkpointed once; the threshold tail reads the
+    small pair checkpoint.  24 documents scans -> 1."""
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+        "documents"
+    )
+    grams = spark.sql(
+        f"""
+    WITH toks AS ({_TOKS_SPARK.replace("FROM documents",
+        "FROM (SELECT * FROM documents WHERE doc_id <= 300) documents")})
+    SELECT DISTINCT doc_id AS id, g FROM (
+      SELECT doc_id,
+             w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY idx)
+               AS g
+      FROM toks) z
+    WHERE g IS NOT NULL"""
+    ).localCheckpoint()
+    grams.createOrReplaceTempView("x348_grams")
+    scored = spark.sql(
+        """
+    WITH grams AS (SELECT id, g FROM x348_grams),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY id),
+    inter AS (
+      SELECT x.id AS a, y.id AS b, CAST(COUNT(*) AS BIGINT) AS i
+      FROM grams x JOIN grams y ON x.g = y.g AND x.id < y.id
+      GROUP BY x.id, y.id
+    )
+    SELECT i.a, i.b,
+           CAST(FLOOR(CAST(i.i AS DOUBLE) * 1000 / (sa.n + sb.n - i.i))
+             AS BIGINT) AS j_milli
+    FROM inter i
+    JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id"""
+    ).localCheckpoint()
+    scored.createOrReplaceTempView("x348_scored")
+    return spark.sql(
+        f"""
+    WITH thresholds AS (
+      SELECT CAST(t AS BIGINT) AS thr FROM ({_THR_REL}) v(t)
+    ),
+    hits AS (
+      SELECT t.thr, s.a, s.b FROM x348_scored s JOIN thresholds t
+        ON s.j_milli >= t.thr
+    ),
+    pair_counts AS (
+      SELECT thr, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(MIN(a) AS BIGINT) AS min_doc
+      FROM hits GROUP BY thr
+    ),
+    doc_counts AS (
+      SELECT thr, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs FROM (
+        SELECT thr, a AS d FROM hits UNION SELECT thr, b FROM hits
+      ) u GROUP BY thr
+    )
+    SELECT p.thr, p.n_pairs, d.n_docs, p.min_doc
+    FROM pair_counts p JOIN doc_counts d ON p.thr = d.thr
+    ORDER BY p.thr"""
+    )
 
 # -- x349: quality-filter funnel -----------------------------------------------
 
