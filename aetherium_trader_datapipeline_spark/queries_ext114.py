@@ -27,7 +27,8 @@ join.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # -- x415: CUPED ---------------------------------------------------------------
 
@@ -191,11 +192,79 @@ _X417 = """
     FROM per_rel ORDER BY sym, rel_minute
 """
 
-register_sql(
+@register(
     "x417_event_study_car",
-    spark_sql=_X417.format(intdiv="DIV", epoch="unix_seconds(ts)"),
-    duckdb_sql=_X417.format(
-        intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"
-    ),
+    oracle=_X417.format(intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"),
     tags=("finance", "experiment"),
 )
+def x417_event_study_car(spark, sf_dir):
+    """r14 (guide §2.3/§2.2): the chain is linear (no dup scans); the two
+    walls were (1) the per-(sym, mkey) last-price ROW_NUMBER window —
+    a full sort of the tick stream — and (2) the [-2,+5] band join, which
+    Spark executes as a sym-only equi-join with a range filter (|abnormal|
+    x |news|/10 comparisons per symbol).  (1) becomes MAX_BY(px,
+    struct(ts, event_id)) — a partial-aggregating hash agg; identical
+    winner because rn = 1 picks the max (ts, event_id) and event_id is
+    unique.  (2) becomes an 8-offset probe explode + equi-join on (sym,
+    mkey = news.mkey + d), d in -2..5 — exactly the inclusive integer
+    band.  DuckDB oracle textually unchanged."""
+    load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+    last_px = spark.sql(
+        """
+    WITH ticks AS (
+      SELECT user_id % 10 AS sym, unix_seconds(ts) DIV 60 AS mkey, ts,
+             event_id,
+             CAST(100 + (value - FLOOR(value)) * 10 AS DECIMAL(18,6)) AS px
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT sym, mkey,
+           MAX_BY(px, named_struct('ts', ts, 'event_id', event_id)) AS px
+    FROM ticks GROUP BY sym, mkey"""
+    ).localCheckpoint()
+    last_px.createOrReplaceTempView("x417_last_px")
+    return spark.sql(
+        """
+    WITH last_px AS (SELECT sym, mkey, px FROM x417_last_px),
+    rets AS (
+      SELECT sym, mkey,
+             CAST(FLOOR(LN(CAST(px AS DOUBLE)
+                           / CAST(LAG(px) OVER (PARTITION BY sym
+                                                ORDER BY mkey) AS DOUBLE))
+                        * 1e12) AS BIGINT) AS r_fp
+      FROM last_px
+    ),
+    abnormal AS (
+      SELECT sym, mkey,
+             CAST(FLOOR(CAST(r_fp AS DOUBLE)
+                        - CAST(SUM(r_fp) OVER (PARTITION BY mkey) AS DOUBLE)
+                          / COUNT(r_fp) OVER (PARTITION BY mkey))
+                  AS BIGINT) AS ar_fp
+      FROM rets WHERE r_fp IS NOT NULL
+    ),
+    news AS (
+      SELECT DISTINCT user_id % 10 AS sym, unix_seconds(ts) DIV 60 AS mkey
+      FROM events WHERE event_type = 'error'
+    ),
+    probes AS (
+      SELECT sym, mkey, mkey + d AS pkey
+      FROM news LATERAL VIEW explode(sequence(-2, 5)) t AS d
+    ),
+    window_obs AS (
+      SELECT a.sym, a.mkey - n.mkey AS rel, a.ar_fp
+      FROM abnormal a JOIN probes n
+        ON a.sym = n.sym AND a.mkey = n.pkey
+    ),
+    per_rel AS (
+      SELECT sym, rel,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(ar_fp) DIV COUNT(*) AS BIGINT) AS mean_ar_fp
+      FROM window_obs GROUP BY sym, rel
+    )
+    SELECT CAST(sym AS BIGINT) AS sym, CAST(rel AS BIGINT) AS rel_minute,
+           n_obs,
+           ROUND(mean_ar_fp / 1e12, 9) AS mean_abnormal_ret,
+           ROUND(CAST(SUM(mean_ar_fp)
+                      OVER (PARTITION BY sym ORDER BY rel) AS DOUBLE)
+                 / 1e12, 9) AS car
+    FROM per_rel ORDER BY sym, rel_minute"""
+    )

@@ -26,7 +26,8 @@ choose a partitioner.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 _SIGN_SPARK = """aggregate(transform(slice(CAST(embedding AS ARRAY<DOUBLE>),
                                      1, 8),
@@ -132,12 +133,54 @@ _TOK_DUCK = """
       WHERE w != ''
 """
 
-register_sql(
+@register(
     "x428_hits_scores",
-    spark_sql=_X428.format(tok=_TOK_SPARK),
-    duckdb_sql=_X428.format(tok=_TOK_DUCK),
+    oracle=_X428.format(tok=_TOK_DUCK),
     tags=("graph", "retrieval"),
 )
+def x428_hits_scores(spark, sf_dir):
+    """r14 restructure (guide §2.4): `postings` (the distinct token
+    explode) was re-expanded by a1, h1 and a2, and `a2` by mx and the
+    final join — 7 documents scans, 42 exchanges in one plan.
+    Checkpointing postings, a1 and a2 runs the corpus pass ONCE; all
+    expressions and the DuckDB oracle are textually unchanged."""
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView(
+        "documents"
+    )
+    postings = spark.sql(
+        f"""
+    WITH tok AS ({_TOK_SPARK})
+    SELECT DISTINCT doc_id, term FROM tok"""
+    ).localCheckpoint()
+    postings.createOrReplaceTempView("x428_postings")
+    a1 = spark.sql(
+        """
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM x428_postings
+      GROUP BY term"""
+    ).localCheckpoint()
+    a1.createOrReplaceTempView("x428_a1")
+    a2 = spark.sql(
+        """
+    WITH h1 AS (
+      SELECT p.doc_id, CAST(SUM(a1.df) AS BIGINT) AS hub
+      FROM x428_postings p JOIN x428_a1 a1 ON p.term = a1.term
+      GROUP BY p.doc_id
+    )
+    SELECT p.term, CAST(SUM(h1.hub) AS BIGINT) AS auth
+    FROM x428_postings p JOIN h1 ON p.doc_id = h1.doc_id GROUP BY p.term"""
+    ).localCheckpoint()
+    a2.createOrReplaceTempView("x428_a2")
+    return spark.sql(
+        """
+    WITH mx AS (
+      SELECT CAST(MAX(auth) AS BIGINT) AS max_auth FROM x428_a2
+    )
+    SELECT a2.term, a1.df, a2.auth AS authority_score,
+           ROUND(CAST(a2.auth AS DOUBLE) / mx.max_auth, 6)
+             AS authority_norm
+    FROM x428_a2 a2 JOIN x428_a1 a1 ON a2.term = a1.term CROSS JOIN mx
+    ORDER BY a2.auth DESC, a2.term LIMIT 20"""
+    )
 
 # -- x429: edge-cut of a hash-sharded placement -----------------------------------
 

@@ -25,7 +25,8 @@ last-price selection and squared-return sum is exact integer math.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 _BARS = """
     ticks AS (
@@ -136,14 +137,81 @@ _X460 = (
 """
 )
 
-register_sql(
+@register(
     "x460_epps_effect",
-    spark_sql=_X460.format(intdiv="DIV", epoch="unix_seconds(ts)"),
-    duckdb_sql=_X460.format(
-        intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"
-    ),
+    oracle=_X460.format(intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"),
     tags=("finance", "stats"),
 )
+def x460_epps_effect(spark, sf_dir):
+    """r14 restructure (guide §2.4/§2.3): `rets` was re-expanded by both
+    sides of the `aligned` self-join, re-running the whole bars chain
+    (events scan + two window sorts) per side.  Changes, oracle
+    untouched: bars = MAX_BY(px, struct(ts, event_id)) — identical
+    winner, event_id unique — checkpointed once; the per-(sym, f, bkey)
+    last close = MAX_BY(cl, mkey) (mkey unique within sym in bars);
+    `rets` checkpointed once, the correlation tail reads it twice."""
+    load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+    bars = spark.sql(
+        """
+    WITH ticks AS (
+      SELECT user_id % 10 AS sym, unix_seconds(ts) DIV 60 AS mkey, ts,
+             event_id,
+             CAST(100 + (value - FLOOR(value)) * 10 AS DECIMAL(18,6)) AS px
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT sym, mkey,
+           MAX_BY(px, named_struct('ts', ts, 'event_id', event_id)) AS cl
+    FROM ticks GROUP BY sym, mkey"""
+    ).localCheckpoint()
+    bars.createOrReplaceTempView("x460_bars")
+    rets = spark.sql(
+        """
+    WITH freqs AS (SELECT 1 AS f UNION ALL SELECT 10),
+    sampled AS (
+      SELECT b.sym, fr.f, b.mkey DIV fr.f AS bkey, b.mkey, b.cl
+      FROM x460_bars b CROSS JOIN freqs fr
+    ),
+    lastpx AS (
+      SELECT sym, f, bkey, MAX_BY(cl, mkey) AS cl
+      FROM sampled GROUP BY sym, f, bkey
+    )
+    SELECT sym, f, bkey,
+           CAST(FLOOR(LN(CAST(cl AS DOUBLE)
+                         / CAST(LAG(cl) OVER (PARTITION BY sym, f
+                                              ORDER BY bkey) AS DOUBLE))
+                      * 1e9) AS BIGINT) AS r_fp
+    FROM lastpx"""
+    ).localCheckpoint()
+    rets.createOrReplaceTempView("x460_rets")
+    return spark.sql(
+        """
+    WITH aligned AS (
+      SELECT a.f, a.sym AS sa, b.sym AS sb, a.r_fp AS ra, b.r_fp AS rb
+      FROM x460_rets a JOIN x460_rets b
+        ON a.f = b.f AND a.bkey = b.bkey AND a.sym < b.sym
+      WHERE a.r_fp IS NOT NULL AND b.r_fp IS NOT NULL
+    ),
+    moms AS (
+      SELECT f, sa, sb, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ra AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(rb AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(CAST(ra AS DECIMAL(18,0)) * ra) AS DECIMAL(38,0))
+               AS s11,
+             CAST(SUM(CAST(rb AS DECIMAL(18,0)) * rb) AS DECIMAL(38,0))
+               AS s22,
+             CAST(SUM(CAST(ra AS DECIMAL(18,0)) * rb) AS DECIMAL(38,0))
+               AS s12
+      FROM aligned GROUP BY f, sa, sb
+    )
+    SELECT CAST(sa AS BIGINT) AS sym_a, CAST(sb AS BIGINT) AS sym_b,
+           CAST(f AS BIGINT) AS interval_minutes, n,
+           CASE WHEN n * s11 - s1 * s1 > 0 AND n * s22 - s2 * s2 > 0 THEN
+             ROUND(CAST(n * s12 - s1 * s2 AS DOUBLE)
+                   / SQRT(CAST(n * s11 - s1 * s1 AS DOUBLE)
+                          * CAST(n * s22 - s2 * s2 AS DOUBLE)), 6)
+           END AS corr
+    FROM moms WHERE n > 10 ORDER BY sym_a, sym_b, interval_minutes"""
+    )
 
 # -- x461: volatility signature plot ---------------------------------------------------------
 

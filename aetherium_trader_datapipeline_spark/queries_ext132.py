@@ -31,7 +31,8 @@ measured on this engine's own data.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 
 def _ncdf(x: str) -> str:
@@ -290,9 +291,106 @@ _X470 = """
     ORDER BY t.pred
 """
 
-register_sql(
+@register(
     "x470_selectivity_error",
-    spark_sql=_X470.format(intdiv="DIV"),
-    duckdb_sql=_X470.format(intdiv="//"),
+    oracle=_X470.format(intdiv="//"),
     tags=("profiling", "planning"),
 )
+def x470_selectivity_error(spark, sf_dir):
+    """r14 restructure (guide §2.4): `stats` was re-expanded by
+    width_hist, depth_est (three references) and depth_bounds' scalar
+    subqueries — 7 orders scans, 38 exchanges in one plan.
+    Checkpointing the four tiny summary frames (stats 1 row, width_hist
+    10, depth_bounds 9, truth 5) runs the orders scan once per distinct
+    aggregate (4 scans total); the estimator tail reads the checkpoints.
+    All expressions and the DuckDB oracle are textually unchanged."""
+    load_tables(spark, sf_dir)["orders"].createOrReplaceTempView("orders")
+    stats = spark.sql(
+        """
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      FROM orders"""
+    ).localCheckpoint()
+    stats.createOrReplaceTempView("x470_stats")
+    width_hist = spark.sql(
+        """
+      SELECT LEAST(CAST(FLOOR((o.o_totalprice - s.lo) / (s.hi - s.lo) * 10)
+                        AS BIGINT), 9) AS b,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             MAX(s.lo) AS lo, MAX(s.hi) AS hi
+      FROM orders o CROSS JOIN x470_stats s
+      GROUP BY LEAST(CAST(FLOOR((o.o_totalprice - s.lo) / (s.hi - s.lo) * 10)
+                          AS BIGINT), 9)"""
+    ).localCheckpoint()
+    width_hist.createOrReplaceTempView("x470_width_hist")
+    depth_bounds = spark.sql(
+        """
+      SELECT d.idx, MIN(CASE WHEN r.cum * 10 >= d.idx * r.n
+                             THEN r.v END) AS v
+      FROM (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        FROM (SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders GROUP BY o_totalprice)
+      ) r
+      CROSS JOIN (SELECT 1 AS idx UNION ALL SELECT 2 UNION ALL SELECT 3
+            UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
+            UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9) d
+      GROUP BY d.idx"""
+    ).localCheckpoint()
+    depth_bounds.createOrReplaceTempView("x470_depth_bounds")
+    return spark.sql(
+        """
+    WITH stats AS (SELECT n, lo, hi FROM x470_stats),
+    preds AS (
+      SELECT 'p1_low20' AS pred, 20000.0 AS a, 60000.0 AS b
+      UNION ALL SELECT 'p2_mid', 80000.0, 120000.0
+      UNION ALL SELECT 'p3_high', 150000.0, 250000.0
+      UNION ALL SELECT 'p4_narrow', 100000.0, 105000.0
+      UNION ALL SELECT 'p5_wide', 30000.0, 200000.0
+    ),
+    truth AS (
+      SELECT p.pred,
+             CAST(SUM(CASE WHEN o.o_totalprice >= p.a
+                            AND o.o_totalprice < p.b
+                           THEN 1 ELSE 0 END) AS BIGINT) AS true_rows
+      FROM orders o CROSS JOIN preds p GROUP BY p.pred
+    ),
+    width_est AS (
+      SELECT p.pred,
+             CAST(SUM(CAST(FLOOR(w.c * GREATEST(0.0,
+               LEAST(p.b, w.lo + (w.b + 1) * (w.hi - w.lo) / 10)
+               - GREATEST(p.a, w.lo + w.b * (w.hi - w.lo) / 10))
+               / ((w.hi - w.lo) / 10) * 1e6) AS BIGINT)) AS BIGINT) AS est_fp
+      FROM x470_width_hist w CROSS JOIN preds p GROUP BY p.pred
+    ),
+    depth_est AS (
+      SELECT p.pred,
+             CAST(SUM(CAST(FLOOR(s.n / 10.0 * GREATEST(0.0,
+               LEAST(p.b, span.u) - GREATEST(p.a, span.l))
+               / NULLIF(span.u - span.l, 0) * 1e6) AS BIGINT)) AS BIGINT)
+               AS est_fp
+      FROM (
+        SELECT COALESCE(LAG(v) OVER (ORDER BY idx), (SELECT lo FROM stats))
+                 AS l,
+               v AS u
+        FROM (SELECT idx, v FROM x470_depth_bounds
+              UNION ALL
+              SELECT 10, (SELECT hi FROM stats)) all_b
+      ) span
+      CROSS JOIN preds p CROSS JOIN stats s
+      GROUP BY p.pred
+    )
+    SELECT t.pred, t.true_rows,
+           CAST(we.est_fp DIV 1000000 AS BIGINT) AS width_estimate,
+           CAST(de.est_fp DIV 1000000 AS BIGINT) AS depth_estimate,
+           CASE WHEN t.true_rows > 0 THEN
+             ROUND(ABS(CAST(we.est_fp AS DOUBLE) / 1e6 - t.true_rows)
+                   / t.true_rows, 4) END AS width_rel_error,
+           CASE WHEN t.true_rows > 0 THEN
+             ROUND(ABS(CAST(de.est_fp AS DOUBLE) / 1e6 - t.true_rows)
+                   / t.true_rows, 4) END AS depth_rel_error
+    FROM truth t
+    JOIN width_est we ON t.pred = we.pred
+    JOIN depth_est de ON t.pred = de.pred
+    ORDER BY t.pred"""
+    )

@@ -23,7 +23,8 @@ from higher-order dynamics.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 _RETS = """
     ticks AS (
@@ -123,14 +124,106 @@ _X477 = (
 """
 )
 
-register_sql(
+@register(
     "x477_granger_causality",
-    spark_sql=_X477.format(intdiv="DIV", epoch="unix_seconds(ts)"),
-    duckdb_sql=_X477.format(
-        intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"
-    ),
+    oracle=_X477.format(intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"),
     tags=("finance", "stats"),
 )
+def x477_granger_causality(spark, sf_dir):
+    """r14 restructure (guide §2.4/§2.3): `lagged` was re-expanded by
+    both sides of the `paired` self-join, re-running the whole rets
+    chain (events scan + two window sorts) per side.  Changes, oracle
+    untouched: lastpx = MAX_BY(px, struct(ts, event_id)) — identical
+    winner, event_id unique — and `lagged` checkpointed once; the
+    two-regressor OLS tail reads the checkpoint twice."""
+    load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+    lagged = spark.sql(
+        """
+    WITH ticks AS (
+      SELECT user_id % 10 AS sym, unix_seconds(ts) DIV 60 AS mkey, ts,
+             event_id,
+             CAST(100 + (value - FLOOR(value)) * 10 AS DECIMAL(18,6)) AS px
+      FROM events WHERE value IS NOT NULL
+    ),
+    lastpx AS (
+      SELECT sym, mkey,
+             MAX_BY(px, named_struct('ts', ts, 'event_id', event_id)) AS px
+      FROM ticks GROUP BY sym, mkey
+    ),
+    rets AS (
+      SELECT sym, mkey,
+             CAST(FLOOR(LN(CAST(px AS DOUBLE)
+                           / CAST(LAG(px) OVER (PARTITION BY sym
+                                                ORDER BY mkey) AS DOUBLE))
+                        * 1e9) AS BIGINT) AS r
+      FROM lastpx
+    )
+    SELECT sym, mkey, r,
+           LAG(r) OVER (PARTITION BY sym ORDER BY mkey) AS r_own_lag
+    FROM rets WHERE r IS NOT NULL"""
+    ).localCheckpoint()
+    lagged.createOrReplaceTempView("x477_lagged")
+    return spark.sql(
+        """
+    WITH paired AS (
+      SELECT b.sym AS sb, a.sym AS sa, b.r AS y,
+             b.r_own_lag AS x1, a.r_own_lag AS x2
+      FROM x477_lagged b JOIN x477_lagged a
+        ON a.mkey = b.mkey AND a.sym != b.sym
+      WHERE b.r_own_lag IS NOT NULL AND a.r_own_lag IS NOT NULL
+    ),
+    moms AS (
+      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,0)) * x1) AS DECIMAL(38,0))
+               AS s11,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,0)) * x2) AS DECIMAL(38,0))
+               AS s22,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,0)) * x2) AS DECIMAL(38,0))
+               AS s12,
+             CAST(SUM(CAST(x1 AS DECIMAL(18,0)) * y) AS DECIMAL(38,0))
+               AS s1y,
+             CAST(SUM(CAST(x2 AS DECIMAL(18,0)) * y) AS DECIMAL(38,0))
+               AS s2y,
+             CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM paired GROUP BY sa, sb
+    ),
+    centered AS (
+      SELECT sa, sb, n,
+             CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+             CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+             CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+             CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+             CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+             CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+      FROM moms WHERE n > 30
+    ),
+    fit AS (
+      SELECT sa, sb, n, c22, c11, c12, cyy, c1y, c2y,
+             c11 * c22 - c12 * c12 AS det,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      FROM centered WHERE c11 * c22 - c12 * c12 > 0
+    ),
+    tstat AS (
+      SELECT sa, sb, n, b2,
+             (cyy - b1 * c1y - b2 * c2y) / n / (n - 3) AS s2_scaled,
+             c11, det
+      FROM fit
+    )
+    SELECT CAST(sa AS BIGINT) AS cause_sym, CAST(sb AS BIGINT) AS effect_sym,
+           n,
+           ROUND(b2, 8) AS beta_cross,
+           CASE WHEN s2_scaled > 0 THEN
+             ROUND(b2 / SQRT(s2_scaled * n * c11 / det), 4)
+           END AS t_cross,
+           CASE WHEN s2_scaled > 0
+                 AND ABS(b2 / SQRT(s2_scaled * n * c11 / det)) > 1.96
+                THEN 1 ELSE 0 END AS granger_5pct
+    FROM tstat ORDER BY cause_sym, effect_sym"""
+    )
 
 # -- x478: binary-segmentation change point -----------------------------------------------
 

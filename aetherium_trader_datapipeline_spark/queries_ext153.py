@@ -21,7 +21,8 @@ where the ANSI surface is usually left untested.
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 # -- x528: JSON schema inference -----------------------------------------------------------
 
@@ -158,9 +159,60 @@ _X530 = """
     ORDER BY op
 """
 
-register_sql(
+@register(
     "x530_bag_set_ops",
-    spark_sql=_X530,
-    duckdb_sql=_X530,
+    oracle=_X530,
     tags=("ansi", "sql"),
 )
+def x530_bag_set_ops(spark, sf_dir):
+    """r14 restructure (guide §2.2 — shuffle fewer bytes): the SQL form
+    scanned lineitem six times (a and b re-inlined per set op) and ran
+    three full-width INTERSECT/EXCEPT shuffles over the row bags.  Bag
+    set ops are pure count arithmetic per group: with ca/cb the
+    multiplicities of (f, s) in a/b, INTERSECT ALL contributes
+    min(ca, cb) rows, EXCEPT ALL max(ca - cb, 0), INTERSECT DISTINCT one
+    row where both sides are present — so ONE lineitem scan computing
+    both conditional counts per (f, s) (a ~6-row frame) replaces
+    everything.  n_distinct counts the qualifying groups with non-NULL
+    f and s, exactly like COUNT(DISTINCT f || '|' || s).  DuckDB oracle
+    textually unchanged."""
+    load_tables(spark, sf_dir)["lineitem"].createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(
+        """
+    WITH g AS (
+      SELECT l_returnflag AS f, l_linestatus AS s,
+             CAST(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN l_quantity >= 10 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM lineitem
+      WHERE l_quantity < 25 OR l_quantity >= 10
+      GROUP BY l_returnflag, l_linestatus
+    ),
+    agg AS (
+      SELECT
+        CAST(SUM(LEAST(ca, cb)) AS BIGINT) AS iall_rows,
+        CAST(SUM(CASE WHEN LEAST(ca, cb) > 0 AND f IS NOT NULL
+                       AND s IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS iall_distinct,
+        CAST(SUM(GREATEST(ca - cb, 0)) AS BIGINT) AS eall_rows,
+        CAST(SUM(CASE WHEN ca - cb > 0 AND f IS NOT NULL
+                       AND s IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS eall_distinct,
+        CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS idist_rows,
+        CAST(SUM(CASE WHEN ca > 0 AND cb > 0 AND f IS NOT NULL
+                       AND s IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS idist_distinct
+      FROM g
+    )
+    SELECT 'except_all' AS op, eall_rows AS n_rows,
+           eall_distinct AS n_distinct FROM agg
+    UNION ALL
+    SELECT 'intersect_all', iall_rows, iall_distinct FROM agg
+    UNION ALL
+    SELECT 'intersect_distinct', idist_rows, idist_distinct FROM agg
+    ORDER BY op"""
+    )

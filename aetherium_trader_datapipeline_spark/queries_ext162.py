@@ -331,14 +331,82 @@ _X554 = """
 _GEN_SPARK = "SELECT explode(sequence(0, 719)) AS h"
 _GEN_DUCK = "SELECT unnest(range(0, 720)) AS h"
 
-register_sql(
+@register(
     "x554_inspection_paradox",
-    spark_sql=_X554.format(
-        epoch="unix_seconds(ts)", gensrc=_GEN_SPARK, intdiv="DIV"
-    ),
-    duckdb_sql=_X554.format(
+    oracle=_X554.format(
         epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)", gensrc=_GEN_DUCK,
         intdiv="//",
     ),
     tags=("stats", "events"),
 )
+def x554_inspection_paradox(spark, sf_dir):
+    """r14 restructure (guide §2.4): `gaps` was re-expanded by plain,
+    covering and THREE scalar subqueries inside probes — each expansion
+    re-running the events scan, the DISTINCT and the gap windows (10
+    events scans, 56 exchanges in one plan; 3.7-8.5 s and unstable at
+    sf0.1).  Checkpointing gaps runs that chain ONCE; the probe/covering
+    tail reads the checkpoint.  All expressions and the DuckDB oracle
+    are textually unchanged."""
+    load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
+    gaps = spark.sql(
+        """
+    WITH ets AS (
+      SELECT DISTINCT unix_seconds(ts) AS et
+      FROM events WHERE event_type = 'purchase'
+    ),
+    bucketed AS (SELECT et, et DIV 86400 AS b FROM ets),
+    intra AS (
+      SELECT LAG(et) OVER (PARTITION BY b ORDER BY et) AS g_start,
+             et AS g_end
+      FROM bucketed
+    ),
+    day_bounds AS (
+      SELECT b, MIN(et) AS first_et, MAX(et) AS last_et
+      FROM bucketed GROUP BY b
+    ),
+    crossb AS (
+      SELECT LAG(last_et) OVER (ORDER BY b) AS g_start,
+             first_et AS g_end
+      FROM day_bounds
+    )
+    SELECT g_start, g_end, CAST(g_end - g_start AS BIGINT) AS len_s
+    FROM (SELECT g_start, g_end FROM intra WHERE g_start IS NOT NULL
+          UNION ALL
+          SELECT g_start, g_end FROM crossb WHERE g_start IS NOT NULL) u"""
+    ).localCheckpoint()
+    gaps.createOrReplaceTempView("x554_gaps")
+    return spark.sql(
+        """
+    WITH gaps AS (SELECT g_start, g_end, len_s FROM x554_gaps),
+    plain AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(len_s) AS BIGINT) AS s1,
+             CAST(SUM(CAST(len_s AS DECIMAL(18,0)) * len_s)
+                  AS DECIMAL(38,0)) AS s2
+      FROM gaps
+    ),
+    probes AS (
+      SELECT (SELECT MIN(g_start) FROM gaps) + h.h * 3600 AS t
+      FROM (SELECT explode(sequence(0, 719)) AS h) h
+      WHERE (SELECT MIN(g_start) FROM gaps) + h.h * 3600
+            < (SELECT MAX(g_end) FROM gaps)
+    ),
+    covering AS (
+      SELECT p.t, MIN(g.len_s) AS len_s
+      FROM probes p JOIN gaps g
+        ON p.t >= g.g_start AND p.t < g.g_end
+      GROUP BY p.t
+    )
+    SELECT pl.n_gaps,
+           ROUND(CAST(pl.s1 AS DOUBLE) / pl.n_gaps, 4) AS mean_gap_s,
+           CAST(COUNT(c.t) AS BIGINT) AS n_probes,
+           ROUND(CAST(SUM(c.len_s) AS DOUBLE) / COUNT(c.t), 4)
+             AS mean_covering_gap_s,
+           ROUND(CAST(pl.s2 AS DOUBLE) / pl.s1, 4)
+             AS size_biased_theory_s,
+           ROUND((CAST(SUM(c.len_s) AS DOUBLE) / COUNT(c.t))
+                 / (CAST(pl.s1 AS DOUBLE) / pl.n_gaps), 4)
+             AS inspection_inflation
+    FROM covering c CROSS JOIN plain pl
+    GROUP BY pl.n_gaps, pl.s1, pl.s2"""
+    )

@@ -28,7 +28,8 @@ token boundaries; the count is then (len(s)-len(replace(s,pat,'')))/len(pat)
 
 from __future__ import annotations
 
-from aetherium_trader_datapipeline_spark.queries import register_sql
+from aetherium_trader_datapipeline_spark.queries import register, register_sql
+from aetherium_trader_datapipeline_spark.tables import load_tables
 
 
 def _tf(term: str) -> str:
@@ -140,12 +141,42 @@ _X201_BODY = """
     ORDER BY p.n_both DESC, p.part_a, p.part_b LIMIT 100
 """
 
-register_sql(
+@register(
     "x201_basket_pairs",
-    spark_sql=_X201_BODY,
-    duckdb_sql=_X201_BODY,
+    oracle=_X201_BODY,
     tags=("mining", "join"),
 )
+def x201_basket_pairs(spark, sf_dir):
+    """r14 restructure (guide §2.4): `items` (the DISTINCT over lineitem)
+    was re-expanded by pc, n and both sides of the pair self-join — 5
+    lineitem scans + 5 DISTINCT shuffles in one plan.  Checkpointing
+    items runs the scan + dedup ONCE; the lift tail is textually
+    unchanged, as is the DuckDB oracle."""
+    load_tables(spark, sf_dir)["lineitem"].createOrReplaceTempView(
+        "lineitem"
+    )
+    items = spark.sql(
+        "SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem"
+    ).localCheckpoint()
+    items.createOrReplaceTempView("x201_items")
+    return spark.sql(
+        """
+    WITH items AS (SELECT ok, pk FROM x201_items),
+    pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY pk),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS nords FROM items),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    )
+    SELECT p.part_a, p.part_b, p.n_both, ca.c AS n_a, cb.c AS n_b,
+           ROUND(CAST(n.nords AS DOUBLE) * p.n_both / (ca.c * cb.c), 6) AS lift
+    FROM pairs p
+    JOIN pc ca ON p.part_a = ca.pk
+    JOIN pc cb ON p.part_b = cb.pk
+    CROSS JOIN n
+    ORDER BY p.n_both DESC, p.part_a, p.part_b LIMIT 100"""
+    )
 
 # -- x202: session path mining (event-type trigrams) ------------------------
 
