@@ -233,121 +233,11 @@ _X426 = (
 """
 )
 
-@register(
+register_sql(
     "x426_pairs_cointegration",
-    oracle=_X426.format(intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"),
+    spark_sql=_X426.format(intdiv="DIV", epoch="unix_seconds(ts)"),
+    duckdb_sql=_X426.format(
+        intdiv="//", epoch="CAST(FLOOR(epoch(ts)) AS BIGINT)"
+    ),
     tags=("finance", "stats"),
 )
-def x426_pairs_cointegration(spark, sf_dir):
-    """r14 restructure (guide §2.4/§2.3): `lp` (the per-(sym, minute)
-    last-price series) was re-expanded by both sides of the `aligned`
-    self-join, and aligned/hedgeok re-expanded downstream — 6 events
-    scans, 26 exchanges, four last-price window sorts in one plan.
-    Changes, oracle untouched: lp is computed ONCE as MAX_BY(px,
-    struct(ts, event_id)) (identical winner: rn = 1 picks the max
-    (ts, event_id), event_id unique) and checkpointed; `aligned` and
-    `hedgeok` are checkpointed; the ADF tail reads the checkpoints."""
-    load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
-    lp = spark.sql(
-        """
-    WITH ticks AS (
-      SELECT user_id % 10 AS sym, unix_seconds(ts) DIV 60 AS mkey, ts,
-             event_id,
-             CAST(100 + (value - FLOOR(value)) * 10 AS DECIMAL(18,6)) AS px
-      FROM events WHERE value IS NOT NULL
-    )
-    SELECT sym, mkey,
-           CAST(FLOOR(LN(CAST(
-             MAX_BY(px, named_struct('ts', ts, 'event_id', event_id))
-             AS DOUBLE)) * 1e9) AS BIGINT) AS lp_fp
-    FROM ticks GROUP BY sym, mkey"""
-    ).localCheckpoint()
-    lp.createOrReplaceTempView("x426_lp")
-    aligned = spark.sql(
-        """
-      SELECT a.sym AS sa, b.sym AS sb, a.mkey,
-             a.lp_fp AS ya, b.lp_fp AS xb
-      FROM x426_lp a JOIN x426_lp b ON a.mkey = b.mkey AND a.sym < b.sym"""
-    ).localCheckpoint()
-    aligned.createOrReplaceTempView("x426_aligned")
-    hedgeok = spark.sql(
-        """
-    WITH hedge AS (
-      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(xb AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
-             CAST(SUM(CAST(ya AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
-             CAST(SUM(CAST(xb AS DECIMAL(18,0)) * xb) AS DECIMAL(38,0))
-               AS sxx,
-             CAST(SUM(CAST(xb AS DECIMAL(18,0)) * ya) AS DECIMAL(38,0))
-               AS sxy
-      FROM x426_aligned GROUP BY sa, sb
-    )
-    SELECT * FROM hedge WHERE n > 10 AND n * sxx - sx * sx > 0"""
-    ).localCheckpoint()
-    hedgeok.createOrReplaceTempView("x426_hedgeok")
-    return spark.sql(
-        """
-    WITH resid AS (
-      SELECT a.sa, a.sb, a.mkey,
-             CAST(FLOOR(a.ya
-                        - (CAST(h.sy AS DOUBLE)
-                           - (CAST(h.n * h.sxy - h.sx * h.sy AS DOUBLE)
-                              / CAST(h.n * h.sxx - h.sx * h.sx AS DOUBLE))
-                             * CAST(h.sx AS DOUBLE)) / h.n
-                        - (CAST(h.n * h.sxy - h.sx * h.sy AS DOUBLE)
-                           / CAST(h.n * h.sxx - h.sx * h.sx AS DOUBLE))
-                          * a.xb) AS BIGINT) AS e_fp
-      FROM x426_aligned a JOIN x426_hedgeok h ON a.sa = h.sa AND a.sb = h.sb
-    ),
-    lagged AS (
-      SELECT sa, sb,
-             LAG(e_fp) OVER (PARTITION BY sa, sb ORDER BY mkey) AS x,
-             e_fp AS p
-      FROM resid
-    ),
-    dfp AS (
-      SELECT sa, sb, x, p - x AS y FROM lagged WHERE x IS NOT NULL
-    ),
-    moms AS (
-      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy,
-             CAST(SUM(CAST(x AS DECIMAL(18,0)) * x) AS DECIMAL(38,0)) AS sxx,
-             CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS sxy,
-             CAST(SUM(CAST(y AS DECIMAL(18,0)) * y) AS DECIMAL(38,0)) AS syy
-      FROM dfp GROUP BY sa, sb
-    ),
-    fit1 AS (
-      SELECT sa, sb, n, sx, sy, sxy, syy,
-             CAST(n * sxx - sx * sx AS DOUBLE) AS dxx,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               / CAST(n * sxx - sx * sx AS DOUBLE) AS gamma
-      FROM moms WHERE n > 10 AND n * sxx - sx * sx > 0
-    ),
-    fit2 AS (
-      SELECT sa, sb, n, dxx, gamma,
-             (CAST(syy AS DOUBLE)
-              - ((CAST(sy AS DOUBLE) - gamma * CAST(sx AS DOUBLE)) / n)
-                * CAST(sy AS DOUBLE)
-              - gamma * CAST(sxy AS DOUBLE)) / (n - 2) AS s2
-      FROM fit1
-    ),
-    fit AS (
-      SELECT sa, sb, n,
-             CASE WHEN s2 > 0
-                  THEN gamma / SQRT(s2 * n / dxx) END AS t_stat
-      FROM fit2
-    ),
-    hb AS (
-      SELECT h.sa, h.sb,
-             ROUND(CAST(h.n * h.sxy - h.sx * h.sy AS DOUBLE)
-                   / CAST(h.n * h.sxx - h.sx * h.sx AS DOUBLE), 6) AS beta
-      FROM x426_hedgeok h
-    )
-    SELECT CAST(f.sa AS BIGINT) AS sym_a, CAST(f.sb AS BIGINT) AS sym_b,
-           f.n, hb.beta,
-           ROUND(f.t_stat, 4) AS eg_adf_t,
-           CASE WHEN f.t_stat < -3.34 THEN 1 ELSE 0 END AS cointegrated_5pct
-    FROM fit f JOIN hb ON f.sa = hb.sa AND f.sb = hb.sb
-    ORDER BY sym_a, sym_b"""
-    )

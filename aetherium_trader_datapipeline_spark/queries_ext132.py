@@ -312,18 +312,21 @@ def x470_selectivity_error(spark, sf_dir):
       FROM orders"""
     ).localCheckpoint()
     stats.createOrReplaceTempView("x470_stats")
-    width_hist = spark.sql(
+    # width_hist / depth_bounds stay VIEWS: each is referenced once by the
+    # tail, so checkpointing them only serializes jobs (measured 0.79x);
+    # only `stats` — re-expanded by width_hist and three depth_est
+    # references — is worth pinning.
+    spark.sql(
         """
       SELECT LEAST(CAST(FLOOR((o.o_totalprice - s.lo) / (s.hi - s.lo) * 10)
                         AS BIGINT), 9) AS b,
              CAST(COUNT(*) AS BIGINT) AS c,
              MAX(s.lo) AS lo, MAX(s.hi) AS hi
-      FROM orders o CROSS JOIN x470_stats s
+      FROM orders o CROSS JOIN (SELECT * FROM x470_stats LIMIT 1) s
       GROUP BY LEAST(CAST(FLOOR((o.o_totalprice - s.lo) / (s.hi - s.lo) * 10)
                           AS BIGINT), 9)"""
-    ).localCheckpoint()
-    width_hist.createOrReplaceTempView("x470_width_hist")
-    depth_bounds = spark.sql(
+    ).createOrReplaceTempView("x470_width_hist")
+    spark.sql(
         """
       SELECT d.idx, MIN(CASE WHEN r.cum * 10 >= d.idx * r.n
                              THEN r.v END) AS v
@@ -336,11 +339,10 @@ def x470_selectivity_error(spark, sf_dir):
             UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6
             UNION ALL SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9) d
       GROUP BY d.idx"""
-    ).localCheckpoint()
-    depth_bounds.createOrReplaceTempView("x470_depth_bounds")
+    ).createOrReplaceTempView("x470_depth_bounds")
     return spark.sql(
         """
-    WITH stats AS (SELECT n, lo, hi FROM x470_stats),
+    WITH stats AS (SELECT n, lo, hi FROM x470_stats LIMIT 1),
     preds AS (
       SELECT 'p1_low20' AS pred, 20000.0 AS a, 60000.0 AS b
       UNION ALL SELECT 'p2_mid', 80000.0, 120000.0

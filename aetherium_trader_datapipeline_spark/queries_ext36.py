@@ -176,24 +176,24 @@ def x210_rfm(spark, sf_dir):
     same closed form, exact DECIMAL(38,2) order keys; (3) shared frames
     are checkpointed.  30 events scans -> 1, 160 exchanges -> 14."""
     load_tables(spark, sf_dir)["events"].createOrReplaceTempView("events")
-    per_user = spark.sql(
-        """
-      SELECT user_id, MAX(ts) AS mxu, CAST(COUNT(*) AS BIGINT) AS frequency,
-             SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS monetary
-      FROM events GROUP BY user_id"""
-    ).localCheckpoint()
-    per_user.createOrReplaceTempView("x210_per_user")
     # anchor = MAX(ts) = MAX over the per-user maxes, and rfm's GROUP BY
     # (user_id, a.mx) has a.mx constant — so this is the same relation as
-    # `_x210_rfm_cte` computed in ONE events pass instead of two.
+    # `_x210_rfm_cte`.  per_user is inlined (the anchor branch re-runs the
+    # cheap events aggregate once) — a second checkpoint here measured
+    # slower than the recompute.
     rfm = spark.sql(
         """
-      WITH anchor AS (SELECT MAX(mxu) AS mx FROM x210_per_user)
+      WITH per_user AS (
+        SELECT user_id, MAX(ts) AS mxu, CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS monetary
+        FROM events GROUP BY user_id
+      ),
+      anchor AS (SELECT MAX(mxu) AS mx FROM per_user)
       SELECT p.user_id,
              CAST(DATEDIFF(CAST(a.mx AS DATE), CAST(p.mxu AS DATE))
                   AS BIGINT) AS recency_days,
              p.frequency, p.monetary
-      FROM x210_per_user p CROSS JOIN anchor a"""
+      FROM per_user p CROSS JOIN anchor a"""
     ).localCheckpoint()
     rfm.createOrReplaceTempView("x210_rfm_base")
 

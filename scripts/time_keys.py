@@ -57,8 +57,12 @@ def main() -> None:
         samples = []
         for _ in range(n_runs):
             spark.catalog.clearCache()  # persist-based keys: no cross-run reuse
-            df = REGISTRY[k].run(spark, replica)
+            # r14 measurement fix: t0 must wrap run() too — function keys
+            # do eager work (localCheckpoint) inside run(), which the old
+            # placement left UNTIMED (bench.py has always timed
+            # run().collect() as one unit; this restores parity).
             t0 = time.monotonic()
+            df = REGISTRY[k].run(spark, replica)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.monotonic() - t0, 2))
         samples.sort()

@@ -476,11 +476,15 @@ _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "x141_gap_detection_sparse": "sparse-island day grid; O(calendar days)",
     # --- value-range chunked rewrites (r11) ---
     "x198_gini": _CHUNK_GRID,
-    "x210_rfm": _CHUNK_GRID + "; three metrics, three grids",
+    # (x210_rfm left this list in r14: the stacked chunked-rank rewrite
+    # partitions every window by (tag, ck); the prefix band sees only the
+    # tag x chunk grid and auto-classifies.)
     "x238_pareto_8020": _CHUNK_GRID,
     "x258_abc_class": _CHUNK_GRID,
     "x296_perplexity_buckets": _CHUNK_GRID,
-    "x311_conformal_interval": _CHUNK_GRID,
+    # (x311_conformal_interval left this list in r14: the chunked-rank
+    # windows moved into the q-checkpoint statement — text unchanged, still
+    # value-range chunked; the final statement has no global window.)
     # --- quantized-domain support grids (cardinality = value domain) ---
     "x197_ks_test": "cumsum over the distinct ROUND(value,2) support grid; quantized metric domain, not row count",
     "x221_auc": "distinct score-cents grid (ROUND(value*100)); quantized domain",
@@ -505,7 +509,9 @@ _GLOBAL_WINDOW_BOUNDS: dict[str, str] = {
     "x519_bass_diffusion": "per-day adopter counts; O(calendar days)",
     "x542_cs_dispersion": "per-day cross-sectional dispersion; O(calendar days)",
     "x516_weibull_reliability": "gap rank over consecutive distinct error-second diffs (calendar-second-bounded) + O(days) boundary handoff",
-    "x554_inspection_paradox": "O(days) day-bounds handoff grids (x516 family)",
+    # (x554_inspection_paradox left this list in r14: the day-partitioned
+    # gap windows moved into the gaps-checkpoint statement — text
+    # unchanged; the final statement has no global window.)
     # --- categorical-domain collapses (event_type / source / lang / nation / sym) ---
     "x225_revenue_share": "25 nations",
     "x326_mutual_information": "lang x source contingency cells; categorical domains",
